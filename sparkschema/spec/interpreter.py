@@ -1,0 +1,441 @@
+"""Row-level JSON Schema keyword semantics kernel (draft-4 / draft-7).
+
+This is the engine's *semantic ground truth* for dynamic JSON values. It is
+pure Python and executor-safe; Spark never calls it row-at-a-time — the
+batch entry point is :func:`sparkschema.compiler.jsoncol.validate_json_column`,
+which wraps :func:`validate` in an Arrow-batched pandas UDF.
+
+Semantics follow the reference validator observable behavior (SURVEY.md §2.2,
+§3), verified against its own JSON-Schema-Test-Suite fixtures:
+
+- keywords are Option-gated: absent keyword ⇒ vacuous pass;
+- keywords only constrain their own JSON type (``minLength`` on a number
+  passes — StringValidators.scala:48,68,90);
+- violations **accumulate** across keywords/properties (Results.merge,
+  internal/Results.scala:11-18); only ``anyOf`` short-circuits internally
+  (untilFirstSuccess, AnyConstraintValidators.scala:116-126);
+- numbers compare as exact decimals (BigDecimal parity);
+- draft-4 models exclusivity as a boolean flag on ``minimum``/``maximum``;
+  draft-7 as standalone numeric keywords — both encodings are accepted
+  (SchemaReads4.scala:225-234 vs SchemaReads7.scala:252-261);
+- ``$ref`` presence short-circuits sibling keywords; resolution is
+  depth-capped (err.max.depth).
+
+Known, documented deviations (SURVEY.md §7 watch list):
+- ``minLength``/``maxLength`` count Unicode codepoints, not grapheme
+  clusters (reference uses BreakIterator, StringValidators.scala:126-132);
+  identical on ASCII and astral chars, differs on combining sequences.
+- ``pattern`` uses Python ``re`` (unanchored ``search``), not Nashorn
+  ECMA-262; dialects agree on the fixture corpus.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, NamedTuple
+
+from sparkschema.spec import messages as msg
+from sparkschema.spec.formats import DEFAULT_FORMATS
+from sparkschema.spec.jsonvalue import (
+    as_decimal,
+    canonical,
+    dump_json,
+    is_number,
+    json_equal,
+    json_type,
+    matches_type,
+)
+from sparkschema.spec.refs import MAX_DEPTH, RefError, RefResolver, Scope
+
+
+class Violation(NamedTuple):
+    """One violation row — the reference's error-object contract
+    (internal/SchemaUtil.scala:28-39 createErrorObject)."""
+
+    keyword: str
+    schema_path: str
+    instance_path: str
+    value: str  # offending value rendered as compact JSON
+    msg: str
+
+
+class Validator:
+    """Compiled-once, reusable validator over a resolved spec registry."""
+
+    def __init__(
+        self,
+        resolver: RefResolver | None = None,
+        formats: dict[str, Callable[[Any], bool]] | None = None,
+        catalog: dict[str, str] | None = None,
+    ):
+        self.resolver = resolver
+        self.formats = dict(DEFAULT_FORMATS)
+        if formats:
+            self.formats.update(formats)
+        self.catalog = catalog
+        self._pattern_cache: dict[str, re.Pattern | None] = {}
+
+    # -- public ------------------------------------------------------------
+
+    def validate(self, schema: Any, value: Any, scope: Scope | None = None) -> list[Violation]:
+        """Validate one JSON value; return accumulated violations ([] = valid)."""
+        if scope is None:
+            scope = Scope(schema, "")
+        return self._validate(schema, value, scope, "#", "", 0)
+
+    def is_valid(self, schema: Any, value: Any, scope: Scope | None = None) -> bool:
+        return not self.validate(schema, value, scope)
+
+    # -- core dispatch -------------------------------------------------------
+
+    def _validate(self, schema: Any, value: Any, scope: Scope,
+                  spath: str, ipath: str, depth: int) -> list[Violation]:
+        # boolean schemas (draft-7; package.scala:61-69)
+        if schema is True:
+            return []
+        if schema is False:
+            return [self._v("schema", spath, ipath, value, "err.false.schema")]
+        if not isinstance(schema, dict):
+            return []
+
+        if depth > MAX_DEPTH:
+            return [self._v("$ref", spath, ipath, value, "err.max.depth")]
+
+        scope = scope.refine(schema, self.resolver.dialect if self.resolver else "draft7")
+
+        # $ref short-circuits sibling keywords (package.scala:42-56)
+        ref = schema.get("$ref")
+        if isinstance(ref, str):
+            if self.resolver is None:
+                return [self._v("$ref", spath, ipath, value, "err.unresolved.ref", ref)]
+            try:
+                target, tscope = self.resolver.resolve(ref, scope)
+            except RefError as e:
+                return [self._v("$ref", spath, ipath, value, e.msg_key, *(e.args_ or (ref,)))]
+            return self._validate(target, value, tscope, spath, ipath, depth + 1)
+
+        out: list[Violation] = []
+
+        # type (err.expected.type; package.scala:105-110); union = any match
+        t = schema.get("type")
+        if isinstance(t, str):
+            if not matches_type(value, t):
+                out.append(self._v("type", spath + "/type", ipath, value,
+                                   "err.expected.type", t, json_type(value)))
+        elif isinstance(t, list):
+            if not any(matches_type(value, ti) for ti in t):
+                out.append(self._v("type", spath + "/type", ipath, value,
+                                   "err.expected.type", "|".join(t), json_type(value)))
+
+        out += self._any_keywords(schema, value, scope, spath, ipath, depth)
+
+        vt = json_type(value)
+        if vt == "number":
+            out += self._number_keywords(schema, value, spath, ipath)
+        elif vt == "string":
+            out += self._string_keywords(schema, value, spath, ipath)
+        elif vt == "array":
+            out += self._array_keywords(schema, value, scope, spath, ipath, depth)
+        elif vt == "object":
+            out += self._object_keywords(schema, value, scope, spath, ipath, depth)
+        return out
+
+    # -- any-constraints: enum/const/combinators (AnyConstraintValidators) --
+
+    def _any_keywords(self, schema, value, scope, spath, ipath, depth) -> list[Violation]:
+        out: list[Violation] = []
+
+        if "enum" in schema and isinstance(schema["enum"], list):
+            if not any(json_equal(value, e) for e in schema["enum"]):
+                out.append(self._v("enum", spath + "/enum", ipath, value, "any.enum"))
+
+        if "const" in schema:
+            if not json_equal(value, schema["const"]):
+                out.append(self._v("const", spath + "/const", ipath, value, "any.const"))
+
+        if isinstance(schema.get("allOf"), list):
+            sub = []
+            for i, s in enumerate(schema["allOf"]):
+                sub += self._validate(s, value, scope, f"{spath}/allOf/{i}", ipath, depth + 1)
+            if sub:
+                out.append(self._v("allOf", spath + "/allOf", ipath, value, "any.all"))
+                out += sub
+
+        if isinstance(schema.get("anyOf"), list):
+            # lazy first-success (untilFirstSuccess)
+            failures: list[Violation] = []
+            for i, s in enumerate(schema["anyOf"]):
+                errs = self._validate(s, value, scope, f"{spath}/anyOf/{i}", ipath, depth + 1)
+                if not errs:
+                    failures = []
+                    break
+                failures += errs
+            else:
+                out.append(self._v("anyOf", spath + "/anyOf", ipath, value, "any.any"))
+                out += failures
+
+        if isinstance(schema.get("oneOf"), list):
+            successes = 0
+            failures = []
+            for i, s in enumerate(schema["oneOf"]):
+                errs = self._validate(s, value, scope, f"{spath}/oneOf/{i}", ipath, depth + 1)
+                if errs:
+                    failures += errs
+                else:
+                    successes += 1
+            if successes == 0:
+                out.append(self._v("oneOf", spath + "/oneOf", ipath, value, "any.one.of.none"))
+                out += failures
+            elif successes > 1:
+                out.append(self._v("oneOf", spath + "/oneOf", ipath, value, "any.one.of.many"))
+
+        if "not" in schema:
+            if not self._validate(schema["not"], value, scope, spath + "/not", ipath, depth + 1):
+                out.append(self._v("not", spath + "/not", ipath, value, "any.not"))
+
+        # if/then/else (AnyConstraintValidators.scala:14-67): lone `if` passes
+        if "if" in schema:
+            cond_ok = not self._validate(schema["if"], value, scope, spath + "/if", ipath, depth + 1)
+            branch = "then" if cond_ok else "else"
+            if branch in schema:
+                sub = self._validate(schema[branch], value, scope, f"{spath}/{branch}", ipath, depth + 1)
+                if sub:
+                    out.append(self._v("if", spath + "/if", ipath, value, "err.if.then.else"))
+                    out += sub
+        return out
+
+    # -- numeric keywords (NumberValidators.scala) ---------------------------
+
+    def _number_keywords(self, schema, value, spath, ipath) -> list[Violation]:
+        out: list[Violation] = []
+        d = as_decimal(value)
+
+        mn = schema.get("minimum")
+        if is_number(mn):
+            excl = schema.get("exclusiveMinimum") is True  # draft-4 boolean flag
+            if excl:
+                if not d > as_decimal(mn):
+                    out.append(self._v("minimum", spath + "/minimum", ipath, value,
+                                       "num.min.exclusive", value, mn))
+            elif not d >= as_decimal(mn):
+                out.append(self._v("minimum", spath + "/minimum", ipath, value,
+                                   "num.min", value, mn))
+        mx = schema.get("maximum")
+        if is_number(mx):
+            excl = schema.get("exclusiveMaximum") is True
+            if excl:
+                if not d < as_decimal(mx):
+                    out.append(self._v("maximum", spath + "/maximum", ipath, value,
+                                       "num.max.exclusive", value, mx))
+            elif not d <= as_decimal(mx):
+                out.append(self._v("maximum", spath + "/maximum", ipath, value,
+                                   "num.max", value, mx))
+
+        # draft-7 numeric exclusive bounds
+        emn = schema.get("exclusiveMinimum")
+        if is_number(emn) and not d > as_decimal(emn):
+            out.append(self._v("exclusiveMinimum", spath + "/exclusiveMinimum", ipath,
+                               value, "num.min.exclusive", value, emn))
+        emx = schema.get("exclusiveMaximum")
+        if is_number(emx) and not d < as_decimal(emx):
+            out.append(self._v("exclusiveMaximum", spath + "/exclusiveMaximum", ipath,
+                               value, "num.max.exclusive", value, emx))
+
+        mo = schema.get("multipleOf")
+        if is_number(mo):
+            # exact decimal remainder (NumberValidators.scala:89-109)
+            if as_decimal(mo) == 0 or (d % as_decimal(mo)) != 0:
+                out.append(self._v("multipleOf", spath + "/multipleOf", ipath, value,
+                                   "num.multiple.of", value, mo))
+
+        fmt = schema.get("format")
+        if isinstance(fmt, str) and fmt in ("int32", "int64"):
+            if not self.formats[fmt](value):
+                out.append(self._v("format", spath + "/format", ipath, value,
+                                   "str.format", value, fmt))
+        return out
+
+    # -- string keywords (StringValidators.scala) ----------------------------
+
+    def _string_keywords(self, schema, value: str, spath, ipath) -> list[Violation]:
+        out: list[Violation] = []
+        n = len(value)  # codepoints; see module docstring deviation note
+
+        mn = schema.get("minLength")
+        if isinstance(mn, int) and not isinstance(mn, bool) and n < mn:
+            out.append(self._v("minLength", spath + "/minLength", ipath, value,
+                               "str.min.length", value, mn))
+        mx = schema.get("maxLength")
+        if isinstance(mx, int) and not isinstance(mx, bool) and n > mx:
+            out.append(self._v("maxLength", spath + "/maxLength", ipath, value,
+                               "str.max.length", value, mx))
+
+        pat = schema.get("pattern")
+        if isinstance(pat, str):
+            rx = self._compile_pattern(pat)
+            if rx is None:
+                out.append(self._v("pattern", spath + "/pattern", ipath, value,
+                                   "str.invalid.pattern", pat))
+            elif rx.search(value) is None:  # unanchored, like the reference
+                out.append(self._v("pattern", spath + "/pattern", ipath, value,
+                                   "str.pattern", value, pat))
+
+        fmt = schema.get("format")
+        if isinstance(fmt, str):
+            checker = self.formats.get(fmt)
+            # unknown format ⇒ success (StringValidators.scala:120)
+            if checker is not None and not checker(value):
+                out.append(self._v("format", spath + "/format", ipath, value,
+                                   "str.format", value, fmt))
+        return out
+
+    # -- array keywords ------------------------------------------------------
+
+    def _array_keywords(self, schema, value: list, scope, spath, ipath, depth) -> list[Violation]:
+        out: list[Violation] = []
+        n = len(value)
+
+        mn = schema.get("minItems")
+        if isinstance(mn, int) and not isinstance(mn, bool) and n < mn:
+            out.append(self._v("minItems", spath + "/minItems", ipath, value,
+                               "arr.min", n, mn))
+        mx = schema.get("maxItems")
+        if isinstance(mx, int) and not isinstance(mx, bool) and n > mx:
+            out.append(self._v("maxItems", spath + "/maxItems", ipath, value,
+                               "arr.max", n, mx))
+
+        if schema.get("uniqueItems") is True:
+            seen = {canonical(x) for x in value}
+            if len(seen) != n:
+                out.append(self._v("uniqueItems", spath + "/uniqueItems", ipath, value,
+                                   "arr.dups"))
+
+        items = schema.get("items")
+        if isinstance(items, list):
+            # positional tuple schemas + additionalItems (TupleValidators.scala:44-108)
+            for i, el in enumerate(value[: len(items)]):
+                out += self._validate(items[i], el, scope, f"{spath}/items/{i}",
+                                      f"{ipath}/{i}", depth + 1)
+            if n > len(items):
+                add = schema.get("additionalItems")
+                if add is False:
+                    out.append(self._v("additionalItems", spath + "/additionalItems",
+                                       ipath, value, "arr.max", n, len(items)))
+                elif isinstance(add, (dict, bool)) and add is not True:
+                    for i in range(len(items), n):
+                        out += self._validate(add, value[i], scope,
+                                              spath + "/additionalItems",
+                                              f"{ipath}/{i}", depth + 1)
+        elif items is not None:
+            for i, el in enumerate(value):
+                out += self._validate(items, el, scope, spath + "/items",
+                                      f"{ipath}/{i}", depth + 1)
+
+        if "contains" in schema:
+            ok = any(not self._validate(schema["contains"], el, scope,
+                                        spath + "/contains", f"{ipath}/{i}", depth + 1)
+                     for i, el in enumerate(value))
+            if not ok:
+                out.append(self._v("contains", spath + "/contains", ipath, value,
+                                   "err.contains"))
+        return out
+
+    # -- object keywords (ObjectValidators.scala pipeline) -------------------
+
+    def _object_keywords(self, schema, value: dict, scope, spath, ipath, depth) -> list[Violation]:
+        out: list[Violation] = []
+
+        # dependencies first (ObjectConstraints4.scala:45-61 ordering)
+        deps = schema.get("dependencies")
+        if isinstance(deps, dict):
+            for k, dep in deps.items():
+                if k not in value:
+                    continue
+                if isinstance(dep, list):
+                    for req in dep:
+                        if req not in value:
+                            out.append(self._v("dependencies", spath + "/dependencies",
+                                               ipath, value, "obj.missing.prop.dep", req))
+                elif isinstance(dep, str):  # draft-4 single-string form
+                    if dep not in value:
+                        out.append(self._v("dependencies", spath + "/dependencies",
+                                           ipath, value, "obj.missing.prop.dep", dep))
+                else:
+                    out += self._validate(dep, value, scope,
+                                          f"{spath}/dependencies/{k}", ipath, depth + 1)
+
+        props = schema.get("properties")
+        matched: set[str] = set()
+        if isinstance(props, dict):
+            for k, sub in props.items():
+                if k in value:
+                    matched.add(k)
+                    out += self._validate(sub, value[k], scope,
+                                          f"{spath}/properties/{k}",
+                                          f"{ipath}/{k}", depth + 1)
+
+        req = schema.get("required")
+        if isinstance(req, list):
+            for k in req:
+                if k not in value:
+                    out.append(self._v("required", spath + "/required", ipath, value,
+                                       "obj.required.prop", k))
+
+        patprops = schema.get("patternProperties")
+        if isinstance(patprops, dict):
+            for pat, sub in patprops.items():
+                rx = self._compile_pattern(pat)
+                if rx is None:
+                    continue
+                for k, v in value.items():
+                    if rx.search(k):
+                        matched.add(k)
+                        out += self._validate(sub, v, scope,
+                                              f"{spath}/patternProperties/{pat}",
+                                              f"{ipath}/{k}", depth + 1)
+
+        # additionalProperties over unmatched props
+        # (unmatched.intersect(remaining), ObjectConstraints4.scala:53)
+        add = schema.get("additionalProperties")
+        if add is not None and add is not True:
+            extras = [k for k in value if k not in matched]
+            if add is False:
+                if extras:
+                    out.append(self._v("additionalProperties",
+                                       spath + "/additionalProperties", ipath, value,
+                                       "obj.additional.props", ", ".join(sorted(extras))))
+            else:
+                for k in extras:
+                    out += self._validate(add, value[k], scope,
+                                          spath + "/additionalProperties",
+                                          f"{ipath}/{k}", depth + 1)
+
+        mn = schema.get("minProperties")
+        if isinstance(mn, int) and not isinstance(mn, bool) and len(value) < mn:
+            out.append(self._v("minProperties", spath + "/minProperties", ipath, value,
+                               "obj.min.props", len(value), mn))
+        mx = schema.get("maxProperties")
+        if isinstance(mx, int) and not isinstance(mx, bool) and len(value) > mx:
+            out.append(self._v("maxProperties", spath + "/maxProperties", ipath, value,
+                               "obj.max.props", len(value), mx))
+
+        pn = schema.get("propertyNames")
+        if pn is not None:
+            for k in value:
+                out += self._validate(pn, k, scope, spath + "/propertyNames",
+                                      f"{ipath}/{k}", depth + 1)
+        return out
+
+    # -- helpers -------------------------------------------------------------
+
+    def _compile_pattern(self, pat: str) -> re.Pattern | None:
+        if pat not in self._pattern_cache:
+            try:
+                self._pattern_cache[pat] = re.compile(pat)
+            except re.error:
+                self._pattern_cache[pat] = None
+        return self._pattern_cache[pat]
+
+    def _v(self, keyword, spath, ipath, value, key, *args) -> Violation:
+        return Violation(keyword, spath, ipath or "/", dump_json(value),
+                         msg.render(key, *args, catalog=self.catalog))

@@ -1,0 +1,166 @@
+"""JSON value model: type lattice, deep equality, canonicalization.
+
+Semantics mirror the reference's Play-JSON value model (SURVEY.md §1.1):
+
+- types: string / number / boolean / object / array / null
+  (reference: internal/SchemaUtil.scala:41-50 ``typeOfAsString``);
+- numbers are arbitrary precision — ``integer`` is the *predicate*
+  ``isWhole``, not a storage type
+  (reference: internal/draft4/constraints/NumberConstraints4.scala:30-43);
+- deep equality is JSON equality with BigDecimal numeric equality
+  (``1.0 == 1.00 == 1``) but NO cross-type coercion (``1 != true``,
+  ``0 != false``) — exercised by the reference fixture
+  src/test/resources/draft4/uniqueItems.json.
+
+Python note: ``bool`` subclasses ``int``, so every type test checks
+``bool`` first.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from decimal import Decimal
+from typing import Any
+
+# ---------------------------------------------------------------------------
+# parsing
+
+def parse_json(text: str) -> Any:
+    """Parse JSON with exact decimal numbers (BigDecimal parity).
+
+    ``parse_float=Decimal`` keeps ``0.0075`` exact, matching the
+    reference's ``JsNumber(BigDecimal)`` so ``multipleOf`` and numeric
+    equality behave decimal-exactly.
+    """
+    return json.loads(text, parse_float=Decimal)
+
+
+# ---------------------------------------------------------------------------
+# type lattice
+
+def json_type(v: Any) -> str:
+    """Name of the JSON type of ``v`` (reference typeOfAsString)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float, Decimal)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, dict):
+        return "object"
+    if isinstance(v, (list, tuple)):
+        return "array"
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def is_number(v: Any) -> bool:
+    return isinstance(v, (int, float, Decimal)) and not isinstance(v, bool)
+
+
+def is_integer_valued(v: Any) -> bool:
+    """The ``integer`` type predicate: a number with no fractional part
+    (reference JsNumber.isWhole)."""
+    if not is_number(v):
+        return False
+    if isinstance(v, int):
+        return True
+    if isinstance(v, Decimal):
+        return v == v.to_integral_value()
+    return float(v).is_integer()
+
+
+def matches_type(v: Any, type_name: str) -> bool:
+    """Does ``v`` inhabit schema type ``type_name``?"""
+    t = json_type(v)
+    if type_name == "integer":
+        return t == "number" and is_integer_valued(v)
+    if type_name == "number":
+        return t == "number"
+    return t == type_name
+
+
+def as_decimal(v: Any) -> Decimal:
+    """Exact decimal view of a JSON number (floats via shortest repr)."""
+    if isinstance(v, Decimal):
+        return v
+    if isinstance(v, int) and not isinstance(v, bool):
+        return Decimal(v)
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            raise ValueError("non-finite number in JSON value")
+        return Decimal(repr(v))
+    raise TypeError(f"not a JSON number: {v!r}")
+
+
+# ---------------------------------------------------------------------------
+# deep equality & canonical form
+
+def canonical(v: Any) -> Any:
+    """Hashable canonical form implementing JSON deep-equality.
+
+    Two JSON values are equal iff their canonical forms are ``==``.
+    Numbers normalize to ``Decimal.normalize()`` so ``1.0 ≡ 1.00 ≡ 1``;
+    booleans are tagged distinctly from numbers so ``1 ≢ true``.
+    """
+    if v is None:
+        return ("z",)
+    if isinstance(v, bool):
+        return ("b", v)
+    if is_number(v):
+        d = as_decimal(v).normalize()
+        # Decimal('0') vs Decimal('0E+1') normalize differences for zero:
+        if d == 0:
+            d = Decimal(0)
+        return ("n", d)
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(canonical(x) for x in v))
+    if isinstance(v, dict):
+        return ("o", tuple(sorted((k, canonical(x)) for k, x in v.items())))
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def json_equal(a: Any, b: Any) -> bool:
+    return canonical(a) == canonical(b)
+
+
+# ---------------------------------------------------------------------------
+# rendering (for violation ``value`` fields and canonical string output)
+
+def dump_json(v: Any) -> str:
+    """Compact JSON text of a value (Decimal-safe, stable key order off —
+    object key order is preserved as parsed, matching Play-JSON output)."""
+    return json.dumps(v, default=_decimal_default, separators=(",", ":"), ensure_ascii=False)
+
+
+def canonical_json(v: Any) -> str:
+    """Canonical JSON text: sorted keys + normalized numbers. Equal JSON
+    values (per :func:`json_equal`) render identically — usable as a
+    grouping/broadcast key for enum membership on complex values."""
+    return json.dumps(_canon_value(v), default=_decimal_default,
+                      separators=(",", ":"), sort_keys=True, ensure_ascii=False)
+
+
+def _canon_value(v: Any) -> Any:
+    if isinstance(v, bool) or v is None or isinstance(v, str):
+        return v
+    if is_number(v):
+        d = as_decimal(v).normalize()
+        if d == d.to_integral_value() and abs(d.adjusted()) < 18:
+            return int(d)
+        return float(d)
+    if isinstance(v, (list, tuple)):
+        return [_canon_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _canon_value(x) for k, x in v.items()}
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def _decimal_default(o: Any) -> Any:
+    if isinstance(o, Decimal):
+        return int(o) if o == o.to_integral_value() else float(o)
+    raise TypeError(f"not JSON serializable: {type(o)!r}")
