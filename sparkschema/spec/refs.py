@@ -198,10 +198,14 @@ class RefResolver:
             # ids on nodes *along* the pointer path rebase the scope
             # (refRemote.json "base URI change - change folder in subschema")
             cur = doc
-            for raw in frag.lstrip("/").split("/"):
-                if isinstance(cur, dict):
-                    doc_scope = doc_scope.refine(cur, self.dialect)
-                cur = walk_pointer(cur, "/" + raw)
+            try:
+                for raw in frag.lstrip("/").split("/"):
+                    if isinstance(cur, dict):
+                        doc_scope = doc_scope.refine(cur, self.dialect)
+                    cur = walk_pointer(cur, "/" + raw)
+            except RefError:
+                # report the caller's full ref, not the failing step
+                raise RefError("err.unresolved.ref", ref) from None
             node = cur
         else:
             # anchor-style fragment ("#foo"): look up collected id

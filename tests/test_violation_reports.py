@@ -44,7 +44,9 @@ def test_max_length_and_pattern_messages():
 
 
 def test_one_of_none_and_many():
-    schema = {"oneOf": [{"type": "integer"}, {"minimum": 2}]}
+    # note: a bare {"minimum": 2} would vacuously pass a string (keywords
+    # only constrain their own type) — pin the type to make "none" reachable
+    schema = {"oneOf": [{"type": "integer"}, {"type": "number", "minimum": 2}]}
     none = validate(schema, "str")
     assert any(e.msg == "Instance does not match any schema." for e in none)
     many = validate(schema, 3)
