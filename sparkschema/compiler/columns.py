@@ -1,0 +1,411 @@
+"""Keyword → Catalyst ``Column`` predicate compilation over typed columns.
+
+This is the engine's fast path: the spec is compiled ONCE on the driver into
+a tree of boolean ``Column`` expressions (the Catalyst analog of the
+reference's ``SchemaType`` AST interpreter — SURVEY.md §1.4), evaluated in a
+single whole-stage-codegen projection per partition. No Python runs on
+executors for any keyword in this module.
+
+Typed-column semantics (the columnar re-expression of SURVEY.md §2.2):
+
+- vacuous pass is *static*: a ``minLength`` on a numeric column compiles to
+  nothing at all (keywords only constrain their own type);
+- ``type`` checks are static where the column dtype decides them
+  (string col vs ``"type":"string"`` ⇒ no runtime work; double col vs
+  ``"integer"`` ⇒ ``col == floor(col)``);
+- NULL column values model the absent property (``JsUndefined``; the
+  columnar model collapses undefined/null — SURVEY.md §1.4): every
+  per-value keyword passes on NULL; ``required`` compiles to
+  ``col IS NOT NULL``;
+- numeric comparisons use Decimal literals so ``0.1``-style bounds stay
+  exact on DecimalType columns and bit-exact on doubles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from decimal import Decimal
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkschema.compiler.formats_sql import format_predicate
+from sparkschema.spec import messages as msg_catalog
+from sparkschema.spec.jsonvalue import is_number
+
+INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+FRACTIONAL = (T.FloatType, T.DoubleType)
+
+
+@dataclass
+class Check:
+    """One compiled keyword check on one column/path."""
+
+    keyword: str
+    schema_path: str
+    instance_path: str
+    fail: Column      # boolean: TRUE iff the keyword is violated
+    value: Column     # offending value rendered as string
+    msg: Column       # violation message (string column)
+
+
+def json_domain(dt: T.DataType) -> str:
+    """JSON type a Spark column dtype inhabits (SURVEY.md §1.4 mapping)."""
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, INTEGRAL) or isinstance(dt, FRACTIONAL) or isinstance(dt, T.DecimalType):
+        return "number"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "string"  # temporal columns validate as formatted strings
+    if isinstance(dt, T.BinaryType):
+        return "binary"  # engine extension; only required/x- keywords apply
+    return "unknown"
+
+
+def statically_integer(dt: T.DataType) -> bool:
+    return isinstance(dt, INTEGRAL) or (isinstance(dt, T.DecimalType) and dt.scale == 0)
+
+
+def _num_lit(v: Any) -> Column:
+    # exact decimal literal (BigDecimal parity for bounds like 0.1)
+    if isinstance(v, Decimal):
+        return F.lit(v)
+    return F.lit(v)
+
+
+def _render_template(key: str, args: list[Column | str],
+                     catalog: dict[str, str] | None = None) -> Column:
+    """Catalyst twin of messages.render: build the message as a concat of
+    literal segments and value columns so texts match the kernel's."""
+    template = (catalog or msg_catalog.DEFAULT_MESSAGES).get(key, key)
+    parts: list[Column] = []
+    rest = template
+    for i, a in enumerate(args):
+        ph = "{%d}" % i
+        if ph not in rest:
+            continue
+        pre, rest = rest.split(ph, 1)
+        if pre:
+            parts.append(F.lit(pre.replace("''", "'")))
+        parts.append(a if isinstance(a, Column) else F.lit(str(a)))
+    if rest:
+        parts.append(F.lit(rest.replace("''", "'")))
+    return F.concat(*parts) if parts else F.lit(template)
+
+
+class ColumnCompiler:
+    """Compile keyword records against one typed column.
+
+    ``compile_checks`` yields violation-grade :class:`Check` rows;
+    ``compile_valid`` yields a single boolean Column (used inside
+    higher-order functions and combinators where per-keyword detail is
+    not representable)."""
+
+    def __init__(self, dialect: str = "draft7",
+                 formats: dict[str, Callable[[Column], Column]] | None = None,
+                 catalog: dict[str, str] | None = None):
+        self.dialect = dialect
+        self.formats = formats or {}
+        self.catalog = catalog
+
+    # ------------------------------------------------------------------
+    def compile_checks(self, schema: Any, col: Column, dt: T.DataType,
+                       spath: str, ipath: str) -> list[Check]:
+        """Per-keyword checks for a typed column. NULL ⇒ vacuous pass."""
+        if schema is True or not isinstance(schema, (dict, bool)):
+            return []
+        if schema is False:
+            return [self._chk("schema", spath, ipath, col.isNotNull(), col,
+                              "err.false.schema")]
+
+        checks: list[Check] = []
+        domain = json_domain(dt)
+        present = col.isNotNull()
+
+        # ---- type ----------------------------------------------------
+        t = schema.get("type")
+        if t is not None:
+            names = t if isinstance(t, list) else [t]
+            fail = self._type_fail(names, col, dt)
+            if fail is not None:
+                checks.append(self._chk(
+                    "type", f"{spath}/type", ipath, present & fail, col,
+                    "err.expected.type", F.lit("|".join(names)), F.lit(domain)))
+
+        # ---- enum / const ---------------------------------------------
+        enum = schema.get("enum")
+        if isinstance(enum, list):
+            fail = self._enum_fail(enum, col, dt)
+            if fail is not None:
+                checks.append(self._chk("enum", f"{spath}/enum", ipath,
+                                        present & fail, col, "any.enum"))
+        if "const" in schema:
+            fail = self._const_fail(schema["const"], col, dt)
+            checks.append(self._chk("const", f"{spath}/const", ipath,
+                                    present & fail, col, "any.const"))
+
+        # ---- numeric ---------------------------------------------------
+        if domain == "number":
+            checks += self._number_checks(schema, col, dt, spath, ipath, present)
+
+        # ---- string ----------------------------------------------------
+        if domain == "string":
+            scol = col.cast("string") if not isinstance(dt, T.StringType) else col
+            checks += self._string_checks(schema, scol, spath, ipath, present)
+
+        # ---- array -----------------------------------------------------
+        if domain == "array" and isinstance(dt, T.ArrayType):
+            checks += self._array_checks(schema, col, dt, spath, ipath, present)
+
+        # ---- combinators ----------------------------------------------
+        checks += self._combinator_checks(schema, col, dt, spath, ipath, present)
+        return checks
+
+    # ------------------------------------------------------------------
+    def compile_valid(self, schema: Any, col: Column, dt: T.DataType) -> Column:
+        """Single boolean: value at ``col`` satisfies ``schema`` (NULL ⇒ true)."""
+        checks = self.compile_checks(schema, col, dt, "#", "")
+        if not checks:
+            return F.lit(True)
+        valid = F.lit(True)
+        for c in checks:
+            valid = valid & ~F.coalesce(c.fail, F.lit(False))
+        return valid
+
+    # ---- keyword families ---------------------------------------------
+
+    def _type_fail(self, names: list[str], col: Column, dt: T.DataType) -> Column | None:
+        """None ⇒ statically satisfied. Column ⇒ runtime fail predicate."""
+        domain = json_domain(dt)
+        ok_static = False
+        runtime_ok: Column | None = None
+        for n in names:
+            if n == domain and n != "number":
+                ok_static = True
+            elif n == "number" and domain == "number":
+                ok_static = True
+            elif n == "integer" and domain == "number":
+                if statically_integer(dt):
+                    ok_static = True
+                else:
+                    cond = col == F.floor(col)
+                    runtime_ok = cond if runtime_ok is None else (runtime_ok | cond)
+            elif n == "null":
+                # NULL models absence and vacuously passes; nothing to do
+                ok_static = True
+        if ok_static:
+            return None
+        if runtime_ok is not None:
+            return ~runtime_ok
+        return F.lit(True)  # statically wrong type: every present value fails
+
+    def _enum_fail(self, enum: list, col: Column, dt: T.DataType) -> Column | None:
+        domain = json_domain(dt)
+        # JSON equality: restrict literals to the column's own type domain
+        if domain == "number":
+            lits = [v for v in enum if is_number(v)]
+        elif domain == "string":
+            lits = [v for v in enum if isinstance(v, str)]
+        elif domain == "boolean":
+            lits = [v for v in enum if isinstance(v, bool)]
+        else:
+            # complex columns: canonical-JSON comparison
+            from sparkschema.spec.jsonvalue import canonical_json
+            cands = [canonical_json(v) for v in enum]
+            return ~F.to_json(col).isin(cands) if cands else col.isNotNull()
+        if not lits:
+            return col.isNotNull()  # nothing of this type in the enum
+        return ~col.isin(lits)
+
+    def _const_fail(self, const: Any, col: Column, dt: T.DataType) -> Column:
+        domain = json_domain(dt)
+        if domain == "number" and is_number(const):
+            return ~(col == _num_lit(const))
+        if domain == "string" and isinstance(const, str):
+            return ~(col == F.lit(const))
+        if domain == "boolean" and isinstance(const, bool):
+            return ~(col == F.lit(const))
+        if domain in ("array", "object"):
+            from sparkschema.spec.jsonvalue import canonical_json
+            return ~(F.to_json(col) == F.lit(canonical_json(const)))
+        return col.isNotNull()  # type-mismatched const: every present value fails
+
+    def _number_checks(self, schema, col, dt, spath, ipath, present) -> list[Check]:
+        out: list[Check] = []
+        vs = col.cast("string")
+
+        mn = schema.get("minimum")
+        if is_number(mn):
+            excl = schema.get("exclusiveMinimum") is True
+            fail = ~(col > _num_lit(mn)) if excl else ~(col >= _num_lit(mn))
+            key = "num.min.exclusive" if excl else "num.min"
+            out.append(self._chk("minimum", f"{spath}/minimum", ipath,
+                                 present & fail, col, key, vs, F.lit(str(mn))))
+        mx = schema.get("maximum")
+        if is_number(mx):
+            excl = schema.get("exclusiveMaximum") is True
+            fail = ~(col < _num_lit(mx)) if excl else ~(col <= _num_lit(mx))
+            key = "num.max.exclusive" if excl else "num.max"
+            out.append(self._chk("maximum", f"{spath}/maximum", ipath,
+                                 present & fail, col, key, vs, F.lit(str(mx))))
+        emn = schema.get("exclusiveMinimum")
+        if is_number(emn):
+            out.append(self._chk("exclusiveMinimum", f"{spath}/exclusiveMinimum",
+                                 ipath, present & ~(col > _num_lit(emn)), col,
+                                 "num.min.exclusive", vs, F.lit(str(emn))))
+        emx = schema.get("exclusiveMaximum")
+        if is_number(emx):
+            out.append(self._chk("exclusiveMaximum", f"{spath}/exclusiveMaximum",
+                                 ipath, present & ~(col < _num_lit(emx)), col,
+                                 "num.max.exclusive", vs, F.lit(str(emx))))
+
+        mo = schema.get("multipleOf")
+        if is_number(mo):
+            if statically_integer(dt) and isinstance(mo, int):
+                fail = (col % F.lit(mo)) != 0
+            else:
+                # decimal-exact remainder (NumberValidators.scala:89-109):
+                # cast through decimal so 0.01-style factors stay exact
+                d = col.cast("decimal(38,12)")
+                fail = (d % F.lit(Decimal(str(mo)))) != 0
+            out.append(self._chk("multipleOf", f"{spath}/multipleOf", ipath,
+                                 present & fail, col, "num.multiple.of",
+                                 vs, F.lit(str(mo))))
+
+        fmt = schema.get("format")
+        if isinstance(fmt, str) and fmt in ("int32", "int64"):
+            out.append(self._chk("format", f"{spath}/format", ipath,
+                                 present & ~format_predicate(fmt, col, self.formats),
+                                 col, "str.format", vs, F.lit(fmt)))
+        return out
+
+    def _string_checks(self, schema, col, spath, ipath, present) -> list[Check]:
+        out: list[Check] = []
+        mn = schema.get("minLength")
+        if isinstance(mn, int) and not isinstance(mn, bool):
+            out.append(self._chk("minLength", f"{spath}/minLength", ipath,
+                                 present & (F.length(col) < mn), col,
+                                 "str.min.length", col, F.lit(str(mn))))
+        mx = schema.get("maxLength")
+        if isinstance(mx, int) and not isinstance(mx, bool):
+            out.append(self._chk("maxLength", f"{spath}/maxLength", ipath,
+                                 present & (F.length(col) > mx), col,
+                                 "str.max.length", col, F.lit(str(mx))))
+        pat = schema.get("pattern")
+        if isinstance(pat, str):
+            # rlike = unanchored find, same as the reference's matcher.search(0)
+            out.append(self._chk("pattern", f"{spath}/pattern", ipath,
+                                 present & ~col.rlike(pat), col,
+                                 "str.pattern", col, F.lit(pat)))
+        fmt = schema.get("format")
+        if isinstance(fmt, str) and fmt not in ("int32", "int64"):
+            pred = format_predicate(fmt, col, self.formats)
+            out.append(self._chk("format", f"{spath}/format", ipath,
+                                 present & ~pred, col, "str.format",
+                                 col, F.lit(fmt)))
+        return out
+
+    def _array_checks(self, schema, col, dt: T.ArrayType, spath, ipath, present) -> list[Check]:
+        out: list[Check] = []
+        mn = schema.get("minItems")
+        if isinstance(mn, int) and not isinstance(mn, bool):
+            out.append(self._chk("minItems", f"{spath}/minItems", ipath,
+                                 present & (F.size(col) < mn), F.size(col),
+                                 "arr.min", F.size(col).cast("string"), F.lit(str(mn))))
+        mx = schema.get("maxItems")
+        if isinstance(mx, int) and not isinstance(mx, bool):
+            out.append(self._chk("maxItems", f"{spath}/maxItems", ipath,
+                                 present & (F.size(col) > mx), F.size(col),
+                                 "arr.max", F.size(col).cast("string"), F.lit(str(mx))))
+        if schema.get("uniqueItems") is True:
+            out.append(self._chk("uniqueItems", f"{spath}/uniqueItems", ipath,
+                                 present & (F.size(F.array_distinct(col)) != F.size(col)),
+                                 col, "arr.dups"))
+        items = schema.get("items")
+        if isinstance(items, (dict, bool)) and items is not True:
+            elem_valid = lambda x: self.compile_valid(items, x, dt.elementType)  # noqa: E731
+            out.append(self._chk("items", f"{spath}/items", ipath,
+                                 present & ~F.forall(col, elem_valid), col,
+                                 "comp.no.schema"))
+        elif isinstance(items, list):
+            for i, sub in enumerate(items):
+                el = F.get(col, i)  # null-safe under ANSI mode (0-based)
+                fail = (F.size(col) > i) & ~self.compile_valid(sub, el, dt.elementType)
+                out.append(self._chk("items", f"{spath}/items/{i}", f"{ipath}/{i}",
+                                     present & fail, el, "comp.no.schema"))
+            add = schema.get("additionalItems")
+            if add is False:
+                out.append(self._chk("additionalItems", f"{spath}/additionalItems",
+                                     ipath, present & (F.size(col) > len(items)),
+                                     F.size(col), "arr.max",
+                                     F.size(col).cast("string"), F.lit(str(len(items)))))
+            elif isinstance(add, dict):
+                tail = F.slice(col, len(items) + 1, 2147483647 - len(items) - 1)
+                tail_ok = F.forall(tail, lambda x: self.compile_valid(add, x, dt.elementType))
+                out.append(self._chk("additionalItems", f"{spath}/additionalItems",
+                                     ipath, present & (F.size(col) > len(items)) & ~tail_ok,
+                                     col, "comp.no.schema"))
+        if "contains" in schema:
+            pred = lambda x: self.compile_valid(schema["contains"], x, dt.elementType)  # noqa: E731
+            out.append(self._chk("contains", f"{spath}/contains", ipath,
+                                 present & ~F.exists(col, pred), col, "err.contains"))
+        return out
+
+    def _combinator_checks(self, schema, col, dt, spath, ipath, present) -> list[Check]:
+        out: list[Check] = []
+        sub_valid = lambda s: self.compile_valid(s, col, dt)  # noqa: E731
+
+        allof = schema.get("allOf")
+        if isinstance(allof, list) and allof:
+            v = sub_valid(allof[0])
+            for s in allof[1:]:
+                v = v & sub_valid(s)
+            out.append(self._chk("allOf", f"{spath}/allOf", ipath,
+                                 present & ~v, col, "any.all"))
+        anyof = schema.get("anyOf")
+        if isinstance(anyof, list) and anyof:
+            v = sub_valid(anyof[0])
+            for s in anyof[1:]:
+                v = v | sub_valid(s)  # Catalyst OR short-circuits in codegen
+            out.append(self._chk("anyOf", f"{spath}/anyOf", ipath,
+                                 present & ~v, col, "any.any"))
+        oneof = schema.get("oneOf")
+        if isinstance(oneof, list) and oneof:
+            cnt = sub_valid(oneof[0]).cast("int")
+            for s in oneof[1:]:
+                cnt = cnt + sub_valid(s).cast("int")
+            out.append(self._chk("oneOf", f"{spath}/oneOf", ipath,
+                                 present & (cnt != 1), col,
+                                 "any.one.of.none"))
+        if "not" in schema:
+            out.append(self._chk("not", f"{spath}/not", ipath,
+                                 present & sub_valid(schema["not"]), col, "any.not"))
+        if "if" in schema:
+            cond = sub_valid(schema["if"])
+            then_v = sub_valid(schema["then"]) if "then" in schema else F.lit(True)
+            else_v = sub_valid(schema["else"]) if "else" in schema else F.lit(True)
+            ok = F.when(cond, then_v).otherwise(else_v)
+            out.append(self._chk("if", f"{spath}/if", ipath,
+                                 present & ~ok, col, "err.if.then.else"))
+        return out
+
+    # ---- helpers --------------------------------------------------------
+
+    def _chk(self, keyword: str, spath: str, ipath: str, fail: Column,
+             value: Column, msg_key: str, *msg_args: Column) -> Check:
+        return Check(
+            keyword=keyword,
+            schema_path=spath,
+            instance_path=ipath or "/",
+            fail=F.coalesce(fail, F.lit(False)),
+            value=F.coalesce(value.cast("string"), F.lit("null")),
+            msg=_render_template(msg_key, list(msg_args), self.catalog),
+        )

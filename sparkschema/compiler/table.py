@@ -1,0 +1,347 @@
+"""Table-spec compilation: an object-shaped constraint spec over a typed
+DataFrame, where each property is a column (SURVEY.md §1.4 row-as-object
+mapping — the input_hint table ``(image_id, bytes, w, h, fmt, caption,
+phash)`` is the canonical instance).
+
+Produces a :class:`CompiledTableSpec`:
+
+- ``violations(df)`` — one whole-stage-codegen projection building an array
+  of per-keyword violation structs per row → ``array_compact`` →
+  ``explode`` (violation rows exist only for failing keywords; passing
+  rows are filtered before any shuffle);
+- ``verdicts(df)`` — per-partition pass/fail + metrics in ONE aggregation
+  over ``spark_partition_id()`` (no shuffle of raw rows, partial aggs
+  map-side);
+- ``row_valid(df)`` — a single boolean Column (throughput path);
+- ``table_requests`` — the engine's ``x-unique`` / ``$ref_data`` /
+  ``x-drift`` / ``x-roundtrip`` extension keywords, dispatched to
+  :mod:`sparkschema.operators` by the validation plan.
+
+$refs inside the spec are inlined at compile time on the driver (cycles are
+a compile error here — recursive schemas are only supported on the dynamic
+JSON path, where the depth cap applies at eval time).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkschema.compiler.columns import Check, ColumnCompiler
+from sparkschema.spec import messages as msg_catalog
+from sparkschema.spec.parser import SpecError, parse_spec
+from sparkschema.spec.refs import RefResolver, Scope
+from sparkschema.spec.registry import SpecRegistry
+
+VIOLATION_SCHEMA = T.StructType([
+    T.StructField("keyword", T.StringType()),
+    T.StructField("schema_path", T.StringType()),
+    T.StructField("instance_path", T.StringType()),
+    T.StructField("value", T.StringType()),
+    T.StructField("msg", T.StringType()),
+])
+
+_EXTENSION_KEYWORDS = ("x-unique", "x-drift", "x-roundtrip", "$ref_data",
+                       "x-null-fraction")
+
+
+def inline_refs(schema: Any, resolver: RefResolver | None, scope: Scope | None,
+                _seen: frozenset = frozenset()) -> Any:
+    """Resolve every $ref eagerly; cycles raise SpecError (driver-side)."""
+    if not isinstance(schema, dict):
+        return schema
+    if "$ref" in schema and isinstance(schema["$ref"], str):
+        if resolver is None or scope is None:
+            raise SpecError("$ref", f"no registry to resolve {schema['$ref']}")
+        key = (scope.base, schema["$ref"])
+        if key in _seen:
+            raise SpecError("$ref", f"recursive ref {schema['$ref']} cannot "
+                                    "compile to columnar predicates")
+        try:
+            target, tscope = resolver.resolve(schema["$ref"], scope)
+        except Exception as e:  # RefError incl. depth cap on self-refs
+            raise SpecError("$ref", f"cannot resolve {schema['$ref']}: {e}") from e
+        return inline_refs(target, resolver, tscope, _seen | {key})
+    out = {}
+    for k, v in schema.items():
+        if k in ("enum", "const", "default", "examples") or k in _EXTENSION_KEYWORDS:
+            out[k] = v
+        elif isinstance(v, dict):
+            out[k] = inline_refs(v, resolver, scope, _seen)
+        elif isinstance(v, list):
+            out[k] = [inline_refs(x, resolver, scope, _seen) for x in v]
+        else:
+            out[k] = v
+    return out
+
+
+@dataclass
+class TableRequest:
+    """A table-level check extracted from an extension keyword."""
+
+    kind: str                 # unique | ref_data | drift | roundtrip | null_fraction
+    column: str
+    config: Any = None
+
+
+@dataclass
+class CompiledTableSpec:
+    checks: list[Check]
+    table_requests: list[TableRequest]
+    key_cols: list[str]
+    catalog: dict[str, str] | None = None
+    check_names: list[str] = field(default_factory=list)
+
+    # -- row-level ---------------------------------------------------------
+
+    def row_valid(self) -> Column:
+        ok = F.lit(True)
+        for c in self.checks:
+            ok = ok & ~c.fail
+        return ok
+
+    def violations(self, df: DataFrame) -> DataFrame:
+        """Violation rows ``(key..., keyword, schema_path, instance_path,
+        value, msg)`` — matching the reference's error-object contract
+        (internal/SchemaUtil.scala:28-39)."""
+        structs = [
+            F.when(c.fail, F.struct(
+                F.lit(c.keyword).alias("keyword"),
+                F.lit(c.schema_path).alias("schema_path"),
+                F.lit(c.instance_path).alias("instance_path"),
+                c.value.alias("value"),
+                c.msg.alias("msg"),
+            ))
+            for c in self.checks
+        ]
+        if not structs:
+            return df.sparkSession.createDataFrame(
+                [], T.StructType([df.schema[k] for k in self.key_cols]
+                                 ).add("v", VIOLATION_SCHEMA)
+            ).select(*self.key_cols, "v.*")
+        arr = F.array_compact(F.array(*structs))
+        return (
+            df.select(*self.key_cols, arr.alias("__viol"))
+            .where(F.size("__viol") > 0)
+            .select(*self.key_cols, F.explode("__viol").alias("v"))
+            .select(*self.key_cols, "v.*")
+        )
+
+    def verdicts(self, df: DataFrame) -> DataFrame:
+        """Per-partition verdict table ``(partition_id, check, pass,
+        metrics)`` in a single map-side-combined aggregation."""
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(self.checks):
+            aggs.append(F.sum(c.fail.cast("long")).alias(f"__f{i}"))
+        agg = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
+        stack_args: list[Column] = []
+        for i, name in enumerate(self.check_names):
+            stack_args += [F.lit(name), F.col(f"__f{i}")]
+        exploded = agg.select(
+            "partition_id", "__rows",
+            F.explode(F.map_from_arrays(
+                F.array(*[F.lit(n) for n in self.check_names]),
+                F.array(*[F.col(f"__f{i}") for i in range(len(self.checks))]),
+            )).alias("check", "fail_count"),
+        )
+        return exploded.select(
+            "partition_id",
+            "check",
+            (F.col("fail_count") == 0).alias("pass"),
+            F.create_map(
+                F.lit("rows"), F.col("__rows").cast("double"),
+                F.lit("fail_count"), F.col("fail_count").cast("double"),
+                F.lit("fail_fraction"),
+                (F.col("fail_count") / F.col("__rows")).cast("double"),
+            ).alias("metrics"),
+        )
+
+
+def compile_table_spec(
+    spec: Any,
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    dialect: str | None = None,
+    registry: SpecRegistry | None = None,
+    formats: dict[str, Callable[[Column], Column]] | None = None,
+    catalog: dict[str, str] | None = None,
+) -> CompiledTableSpec:
+    parsed = parse_spec(spec, dialect)
+    schema = parsed.schema
+    if registry is not None:
+        resolver = RefResolver(registry.index, parsed.dialect)
+        scope = Scope(schema, "urn:sparkschema:tablespec")
+        registry.index.add_document("urn:sparkschema:tablespec", schema, parsed.dialect)
+        schema = inline_refs(schema, resolver, scope)
+    else:
+        schema = inline_refs(schema, None, None) if _has_ref(schema) is False else schema
+        if _has_ref(schema):
+            raise SpecError("$ref", "spec contains $refs but no registry was given")
+
+    cc = ColumnCompiler(parsed.dialect, formats=formats, catalog=catalog)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    checks: list[Check] = []
+    requests: list[TableRequest] = []
+
+    props = schema.get("properties") or {}
+    if not isinstance(props, dict):
+        raise SpecError("#/properties", "table spec must declare properties")
+
+    for name, sub in props.items():
+        if name not in fields:
+            raise SpecError(f"#/properties/{name}", f"column {name!r} not in DataFrame")
+        if not isinstance(sub, dict):
+            continue
+        requests += _extension_requests(name, sub)
+        plain = {k: v for k, v in sub.items() if k not in _EXTENSION_KEYWORDS}
+        checks += cc.compile_checks(plain, F.col(name), fields[name],
+                                    f"#/properties/{name}", f"/{name}")
+
+    req = schema.get("required")
+    if isinstance(req, list):
+        for name in req:
+            if name not in fields:
+                raise SpecError("#/required", f"required column {name!r} not in DataFrame")
+            checks.append(Check(
+                keyword="required",
+                schema_path="#/required",
+                instance_path=f"/{name}",
+                fail=F.col(name).isNull(),
+                value=F.lit("null"),
+                msg=F.lit(msg_catalog.render("obj.required.prop", name,
+                                             catalog=catalog)),
+            ))
+
+    # presence dependencies: if col A present, cols B.. must be present
+    deps = schema.get("dependencies")
+    if isinstance(deps, dict):
+        for a, dep in deps.items():
+            if a not in fields:
+                continue
+            if isinstance(dep, list):
+                for b in dep:
+                    if b in fields:
+                        checks.append(Check(
+                            keyword="dependencies",
+                            schema_path="#/dependencies",
+                            instance_path=f"/{a}",
+                            fail=F.col(a).isNotNull() & F.col(b).isNull(),
+                            value=F.col(a).cast("string"),
+                            msg=F.lit(msg_catalog.render("obj.missing.prop.dep",
+                                                         b, catalog=catalog)),
+                        ))
+
+    # root-level conditional / combinators across columns (row-as-object):
+    checks += _row_combinators(cc, schema, fields, catalog)
+
+    names = [f"{c.keyword}:{c.instance_path}" for c in checks]
+    # disambiguate duplicates
+    seen: dict[str, int] = {}
+    for i, n in enumerate(names):
+        if n in seen:
+            names[i] = f"{n}#{seen[n]}"
+        seen[n] = seen.get(n, 0) + 1
+
+    return CompiledTableSpec(checks=checks, table_requests=requests,
+                             key_cols=key_cols or [df.columns[0]],
+                             catalog=catalog, check_names=names)
+
+
+def _has_ref(schema: Any) -> bool:
+    if isinstance(schema, dict):
+        if "$ref" in schema:
+            return True
+        return any(_has_ref(v) for k, v in schema.items()
+                   if k not in ("enum", "const", "default"))
+    if isinstance(schema, list):
+        return any(_has_ref(v) for v in schema)
+    return False
+
+
+def _row_combinators(cc: ColumnCompiler, schema: dict,
+                     fields: dict[str, T.DataType],
+                     catalog: dict[str, str] | None) -> list[Check]:
+    """Compile root-level if/then/else / allOf / anyOf / oneOf / not where
+    subschemas are object schemas over the table's columns (the flagship
+    spec's ``if fmt=jpg then w multipleOf 8`` shape, FIXTURES.md §3)."""
+
+    def obj_valid(s: Any) -> Column:
+        if s is True:
+            return F.lit(True)
+        if s is False:
+            return F.lit(False)
+        ok = F.lit(True)
+        props = s.get("properties") or {}
+        for name, sub in props.items():
+            if name in fields and isinstance(sub, (dict, bool)):
+                plain = sub if not isinstance(sub, dict) else {
+                    k: v for k, v in sub.items() if k not in _EXTENSION_KEYWORDS}
+                ok = ok & cc.compile_valid(plain, F.col(name), fields[name])
+        for r in s.get("required") or []:
+            if r in fields:
+                ok = ok & F.col(r).isNotNull()
+        for comb, op in (("allOf", "and"), ("anyOf", "or")):
+            subs = s.get(comb)
+            if isinstance(subs, list) and subs:
+                acc = obj_valid(subs[0])
+                for x in subs[1:]:
+                    acc = (acc & obj_valid(x)) if op == "and" else (acc | obj_valid(x))
+                ok = ok & acc
+        if "not" in s:
+            ok = ok & ~obj_valid(s["not"])
+        return ok
+
+    out: list[Check] = []
+    value_col = F.lit("<row>")
+
+    if "if" in schema:
+        cond = obj_valid(schema["if"])
+        then_v = obj_valid(schema["then"]) if "then" in schema else F.lit(True)
+        else_v = obj_valid(schema["else"]) if "else" in schema else F.lit(True)
+        out.append(Check("if", "#/if", "/",
+                         ~F.coalesce(F.when(cond, then_v).otherwise(else_v), F.lit(False)),
+                         value_col,
+                         F.lit(msg_catalog.render("err.if.then.else", catalog=catalog))))
+    for comb, key in (("allOf", "any.all"), ("anyOf", "any.any")):
+        subs = schema.get(comb)
+        if isinstance(subs, list) and subs:
+            acc = obj_valid(subs[0])
+            for x in subs[1:]:
+                acc = (acc & obj_valid(x)) if comb == "allOf" else (acc | obj_valid(x))
+            out.append(Check(comb, f"#/{comb}", "/", ~F.coalesce(acc, F.lit(False)),
+                             value_col,
+                             F.lit(msg_catalog.render(key, catalog=catalog))))
+    oneof = schema.get("oneOf")
+    if isinstance(oneof, list) and oneof:
+        cnt = obj_valid(oneof[0]).cast("int")
+        for x in oneof[1:]:
+            cnt = cnt + obj_valid(x).cast("int")
+        out.append(Check("oneOf", "#/oneOf", "/", F.coalesce(cnt != 1, F.lit(True)),
+                         value_col,
+                         F.lit(msg_catalog.render("any.one.of.none", catalog=catalog))))
+    if "not" in schema:
+        out.append(Check("not", "#/not", "/",
+                         F.coalesce(obj_valid(schema["not"]), F.lit(False)),
+                         value_col,
+                         F.lit(msg_catalog.render("any.not", catalog=catalog))))
+    return out
+
+
+def _extension_requests(column: str, sub: dict) -> list[TableRequest]:
+    out = []
+    if "x-unique" in sub:
+        out.append(TableRequest("unique", column, sub["x-unique"]))
+    if "$ref_data" in sub:
+        out.append(TableRequest("ref_data", column, sub["$ref_data"]))
+    if "x-drift" in sub:
+        out.append(TableRequest("drift", column, sub["x-drift"]))
+    if "x-roundtrip" in sub:
+        out.append(TableRequest("roundtrip", column, sub["x-roundtrip"]))
+    if "x-null-fraction" in sub:
+        out.append(TableRequest("null_fraction", column, sub["x-null-fraction"]))
+    return out

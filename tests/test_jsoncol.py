@@ -1,0 +1,51 @@
+"""Dynamic-JSON path: Arrow-batched validation of a JSON string column,
+including recursive $refs (impossible on the pure-Catalyst path)."""
+
+from sparkschema.compiler.jsoncol import json_valid_column, validate_json_column
+from sparkschema.spec.registry import SpecRegistry
+
+
+def test_json_valid_column(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": 200}'), (3, '{"k": "x"}'),
+         (4, 'not json'), (5, None)],
+        "id long, props string",
+    )
+    schema = {"type": "object",
+              "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 100}},
+              "required": ["k"]}
+    rows = {r.id: r.ok for r in
+            df.select("id", json_valid_column("props", schema).alias("ok")).collect()}
+    assert rows == {1: True, 2: False, 3: False, 4: False, 5: None}
+
+
+def test_json_violations_rows(spark):
+    df = spark.createDataFrame([(1, '{"w": "wide", "caption": ""}')], "id long, doc string")
+    schema = {"type": "object",
+              "properties": {"w": {"type": "integer"},
+                             "caption": {"type": "string", "minLength": 1}},
+              "required": ["fmt"]}
+    out = validate_json_column(df, "doc", schema, key_cols=["id"]).collect()
+    got = {(r.keyword, r.instance_path): r.msg for r in out}
+    assert got[("type", "/w")] == "Wrong type. Expected integer, was string."
+    assert got[("minLength", "/caption")] == "'' does not match minimum length of 1."
+    assert got[("required", "/")] == "Property fmt missing."
+
+
+def test_recursive_ref_on_executors(spark):
+    """Recursive schemas run on the dynamic path with the eval-time depth
+    cap (the columnar path rejects them at compile time)."""
+    reg = SpecRegistry()
+    tree = {"$id": "urn:tree", "type": "object",
+            "properties": {"name": {"type": "string", "minLength": 1},
+                           "kids": {"type": "array", "items": {"$ref": "urn:tree"}}},
+            "required": ["name"]}
+    reg.add_schema("urn:tree", tree)
+    df = spark.createDataFrame(
+        [(1, '{"name":"a","kids":[{"name":"b","kids":[{"name":"c"}]}]}'),
+         (2, '{"name":"a","kids":[{"kids":[]}]}'),
+         (3, '{"name":""}')],
+        "id long, doc string")
+    out = validate_json_column(df, "doc", tree, key_cols=["id"], registry=reg)
+    got = sorted((r.id, r.keyword, r.instance_path) for r in out.collect())
+    assert got == [(2, "required", "/kids/0"), (3, "minLength", "/name")]
