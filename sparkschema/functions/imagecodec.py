@@ -1,0 +1,106 @@
+"""Deterministic image codec + PSNR kernels (numpy, executor-safe).
+
+No image libraries ship in this environment (FIXTURES.md §1), so images are
+a self-describing raw-RGB container; the "lossy" format is a 6-bit/channel
+quantization whose worst-case error (≤3/255 per sample) keeps PSNR ≥ 40 dB
+— exactly the BASELINE.json round-trip invariant. Real JPEG/PNG decode
+would slot into :func:`decode` behind the same interface (see
+sparkschema.operators.multimodal for the stub policy).
+
+Layout (little-endian):
+  magic ``b"SSI1"`` | u16 w | u16 h | u8 fmt_code | payload
+  fmt raw  (0): w*h*3 bytes verbatim
+  fmt rawz (1): zlib-compressed w*h*3 bytes
+  fmt jpg  (2) / png (3): w*h*3 bytes quantized to 6 bits/channel
+                (stored post-quantization; decode is exact on the stored
+                data, loss is vs the original pixels)
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+MAGIC = b"SSI1"
+FMT_CODES = {"raw": 0, "rawz": 1, "jpg": 2, "png": 3}
+FMT_NAMES = {v: k for k, v in FMT_CODES.items()}
+_QUANT_MASK = 0xFC  # 6 bits/channel: max abs error 3 → PSNR ≈ 42.9 dB
+
+
+class CorruptImage(ValueError):
+    pass
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """pixels: uint8 array (h, w, 3) → container bytes."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    code = FMT_CODES[fmt]
+    header = MAGIC + struct.pack("<HHB", w, h, code)
+    if fmt == "raw":
+        payload = pixels.tobytes()
+    elif fmt == "rawz":
+        payload = zlib.compress(pixels.tobytes(), level=1)
+    else:  # lossy: quantize then store
+        payload = (pixels & _QUANT_MASK).tobytes()
+    return header + payload
+
+
+def decode(buf: bytes) -> tuple[np.ndarray, str]:
+    """container bytes → (uint8 (h, w, 3), fmt name). Raises CorruptImage."""
+    if buf is None or len(buf) < 9 or buf[:4] != MAGIC:
+        raise CorruptImage("bad header")
+    w, h, code = struct.unpack("<HHB", buf[4:9])
+    if code not in FMT_NAMES:
+        raise CorruptImage(f"unknown fmt code {code}")
+    fmt = FMT_NAMES[code]
+    payload = buf[9:]
+    if fmt == "rawz":
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error as e:
+            raise CorruptImage(f"zlib: {e}") from None
+    expected = w * h * 3
+    if len(payload) != expected:
+        raise CorruptImage(f"payload {len(payload)} != {expected}")
+    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3), fmt
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images.
+    Identical images → inf."""
+    if a.shape != b.shape:
+        return float("-inf")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def psnr_bytes(buf_a: bytes, buf_b: bytes) -> float:
+    """PSNR between two encoded buffers; -inf on shape mismatch, nan on
+    corruption (the caller maps nan → corrupt-bytes violation)."""
+    try:
+        a, _ = decode(buf_a)
+        b, _ = decode(buf_b)
+    except CorruptImage:
+        return float("nan")
+    return psnr(a, b)
+
+
+def stable_seed(image_id: str, seed: int = 42) -> int:
+    """Process-independent seed for an id (Python's ``hash`` is salted per
+    process and would differ between driver and executors)."""
+    import hashlib
+
+    digest = hashlib.blake2b(f"{image_id}:{seed}".encode(), digest_size=8).digest()
+    return int.from_bytes(digest, "little")
+
+
+def synth_pixels(image_id: str, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pixels for an image id (seeded, reproducible across
+    driver/executors — FIXTURES.md seed=42 convention)."""
+    rng = np.random.default_rng(stable_seed(image_id, seed))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)

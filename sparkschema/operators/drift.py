@@ -1,0 +1,117 @@
+"""Distribution-drift checks: two-sample chi-square and KS over histograms
+(SURVEY.md §2.4 "distribution drift").
+
+Scale design: raw values never leave executors. Each side is reduced to an
+equi-width histogram (one partial-agg pass, O(buckets) exchange), then the
+test statistic is computed **in SQL** on the joined bucket counts —
+chi-square as Σ(o−e)²/e on scaled expectations, KS as max |ΔCDF| via a
+window cumsum over ≤ a few hundred bucket rows. No Python UDF in the
+default path; :func:`ks_exact_by_group` offers an ``applyInPandas`` exact
+variant for small per-group samples (numpy kernel, Arrow transfer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparkschema.operators.stats import histogram
+
+
+def chi_square_histograms(obs: DataFrame, exp: DataFrame) -> DataFrame:
+    """Chi-square statistic between two bucket-count frames
+    ``(bucket, cnt)``. Expected counts are scaled to the observed total;
+    empty expected buckets get a 0.5 Laplace floor so novel buckets count
+    as drift instead of dividing by zero.
+
+    Returns one row ``(statistic double, dof long, n_obs, n_exp)``.
+    """
+    o = obs.groupBy("bucket").agg(F.sum("cnt").alias("o"))
+    e = exp.groupBy("bucket").agg(F.sum("cnt").alias("e"))
+    joined = o.join(e, "bucket", "full_outer").fillna(0, ["o", "e"])
+    totals = joined.agg(F.sum("o").alias("no"), F.sum("e").alias("ne")).collect()[0]
+    n_o, n_e = totals["no"] or 0, totals["ne"] or 0
+    if n_o == 0 or n_e == 0:
+        raise ValueError("chi-square needs non-empty histograms on both sides")
+    scale = n_o / n_e
+    return joined.agg(
+        F.sum(
+            F.pow(F.col("o") - F.greatest(F.col("e") * scale, F.lit(0.5)), 2)
+            / F.greatest(F.col("e") * scale, F.lit(0.5))
+        ).alias("statistic"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.lit(n_o).alias("n_obs"),
+        F.lit(n_e).alias("n_exp"),
+    )
+
+
+def ks_histograms(obs: DataFrame, exp: DataFrame) -> DataFrame:
+    """Binned two-sample KS statistic: max |CDF_obs − CDF_exp| over the
+    union of buckets, computed with a window cumsum (pure Catalyst).
+    Returns one row ``(statistic double, n_obs, n_exp)``."""
+    o = obs.groupBy("bucket").agg(F.sum("cnt").alias("o"))
+    e = exp.groupBy("bucket").agg(F.sum("cnt").alias("e"))
+    joined = o.join(e, "bucket", "full_outer").fillna(0, ["o", "e"])
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = joined.select(
+        "bucket",
+        (F.sum("o").over(w) / F.sum("o").over(Window.partitionBy())).alias("cdf_o"),
+        (F.sum("e").over(w) / F.sum("e").over(Window.partitionBy())).alias("cdf_e"),
+    )
+    return cdf.agg(
+        F.max(F.abs(F.col("cdf_o") - F.col("cdf_e"))).alias("statistic"),
+    )
+
+
+def drift_check(cur: DataFrame, ref: DataFrame, column: str,
+                lo: float, hi: float, buckets: int = 64,
+                chi2_threshold: float | None = None,
+                ks_threshold: float | None = 0.1) -> dict:
+    """End-to-end drift check between two tables on one column.
+
+    Returns ``{check, pass, ks, chi2, dof}`` (a plain dict — the caller
+    folds it into the verdicts table)."""
+    h_cur = histogram(cur, column, lo, hi, buckets)
+    h_ref = histogram(ref, column, lo, hi, buckets)
+    ks = ks_histograms(h_cur, h_ref).collect()[0]["statistic"]
+    chi = chi_square_histograms(h_cur, h_ref).collect()[0]
+    ok = True
+    if ks_threshold is not None:
+        ok = ok and (ks is not None and ks <= ks_threshold)
+    if chi2_threshold is not None:
+        ok = ok and chi["statistic"] <= chi2_threshold
+    return {"check": f"drift:{column}", "pass": bool(ok),
+            "ks": float(ks) if ks is not None else None,
+            "chi2": float(chi["statistic"]), "dof": int(chi["dof"])}
+
+
+def ks_exact_by_group(df: DataFrame, group_col: str, value_col: str,
+                      ref: DataFrame) -> DataFrame:
+    """Exact two-sample KS per group via ``applyInPandas`` (numpy kernel).
+
+    ``ref`` must carry the same ``(group_col, value_col)``. Intended for
+    moderate per-group cardinalities (each group's two samples must fit in
+    one executor's memory — the binned :func:`ks_histograms` is the
+    unbounded-scale path)."""
+    import pandas as pd  # noqa: F401  (arrow transfer)
+
+    tagged = df.select(group_col, value_col, F.lit(0).alias("__side")).unionByName(
+        ref.select(group_col, value_col, F.lit(1).alias("__side")))
+
+    def ks(pdf):
+        import numpy as np
+        import pandas as pd
+        a = np.sort(pdf.loc[pdf["__side"] == 0, value_col].to_numpy(dtype=float))
+        b = np.sort(pdf.loc[pdf["__side"] == 1, value_col].to_numpy(dtype=float))
+        if len(a) == 0 or len(b) == 0:
+            stat = float("nan")
+        else:
+            allv = np.concatenate([a, b])
+            cdf_a = np.searchsorted(a, allv, side="right") / len(a)
+            cdf_b = np.searchsorted(b, allv, side="right") / len(b)
+            stat = float(np.max(np.abs(cdf_a - cdf_b)))
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]],
+                             "ks": [stat], "n_obs": [len(a)], "n_ref": [len(b)]})
+
+    out_schema = f"{group_col} string, ks double, n_obs long, n_ref long"
+    return tagged.groupBy(group_col).applyInPandas(ks, schema=out_schema)

@@ -1,0 +1,112 @@
+"""Round-trip verification vs the reference copy (BASELINE.json invariant):
+decoded-pixel PSNR ≥ 40 dB (lossy) / exact (lossless), plus exact caption
+equality — ``x-roundtrip`` in the flagship spec (FIXTURES.md §3).
+
+Scale design: the two tables join on ``image_id`` as a shuffled sort-merge
+join by default (both sides are the full corpus at 10^12 scale; with
+Iceberg both sides would be bucketed by ``image_id`` so the join is
+exchange-free). PSNR runs as a **vectorized pandas UDF over Arrow
+batches** — numpy decodes/compares each batch; no per-row Python dispatch
+(input_hint: "no per-row Python"). Caption equality is a pure Column
+expression and costs nothing extra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.DoubleType())
+def _psnr_udf(a, b):
+    import math
+
+    import pandas as pd
+
+    from sparkschema.functions.imagecodec import psnr_bytes
+
+    # NULL result = "not comparable" (missing or corrupt buffer) — NaN would
+    # become NULL through Arrow anyway, so NULL is the explicit contract
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        p = psnr_bytes(bytes(x), bytes(y))
+        out.append(None if math.isnan(p) else p)
+    return pd.Series(out, dtype="float64")
+
+
+def roundtrip_frame(images: DataFrame, ref: DataFrame,
+                    psnr_min: float = 40.0) -> DataFrame:
+    """Per-image round-trip facts: ``(image_id, psnr_db, psnr_ok,
+    caption_ok, ref_missing)``.
+
+    ``psnr_db`` is NaN for corrupt/missing buffers. ``inf`` (identical
+    pixels) compares fine against any threshold.
+    """
+    r = ref.select(
+        F.col("image_id").alias("__rid"),
+        F.col("bytes").alias("__rbytes"),
+        F.col("caption").alias("__rcaption"),
+    ).dropDuplicates(["__rid"])
+    j = images.join(r, images["image_id"] == r["__rid"], "left")
+    psnr_db = F.when(j["__rid"].isNotNull(), _psnr_udf(j["bytes"], j["__rbytes"]))
+    return j.select(
+        images["image_id"],
+        psnr_db.alias("psnr_db"),
+        # NULL psnr ⇒ corrupt/missing buffer ⇒ not ok
+        (psnr_db.isNotNull() & (psnr_db >= psnr_min)).alias("psnr_ok"),
+        (images["caption"].eqNullSafe(j["__rcaption"])).alias("caption_ok"),
+        j["__rid"].isNull().alias("ref_missing"),
+    )
+
+
+def roundtrip_violations(images: DataFrame, ref: DataFrame,
+                         psnr_min: float = 40.0) -> DataFrame:
+    """Violation rows for round-trip failures, in the engine's standard
+    violation shape."""
+    f = roundtrip_frame(images, ref, psnr_min)
+    mk = lambda kw, val, msg: F.struct(  # noqa: E731
+        F.lit(kw).alias("keyword"),
+        F.lit("#/properties/bytes/x-roundtrip").alias("schema_path"),
+        F.lit("/bytes").alias("instance_path"),
+        val.cast("string").alias("value"),
+        msg.alias("msg"),
+    )
+    arr = F.array_compact(F.array(
+        F.when(f["ref_missing"], mk("x-roundtrip", F.lit("null"),
+               F.lit("No reference row for round-trip comparison."))),
+        F.when(~f["ref_missing"] & f["psnr_db"].isNull(),
+               mk("x-roundtrip", F.lit("corrupt"),
+                  F.lit("Image buffer is corrupt or truncated."))),
+        F.when(f["psnr_db"].isNotNull() & ~f["psnr_ok"],
+               mk("x-roundtrip", F.round(f["psnr_db"], 2),
+                  F.concat(F.lit("Decoded image PSNR "),
+                           F.round(f["psnr_db"], 2).cast("string"),
+                           F.lit(f" dB below minimum {psnr_min} dB.")))),
+        F.when(~f["ref_missing"] & ~f["caption_ok"],
+               mk("x-roundtrip-caption", F.lit("caption"),
+                  F.lit("Caption differs from reference copy."))),
+    ))
+    return (f.select("image_id", arr.alias("__v"))
+             .where(F.size("__v") > 0)
+             .select("image_id", F.explode("__v").alias("v"))
+             .select("image_id", "v.*"))
+
+
+def roundtrip_verdict(images: DataFrame, ref: DataFrame,
+                      psnr_min: float = 40.0) -> DataFrame:
+    f = roundtrip_frame(images, ref, psnr_min)
+    return f.agg(
+        F.lit("roundtrip:bytes").alias("check"),
+        (F.sum((~f["psnr_ok"] | ~f["caption_ok"] | f["ref_missing"])
+               .cast("long")) == 0).alias("pass"),
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((~f["psnr_ok"]).cast("long")).alias("psnr_failures"),
+        F.sum((~f["caption_ok"]).cast("long")).alias("caption_mismatches"),
+        F.sum(f["ref_missing"].cast("long")).alias("missing_refs"),
+        F.min(F.when(f["psnr_db"] != float("inf"), f["psnr_db"]))
+         .alias("min_finite_psnr_db"),
+    )

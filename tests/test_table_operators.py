@@ -1,0 +1,129 @@
+"""Table-level operators on real testdata: stats, uniqueness, referential,
+drift — each verified against DuckDB-computed expected values or closed-form
+expectations."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from sparkschema.operators import drift, referential, stats, uniqueness
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_column_stats_against_duckdb(lineitem):
+    got = {r.column: r for r in
+           stats.column_stats(lineitem, ["l_quantity", "l_returnflag"]).collect()}
+    exp = duckdb.sql(f"""
+        select count(*) n_rows,
+               sum(case when l_quantity is null then 1 else 0 end) nq,
+               min(l_quantity) mn, max(l_quantity) mx
+        from '{SF}/lineitem.parquet'
+    """).fetchone()
+    q = got["l_quantity"]
+    assert q.rows == exp[0]
+    assert q.null_count == exp[1]
+    assert float(q.min) == exp[2] and float(q.max) == exp[3]
+    # HLL estimate within rsd bounds of exact
+    exact = duckdb.sql(
+        f"select count(distinct l_returnflag) from '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert abs(got["l_returnflag"].approx_distinct - exact) <= max(1, 0.1 * exact)
+
+
+def test_hll_sketch_merge(lineitem):
+    sk = stats.hll_distinct_sketches(lineitem.repartition(8), "l_orderkey")
+    est = stats.hll_merge(sk).collect()[0]
+    exact = duckdb.sql(
+        f"select count(distinct l_orderkey) from '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert abs(est.distinct_estimate - exact) / exact < 0.05
+
+
+def test_duplicate_keys_salted(spark):
+    df = spark.createDataFrame(
+        [(i % 10, i) for i in range(100)] + [(99, 0)], "k int, v int"
+    ).repartition(8)
+    dups = {r.k: r.dup_count for r in uniqueness.duplicate_keys(df, "k").collect()}
+    assert dups == {i: 10 for i in range(10)}  # k=99 appears once → not a dup
+    # salted result identical to unsalted
+    dups1 = {r.k: r.dup_count
+             for r in uniqueness.duplicate_keys(df, "k", salt_lanes=1).collect()}
+    assert dups == dups1
+
+
+def test_duplicate_on_clean_key(orders):
+    assert uniqueness.duplicate_keys(orders, "o_orderkey").count() == 0
+    v = uniqueness.uniqueness_verdict(orders, "o_orderkey").collect()[0]
+    assert v["pass"] and v.dup_keys == 0
+
+
+def test_orphans_broadcast_and_shuffle(lineitem, orders):
+    exp = duckdb.sql(f"""
+        select count(*) from '{SF}/lineitem.parquet' l
+        where l.l_orderkey not in (select o_orderkey from '{SF}/orders.parquet')
+    """).fetchone()[0]
+    for strategy in ("broadcast", "shuffle", "auto"):
+        got = referential.orphans(lineitem, "l_orderkey", orders, "o_orderkey",
+                                  strategy=strategy).count()
+        assert got == exp, strategy
+
+
+def test_orphan_violations_shape(spark):
+    fact = spark.createDataFrame([("a", "jpg"), ("b", "tiff")], "id string, fmt string")
+    dim = spark.createDataFrame([("jpg",), ("png",)], "fmt string")
+    v = referential.orphan_violations(fact, "fmt", dim, "fmt", ["id"],
+                                      ref_name="dim_fmt").collect()
+    assert len(v) == 1 and v[0].id == "b"
+    assert v[0].msg == "Value tiff not present in reference table dim_fmt."
+    assert v[0].keyword == "$ref_data"
+
+
+def test_drift_same_distribution_passes(lineitem):
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.where(F.col("l_orderkey") % 2 == 1)
+    res = drift.drift_check(a, b, "l_extendedprice", 0, 100000, buckets=32)
+    assert res["pass"] and res["ks"] < 0.05
+
+
+def test_drift_shifted_distribution_fails(lineitem):
+    a = lineitem
+    b = lineitem.withColumn("l_extendedprice", F.col("l_extendedprice") * 3)
+    res = drift.drift_check(a, b, "l_extendedprice", 0, 100000, buckets=32)
+    assert not res["pass"] and res["ks"] > 0.1
+
+
+def test_ks_exact_by_group(spark):
+    import numpy as np
+    rng = np.random.default_rng(42)
+    rows = [("g", float(x)) for x in rng.normal(0, 1, 500)]
+    ref_rows = [("g", float(x)) for x in rng.normal(0, 1, 500)]
+    shifted = [("h", float(x)) for x in rng.normal(0, 1, 500)]
+    ref_h = [("h", float(x)) for x in rng.normal(3, 1, 500)]
+    df = spark.createDataFrame(rows + shifted, "grp string, v double")
+    ref = spark.createDataFrame(ref_rows + ref_h, "grp string, v double")
+    got = {r.grp: r.ks for r in drift.ks_exact_by_group(df, "grp", "v", ref).collect()}
+    assert got["g"] < 0.15 and got["h"] > 0.5
+
+
+def test_histogram_counts_match_duckdb(lineitem):
+    h = {r.bucket: r.cnt for r in
+         stats.histogram(lineitem, "l_extendedprice", 0, 60000, 6).collect()}
+    exp = dict(duckdb.sql(f"""
+        select case when l_extendedprice < 0 then 0
+                    when l_extendedprice >= 60000 then 7
+                    else cast(floor(l_extendedprice / 10000) as int) + 1 end b,
+               count(*)
+        from '{SF}/lineitem.parquet' group by 1
+    """).fetchall())
+    assert h == exp
