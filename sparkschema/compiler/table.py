@@ -125,8 +125,11 @@ class CompiledTableSpec:
                                  ).add("v", VIOLATION_SCHEMA)
             ).select(*self.key_cols, "v.*")
         arr = F.array_compact(F.array(*structs))
+        # key columns are cast to string: the violations frame is a report
+        # with one uniform schema across row-level and table-level emitters
+        keys = [F.col(k).cast("string").alias(k) for k in self.key_cols]
         return (
-            df.select(*self.key_cols, arr.alias("__viol"))
+            df.select(*keys, arr.alias("__viol"))
             .where(F.size("__viol") > 0)
             .select(*self.key_cols, F.explode("__viol").alias("v"))
             .select(*self.key_cols, "v.*")

@@ -1,0 +1,147 @@
+"""The flagship end-to-end plan (SURVEY.md §3 "Engine lifecycle"):
+
+``spec JSON → parse/resolve/compile (driver) → Catalyst single-pass row
+checks (violations + per-partition verdicts) → table-level operators
+(uniqueness, referential, drift, round-trip) → verdict union``.
+
+Row-level work is one scan; each table-level check adds exactly the
+exchanges its algorithm needs (salted agg: 2 shuffles of partials; anti
+join: 0 with broadcast; drift: histogram partials only). Nothing here
+collects raw rows to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkschema.compiler.table import CompiledTableSpec, compile_table_spec
+from sparkschema.operators import referential, uniqueness
+from sparkschema.operators.drift import drift_check
+from sparkschema.operators.roundtrip import roundtrip_verdict, roundtrip_violations
+
+VERDICT_COLS = ["check", "pass", "metrics"]
+
+
+@dataclass
+class ValidationResult:
+    compiled: CompiledTableSpec
+    violations: DataFrame          # row-level + table-level violation rows
+    partition_verdicts: DataFrame  # (partition_id, check, pass, metrics)
+    table_verdicts: list[dict] = field(default_factory=list)
+
+    def passed(self) -> bool:
+        if any(not v["pass"] for v in self.table_verdicts):
+            return False
+        return self.partition_verdicts.where(~F.col("pass")).limit(1).count() == 0
+
+
+def run_validation(
+    spec: Any,
+    df: DataFrame,
+    key_cols: list[str],
+    dims: dict[str, DataFrame] | None = None,
+    ref: DataFrame | None = None,
+    registry=None,
+    dialect: str | None = None,
+    psnr_min: float = 40.0,
+    drift_defaults: dict | None = None,
+    salt_lanes: int = 16,
+) -> ValidationResult:
+    """Compile ``spec`` against ``df`` and run every requested check.
+
+    ``dims`` maps ``$ref_data`` targets (``"dim_fmt.fmt"`` → the dim
+    DataFrame); ``ref`` is the reference copy for ``x-drift`` /
+    ``x-roundtrip``.
+    """
+    cts = compile_table_spec(spec, df, key_cols=key_cols, dialect=dialect,
+                             registry=registry)
+    violations = cts.violations(df)
+    verdicts = cts.verdicts(df)
+    table_verdicts: list[dict] = []
+    dims = dims or {}
+
+    for req in cts.table_requests:
+        if req.kind == "unique":
+            # x-unique: true ⇒ the annotated column; a list adds more
+            # key columns, each checked independently (the north_star's
+            # "uniqueness on image_id/phash")
+            cols = [req.column]
+            if isinstance(req.config, list):
+                cols += [c for c in req.config if isinstance(c, str)]
+            for c in cols:
+                row = uniqueness.uniqueness_verdict(df, c, salt_lanes).collect()[0]
+                table_verdicts.append({"check": row["check"], "pass": bool(row["pass"]),
+                                       "dup_keys": row["dup_keys"],
+                                       "dup_rows": row["dup_rows"]})
+                dv = uniqueness.duplicate_violations(df, c, salt_lanes).select(
+                    F.col(c).cast("string").alias(key_cols[0]),
+                    "keyword", "schema_path", "instance_path", "value", "msg")
+                violations = violations.unionByName(dv, allowMissingColumns=True)
+
+        elif req.kind == "ref_data":
+            target = str(req.config)
+            dim_name, _, dim_col = target.partition(".")
+            dim = dims.get(dim_name)
+            if dim is None:
+                raise ValueError(f"$ref_data target {target!r} not provided in dims")
+            row = referential.orphan_verdict(df, req.column, dim, dim_col or req.column,
+                                             strategy="broadcast").collect()[0]
+            table_verdicts.append({"check": row["check"], "pass": bool(row["pass"]),
+                                   "orphan_rows": row["orphan_rows"]})
+            ov = referential.orphan_violations(df, req.column, dim,
+                                               dim_col or req.column, key_cols,
+                                               ref_name=dim_name,
+                                               strategy="broadcast")
+            ov = ov.select(*[F.col(k).cast("string").alias(k) for k in key_cols],
+                           "keyword", "schema_path", "instance_path", "value", "msg")
+            violations = violations.unionByName(ov)
+
+        elif req.kind == "drift":
+            if ref is None:
+                continue
+            cfg = req.config if isinstance(req.config, dict) else {}
+            dd = dict(drift_defaults or {})
+            dd.update(cfg)
+            stats = df.agg(F.min(req.column).cast("double"),
+                           F.max(req.column).cast("double")).collect()[0] \
+                if ("lo" not in dd or "hi" not in dd) else None
+            lo = dd.get("lo", stats[0] if stats else 0.0)
+            hi = dd.get("hi", (stats[1] if stats else 1.0) + 1e-9)
+            res = drift_check(df, ref, req.column, lo, hi,
+                              buckets=int(dd.get("buckets", 64)),
+                              ks_threshold=dd.get("ks_threshold", 0.1),
+                              chi2_threshold=dd.get("chi2_threshold"))
+            table_verdicts.append(res)
+
+        elif req.kind == "roundtrip":
+            if ref is None:
+                continue
+            cfg = req.config if isinstance(req.config, dict) else {}
+            pmin = float(cfg.get("psnr_db_min", psnr_min))
+            row = roundtrip_verdict(df, ref, pmin).collect()[0]
+            table_verdicts.append({
+                "check": row["check"], "pass": bool(row["pass"]),
+                "psnr_failures": row["psnr_failures"],
+                "caption_mismatches": row["caption_mismatches"],
+                "missing_refs": row["missing_refs"],
+                "min_finite_psnr_db": row["min_finite_psnr_db"],
+            })
+            rv = roundtrip_violations(df, ref, pmin).select(
+                F.col("image_id").cast("string").alias(key_cols[0]),
+                "keyword", "schema_path", "instance_path", "value", "msg")
+            violations = violations.unionByName(rv, allowMissingColumns=True)
+
+        elif req.kind == "null_fraction":
+            thresh = float(req.config)
+            row = df.agg(
+                (F.sum(F.col(req.column).isNull().cast("long")) /
+                 F.count(F.lit(1))).alias("frac")).collect()[0]
+            table_verdicts.append({"check": f"null_fraction:{req.column}",
+                                   "pass": bool(row["frac"] <= thresh),
+                                   "null_fraction": float(row["frac"] or 0.0)})
+
+    return ValidationResult(cts, violations, verdicts, table_verdicts)

@@ -1,0 +1,110 @@
+"""Checkpoint-manifest resumability (north_rule; SURVEY.md §2.7).
+
+The reference is strictly batch/synchronous; "resumable" here means batch
+checkpointing: a **manifest** of completed work units, each carrying
+lineage (the exact input files — with Iceberg, the snapshot id would join
+them) and the unit's metrics. A restarted run anti-joins the unit list
+against the manifest and processes only the remainder.
+
+Atomicity: each unit commits as its own ``unit-<sha>.json`` written via
+temp-file + ``os.replace`` (atomic on POSIX), so a crash mid-commit never
+yields a half-recorded unit and concurrent writers of *different* units
+don't conflict.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _unit_id(files: list[str]) -> str:
+    return hashlib.sha256("\n".join(sorted(files)).encode()).hexdigest()[:24]
+
+
+class Manifest:
+    """Directory of per-unit commit records."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def completed(self) -> dict[str, dict]:
+        out = {}
+        for p in glob.glob(os.path.join(self.path, "unit-*.json")):
+            try:
+                with open(p, encoding="utf-8") as f:
+                    rec = json.load(f)
+                out[rec["unit_id"]] = rec
+            except (json.JSONDecodeError, KeyError, OSError):
+                continue  # torn file from a crashed writer: unit reruns
+        return out
+
+    def record(self, unit_id: str, files: list[str], metrics: dict,
+               snapshot_id: str | None = None) -> None:
+        rec = {
+            "unit_id": unit_id,
+            "input_files": sorted(files),
+            "snapshot_id": snapshot_id,  # Iceberg snapshot when available
+            "metrics": metrics,
+            "committed_at": time.time(),
+        }
+        final = os.path.join(self.path, f"unit-{unit_id}.json")
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(rec, f)
+        os.replace(tmp, final)
+
+
+@dataclass
+class ResumableResult:
+    processed_units: int
+    skipped_units: int
+    unit_metrics: list[dict]
+
+
+def run_resumable(
+    spark: SparkSession,
+    input_path: str,
+    manifest_path: str,
+    process_unit: Callable[[DataFrame, list[str]], dict],
+    files_per_unit: int = 8,
+) -> ResumableResult:
+    """Process a parquet dataset in resumable units of input files.
+
+    ``process_unit(df, files) -> metrics`` runs the validation job for one
+    unit; its returned metrics are committed to the manifest with the
+    unit's lineage. Already-committed units are skipped on restart.
+    """
+    files = sorted(
+        glob.glob(os.path.join(input_path, "**", "*.parquet"), recursive=True)
+    ) or ([input_path] if os.path.isfile(input_path) else
+          sorted(glob.glob(os.path.join(input_path, "*"))))
+    if not files:
+        raise FileNotFoundError(f"no input files under {input_path}")
+
+    units = [files[i:i + files_per_unit] for i in range(0, len(files), files_per_unit)]
+    manifest = Manifest(manifest_path)
+    done = manifest.completed()
+
+    processed = skipped = 0
+    unit_metrics: list[dict] = []
+    for unit_files in units:
+        uid = _unit_id(unit_files)
+        if uid in done:
+            skipped += 1
+            unit_metrics.append(done[uid]["metrics"])
+            continue
+        df = spark.read.parquet(*unit_files)
+        metrics = process_unit(df, unit_files)
+        manifest.record(uid, unit_files, metrics)
+        processed += 1
+        unit_metrics.append(metrics)
+    return ResumableResult(processed, skipped, unit_metrics)

@@ -1,0 +1,55 @@
+"""Structured Streaming wrapper (SURVEY.md §2.7 "future foreachBatch").
+
+The compiled row-level checks are stateless Column expressions, so they
+apply to a streaming DataFrame unchanged: violations stream out of a
+``readStream → select/filter/explode → writeStream`` pipeline. Table-level
+aggregate checks run per micro-batch via ``foreachBatch`` on the SAME
+compiled spec — one compile, both execution modes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from sparkschema.compiler.table import CompiledTableSpec, compile_table_spec
+
+
+def streaming_violations(stream_df: DataFrame, spec: Any,
+                         key_cols: list[str], **compile_kwargs) -> DataFrame:
+    """Continuous violation stream from a streaming input (append mode).
+
+    The violation projection is stateless → works in append mode with no
+    watermark; aggregate verdicts belong in :func:`foreach_batch_validate`.
+    """
+    cts = compile_table_spec(spec, stream_df, key_cols=key_cols, **compile_kwargs)
+    return cts.violations(stream_df)
+
+
+def foreach_batch_validate(
+    stream_df: DataFrame,
+    spec: Any,
+    key_cols: list[str],
+    on_batch: Callable[[int, DataFrame, DataFrame], None],
+    checkpoint_dir: str,
+    **compile_kwargs,
+) -> StreamingQuery:
+    """Run full validation (violations + per-partition verdicts) on every
+    micro-batch; ``on_batch(batch_id, violations_df, verdicts_df)`` receives
+    the results. Compilation happens once, not per batch."""
+    compiled: dict[str, CompiledTableSpec] = {}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if "cts" not in compiled:
+            compiled["cts"] = compile_table_spec(spec, batch_df,
+                                                 key_cols=key_cols, **compile_kwargs)
+        cts = compiled["cts"]
+        on_batch(batch_id, cts.violations(batch_df), cts.verdicts(batch_df))
+
+    return (stream_df.writeStream
+            .foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

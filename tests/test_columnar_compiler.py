@@ -165,7 +165,8 @@ def test_ref_inlining_and_cycle_error(spark):
     reg.add_schema("urn:dims", {"definitions": {"small": {"maximum": 10}}})
     spec = {"properties": {"w": {"$ref": "urn:dims#/definitions/small"}}}
     cts = compile_table_spec(spec, df, key_cols=["w"], registry=reg)
-    assert [r.w for r in cts.violations(df).collect()] == [50]
+    # violation key columns are cast to string (uniform report schema)
+    assert [r.w for r in cts.violations(df).collect()] == ["50"]
 
     reg2 = SpecRegistry()
     reg2.add_schema("urn:loop", {"$id": "urn:loop", "properties": {"w": {"$ref": "urn:loop#/properties/w"}}})

@@ -1,0 +1,117 @@
+"""Flagship end-to-end plan on the synthetic image table (FIXTURES.md §3
+spec) plus resumability and the streaming wrapper."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkschema.plans.validation_run import run_validation
+from sparkschema.sources.synthetic import dim_fmt_df, images_df
+
+FLAGSHIP_SPEC = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "required": ["image_id", "w", "h", "fmt", "caption"],
+    "properties": {
+        "image_id": {"type": "string", "pattern": "^img-[0-9]{12}$"},
+        "w": {"type": "integer", "minimum": 1, "maximum": 16384},
+        "h": {"type": "integer", "minimum": 1, "maximum": 16384},
+        "fmt": {"enum": ["raw", "rawz", "png", "jpg"], "$ref_data": "dim_fmt.fmt"},
+        "caption": {"type": "string", "minLength": 1, "maxLength": 1024,
+                    "pattern": "^[\\x20-\\x7E]+$"},
+        "phash": {"type": "integer", "format": "int64",
+                  "x-unique": ["image_id"], "x-drift": {"buckets": 32}},
+    },
+    "if": {"properties": {"fmt": {"const": "jpg"}}},
+    "then": {"properties": {"w": {"multipleOf": 8}}},
+}
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return images_df(spark, 5000, partitions=8)
+
+
+@pytest.fixture(scope="module")
+def images_ref(spark):
+    return images_df(spark, 5000, variant="ref", partitions=8)
+
+
+def test_flagship_run(spark, images, images_ref):
+    res = run_validation(FLAGSHIP_SPEC, images, key_cols=["image_id"],
+                         dims={"dim_fmt": dim_fmt_df(spark)}, ref=images_ref)
+    viols = res.violations.cache()
+    kinds = {r.keyword for r in viols.select("keyword").distinct().collect()}
+    # injected anomalies must each surface
+    assert {"pattern", "required", "$ref_data", "x-unique", "enum"} <= kinds
+    checks = {v["check"]: v for v in res.table_verdicts}
+    assert not checks["unique:phash"]["pass"]          # dup clusters injected
+    assert not checks["unique:image_id"]["pass"]
+    assert not checks["ref:fmt->fmt"]["pass"]          # tiff orphans injected
+    assert checks["drift:phash"]["pass"]               # same generator ⇒ no drift
+    # per-partition verdicts exist for every compiled check
+    pv = res.partition_verdicts
+    assert pv.select("check").distinct().count() == len(res.compiled.checks)
+    assert not res.passed()
+    viols.unpersist()
+
+
+def test_flagship_clean_subset_passes(spark, images, images_ref):
+    clean = images.where(
+        F.col("caption").isNotNull() & (F.col("caption") != "")
+        & F.col("fmt").isin("raw", "rawz", "png", "jpg")
+        & F.col("caption").rlike("^[\\x20-\\x7E]+$")
+        & ~(F.col("fmt") == "jpg")  # avoid multipleOf-8 conditional failures
+    ).dropDuplicates(["image_id"]).dropDuplicates(["phash"])
+    res = run_validation(FLAGSHIP_SPEC, clean, key_cols=["image_id"],
+                         dims={"dim_fmt": dim_fmt_df(spark)}, ref=None)
+    assert res.violations.count() == 0
+    assert res.passed()
+
+
+def test_resumable_run(spark, tmp_path, images):
+    data_dir = str(tmp_path / "imgs")
+    images.repartition(6).write.parquet(data_dir)
+    manifest_dir = str(tmp_path / "manifest")
+    calls = []
+
+    def process(df, files):
+        n = df.count()
+        calls.append(len(files))
+        return {"rows": n}
+
+    from sparkschema.streaming.checkpoint import run_resumable
+    r1 = run_resumable(spark, data_dir, manifest_dir, process, files_per_unit=2)
+    assert r1.processed_units > 0 and r1.skipped_units == 0
+    total = sum(m["rows"] for m in r1.unit_metrics)
+    assert total == images.count()
+    # restart: everything skips, metrics come from the manifest
+    n_calls = len(calls)
+    r2 = run_resumable(spark, data_dir, manifest_dir, process, files_per_unit=2)
+    assert r2.processed_units == 0 and r2.skipped_units == r1.processed_units
+    assert len(calls) == n_calls
+    assert sum(m["rows"] for m in r2.unit_metrics) == total
+    # lineage recorded per unit
+    rec = json.load(open(os.path.join(
+        manifest_dir, sorted(os.listdir(manifest_dir))[0])))
+    assert rec["input_files"] and "metrics" in rec
+
+
+def test_streaming_foreach_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    images_df(spark, 500, partitions=2).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    got = {}
+
+    def on_batch(bid, viols, verdicts):
+        got["violations"] = viols.count()
+        got["checks"] = verdicts.select("check").distinct().count()
+
+    from sparkschema.streaming.validate_stream import foreach_batch_validate
+    q = foreach_batch_validate(stream, FLAGSHIP_SPEC, ["image_id"], on_batch,
+                               checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert got["violations"] > 0 and got["checks"] > 5
