@@ -1,0 +1,257 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are pure Catalyst expressions (higher-order functions over
+token/shingle arrays + hash-aggregations); no Python touches a row.
+
+- exact: normalize → hash → groupBy (map-side combined; salted variant via
+  operators.uniqueness for hot hashes);
+- MinHash + LSH: shingle → H minhashes → B bands → bucket-join; only
+  same-bucket pairs are candidates, verified with exact shingle Jaccard.
+  Cross-pair work is O(Σ bucket²) instead of O(n²) — the standard
+  sub-quadratic near-dup path at corpus scale;
+- SimHash: 64-bit sign-of-weighted-sum signature with banded buckets for
+  Hamming-radius candidates;
+- n-gram Jaccard: exact verification kernel (array_intersect/union);
+- embedding cosine: random-hyperplane LSH buckets → in-bucket cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + shingles (shared expression builders)
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — the canonical dedup key basis."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of a string (empty-safe)."""
+    n = F.length(col)
+    return F.when(n < k, F.array(col)).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - k + 1),
+                        lambda i: col.substr(i, F.lit(k)))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact (normalized) duplicates:
+    ``(content_hash, group_size, ids)``. The groupBy is a hash aggregation
+    with map-side partial combine; ids are capped implicitly by group —
+    at extreme scale swap collect_list for a representative min(id)."""
+    h = F.sha2(normalized_text(F.col(text_col)), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("group_size"),
+             F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.col("group_size") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per normalized-content group —
+    no collect_list; pure agg + semi-join shape."""
+    h = F.sha2(normalized_text(F.col(text_col)), 256)
+    keep = (df.select(h.alias("__h"), F.col(id_col))
+              .groupBy("__h").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, shingle_k: int = 5,
+                      seed: int = 42) -> Column:
+    """Array of ``num_hashes`` minhash values for a text column, computed
+    entirely with HOFs: shingle → xxhash64(shingle, h) → array_min."""
+    sh = char_shingles(normalized_text(col), shingle_k)
+
+    def hasher(h: int):
+        return lambda s: F.xxhash64(s, F.lit(seed + h))
+
+    return F.array(*[F.array_min(F.transform(sh, hasher(h)))
+                     for h in range(num_hashes)])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_k: int = 5, jaccard_min: float = 0.7,
+                      seed: int = 42, max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with jaccard ≥
+    threshold, via banded MinHash-LSH then exact shingle-Jaccard verify.
+
+    ``max_bucket`` guards against degenerate buckets (e.g. empty strings):
+    buckets larger than it are dropped with the cap logged in the plan —
+    at real scale those are boilerplate clusters handled by exact dedup.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
+    shingles = char_shingles(normalized_text(F.col(text_col)), shingle_k)
+    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"),
+                     shingles.alias("sh"))
+
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"))
+        for b in range(bands)
+    ])
+    buckets = (base.select("id", "sh", F.explode(band_arr).alias("bb"))
+                   .select("id", "sh", "bb.band", "bb.bh"))
+
+    # same-bucket candidate pairs (a < b dedups the pair space); bucket size
+    # capped to keep worst-case join fan-out bounded
+    counted = buckets.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bh")))
+    small = counted.where(F.col("__n") <= max_bucket).drop("__n")
+    a = small.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"),
+                     F.col("sh").alias("sh_a"))
+    b = small.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"),
+                     F.col("sh").alias("sh_b"))
+    pairs = (a.join(b, ["band", "bh"])
+              .where(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "sh_a", "sh_b")
+              .dropDuplicates(["id_a", "id_b"]))
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = (inter / F.greatest(union, F.lit(1))).alias("jaccard")
+    return (pairs.select("id_a", "id_b", jac)
+                 .where(F.col("jaccard") >= jaccard_min))
+
+
+def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
+                  **lsh_kwargs) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each matched pair
+    chain (single-link approximation: b of any (a<b) pair is dropped)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(col: Column, bits: int = 64, seed: int = 42,
+            shingle_k: int = 3) -> Column:
+    """SimHash signature as a bigint: bit i is set iff features whose hash
+    has bit i set outnumber those that don't. Features are char k-shingles
+    (not whitespace tokens): short documents need many small features so a
+    local edit moves only a few votes and the Hamming distance stays small.
+    Pure HOF: one shingle-hash transform + ``bits`` filtered counts."""
+    feats = char_shingles(normalized_text(col), shingle_k)
+    hashes = F.transform(feats, lambda t: F.xxhash64(t, F.lit(seed)))
+    n = F.size(hashes)
+    # NB: HOF lambdas must have exactly the arity Spark expects — closures
+    # go through a factory, never through default-arg tricks
+    def bit_test(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        cnt = F.size(F.filter(hashes, bit_test(i)))
+        bit = F.shiftleft(F.lit(1).cast("long"), i)  # bit 63 wraps negative, fine
+        acc = acc + F.when(cnt * 2 >= n, bit).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
+                       chunks: int = 8, hamming_max: int = 12,
+                       seed: int = 42) -> DataFrame:
+    """Hamming-near pairs: documents within Hamming distance < ``chunks``
+    are *guaranteed* to share at least one 64/chunks-bit chunk of their
+    SimHash (pigeonhole); near misses above that are still caught with
+    high probability because flips rarely spread across every chunk.
+    Bucket-join on chunks → exact popcount verify ≤ ``hamming_max``."""
+    sh = simhash(F.col(text_col), seed=seed)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_arr = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(F.col("sh"), c * width)
+                  .bitwiseAND(F.lit(mask)).alias("cv"))
+        for c in range(chunks)
+    ])
+    buckets = base.select("id", "sh", F.explode(chunk_arr).alias("cc")) \
+                  .select("id", "sh", "cc.chunk", "cc.cv")
+    a = buckets.select("chunk", "cv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = buckets.select("chunk", "cv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (a.join(b, ["chunk", "cv"]).where(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
+                 .where(F.col("hamming") <= hamming_max))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct, exact)
+
+
+def ngram_jaccard(df_a_col: Column, df_b_col: Column, k: int = 3) -> Column:
+    """Exact char-n-gram Jaccard between two string columns (expression)."""
+    sa = char_shingles(normalized_text(df_a_col), k)
+    sb = char_shingles(normalized_text(df_b_col), k)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    return inter / F.greatest(union, F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def embedding_near_duplicates(df: DataFrame, vec_col: str, id_col: str,
+                              threshold: float = 0.98, planes: int = 12,
+                              seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    Random-hyperplane LSH: signature bit p = sign(Σ_i v_i·r_pi) with
+    pseudo-random ±1 components derived from xxhash64(p, i) — deterministic,
+    no stored model. High-cosine pairs collide with high probability; exact
+    cosine verifies. Buckets bound the pair blow-up exactly like MinHash.
+    """
+    v = F.col(vec_col)
+    dims = F.size(v)
+
+    def plane_bit(p: int) -> Column:
+        s = F.aggregate(
+            F.zip_with(v, F.sequence(F.lit(0), dims - 1),
+                       lambda x, i: x * F.when(
+                           F.xxhash64(F.lit(p) * F.lit(100003) + i, F.lit(seed))
+                            .bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        sig = sig + plane_bit(p).cast("long") * (2 ** p)
+
+    base = df.select(F.col(id_col).alias("id"), v.alias("vec"), sig.alias("bucket"))
+    a = base.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = base.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    pairs = (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+              .dropDuplicates(["id_a", "id_b"]))
+    cos = _cosine(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", cos.alias("cosine")) \
+                .where(F.col("cosine") >= threshold)

@@ -1,0 +1,140 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+- :func:`cosine_topk_bruteforce` — the exactness baseline: broadcast the
+  query set, compute cosine with ``zip_with``/``aggregate`` HOFs (JVM
+  codegen, no Python), rank with a window. Cost O(|Q|·|C|) — correct
+  reference for recall measurement, usable when |Q| is small.
+- :func:`ann_lsh_topk` — the scale path: random-hyperplane LSH with
+  multi-table banding; each query only scores candidates sharing a band
+  bucket. Recall/latency tunes with (planes, tables).
+- :func:`ivf_topk` — IVF-style: k-means-ish centroids picked
+  deterministically (hash-sampled), vectors assigned to nearest centroid
+  (one broadcast join + HOF argmin), queries probe ``nprobe`` nearest
+  cells. No MLlib dependency; everything is DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns (pure HOF)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
+                           q_id: str, q_vec: str, c_id: str, c_vec: str,
+                           k: int = 10) -> DataFrame:
+    """Exact top-k: ``(query_id, neighbor_id, cosine, rank)``.
+
+    The query side is broadcast — the corpus never shuffles; scoring is one
+    codegen'd projection over the corpus scan per query batch."""
+    q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
+                                   F.col(q_vec).alias("__qv")))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"))
+    scored = q.crossJoin(c).select(
+        "query_id", "neighbor_id",
+        cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def _hyperplane_sig(v: Column, planes: int, table: int, seed: int) -> Column:
+    """Deterministic random-hyperplane signature (±1 components from
+    xxhash64(plane, dim, table) — no stored model)."""
+    dims = F.size(v)
+
+    def signed(p: int):
+        # exact 2-arg lambda for zip_with; p captured via factory closure
+        return lambda x, i: x * F.when(
+            F.xxhash64(F.lit(p), i, F.lit(table), F.lit(seed))
+             .bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)
+
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        s = F.aggregate(F.zip_with(v, F.sequence(F.lit(0), dims - 1), signed(p)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(s >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")) * (2 ** p)
+    return sig
+
+
+def ann_lsh_topk(queries: DataFrame, corpus: DataFrame,
+                 q_id: str, q_vec: str, c_id: str, c_vec: str,
+                 k: int = 10, planes: int = 10, tables: int = 4,
+                 seed: int = 42) -> DataFrame:
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    Each table hashes every vector to a ``planes``-bit bucket; a query
+    scores only corpus vectors sharing a bucket in ≥1 table. Returns
+    ``(query_id, neighbor_id, cosine, rank)`` with rank ≤ k per query."""
+    def with_buckets(df, id_alias, vec_alias, idc, vecc):
+        arr = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _hyperplane_sig(F.col(vecc), planes, t, seed).alias("sig"))
+            for t in range(tables)
+        ])
+        return (df.select(F.col(idc).alias(id_alias), F.col(vecc).alias(vec_alias),
+                          F.explode(arr).alias("b"))
+                  .select(id_alias, vec_alias, "b.tbl", "b.sig"))
+
+    qb = with_buckets(queries, "query_id", "__qv", q_id, q_vec)
+    cb = with_buckets(corpus, "neighbor_id", "__cv", c_id, c_vec)
+    cand = (qb.join(cb, ["tbl", "sig"])
+              .select("query_id", "neighbor_id", "__qv", "__cv")
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame,
+             q_id: str, q_vec: str, c_id: str, c_vec: str,
+             k: int = 10, cells: int = 16, nprobe: int = 4,
+             seed: int = 42) -> DataFrame:
+    """IVF-flat ANN: hash-sampled centroids, nearest-cell assignment,
+    queries probe the ``nprobe`` closest cells.
+
+    Centroids are ``cells`` deterministic corpus samples (xxhash-ranked),
+    broadcast everywhere; assignment is an argmin over the broadcast list —
+    one projection, no shuffle of the corpus beyond the final per-cell
+    grouping which Catalyst folds into the candidate join."""
+    ranked = corpus.select(F.col(c_id).alias("cid"), F.col(c_vec).alias("cv"),
+                           F.xxhash64(F.col(c_id).cast("string"), F.lit(seed))
+                            .alias("__r"))
+    centroids = [
+        (i, row["cv"]) for i, row in
+        enumerate(ranked.orderBy("__r").limit(cells).collect())
+    ]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        scored = F.array(*[
+            F.struct((-cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cv])))
+                     .alias("d"), F.lit(i).alias("cell"))
+            for i, cv in centroids
+        ])
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c_assigned = corpus.select(
+        F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"),
+        F.get(nearest_cells(F.col(c_vec), 1), 0)["cell"].alias("cell"))
+    q_probed = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("__qv"),
+        F.explode(F.transform(nearest_cells(F.col(q_vec), nprobe),
+                              lambda s: s["cell"])).alias("cell"))
+    cand = q_probed.join(c_assigned, "cell") \
+                   .dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k))

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. Pure Column
+expressions — regex/array HOFs inside whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sparkschema.operators.dedup import char_shingles, normalized_text
+
+# tiny per-language stopword profiles (n-gram heuristic: function words are
+# the highest-signal cheap discriminator)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["de", "la", "que", "el", "en", "los", "del", "las", "por", "un"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "que", "une", "pour", "qui"],
+}
+
+# BPE-ish tokenizer: word pieces OR single non-space symbols
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace+symbol tokens (BPE-ish regex split)."""
+    return F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def whitespace_token_count(col: Column) -> Column:
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.trim(col) == "", 0).otherwise(F.size(t))
+
+
+def word_set(col: Column) -> Column:
+    return F.array_distinct(F.split(normalized_text(col), " "))
+
+
+def lang_scores(col: Column) -> list[Column]:
+    """Per-language stopword hit counts (aliased ``score_<lang>``)."""
+    ws = word_set(col)
+    out = []
+    for lang, words in LANG_PROFILES.items():
+        profile = F.array(*[F.lit(w) for w in words])
+        out.append(F.size(F.array_intersect(ws, profile)).alias(f"score_{lang}"))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Best-guess language code, 'und' when nothing matches.
+
+    Argmax via struct-max: structs compare lexicographically, so
+    max(struct(score, inverted-tiebreak, lang)) picks the winner
+    deterministically."""
+    ws = word_set(col)
+    cands = []
+    for i, (lang, words) in enumerate(sorted(LANG_PROFILES.items())):
+        profile = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.array_intersect(ws, profile))
+        cands.append(F.struct(score.alias("s"), F.lit(-i).alias("tb"),
+                              F.lit(lang).alias("lang")))
+    best = F.greatest(*cands)
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Raw quality signals (each a Column; alias at call site)."""
+    n_chars = F.length(col)
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    words = F.filter(toks, lambda t: t.rlike("^[A-Za-z0-9]+$"))
+    n_words = F.size(words)
+    mean_word_len = F.when(n_words > 0,
+                           F.aggregate(words, F.lit(0),
+                                       lambda acc, w: acc + F.length(w)) / n_words
+                           ).otherwise(F.lit(0.0))
+    n_punct = n_tokens - n_words
+    stop_hits = F.size(F.array_intersect(
+        word_set(col), F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])))
+    upper_ratio = F.when(n_chars > 0,
+                         F.length(F.regexp_replace(col, r"[^A-Z]", "")) / n_chars
+                         ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0,
+                         F.length(F.regexp_replace(col, r"[^0-9]", "")) / n_chars
+                         ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": F.when(n_tokens > 0, n_punct / n_tokens).otherwise(F.lit(0.0)),
+        "stopword_hits": stop_hits,
+        "upper_ratio": upper_ratio,
+        "digit_ratio": digit_ratio,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] heuristic quality score: rewards sane length, word shape and
+    stopword presence; punishes punctuation/digit/upper excess. A fixed,
+    documented formula — downstream filters should threshold it, not
+    reinterpret the components."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_chars"] >= 20) & (f["n_chars"] <= 20000), 1.0) \
+                 .when(f["n_chars"] > 0, 0.5).otherwise(0.0)
+    wordlen_ok = F.when((f["mean_word_len"] >= 2.5) & (f["mean_word_len"] <= 12), 1.0) \
+                  .otherwise(0.3)
+    stop_ok = F.least(f["stopword_hits"].cast("double") / 3.0, F.lit(1.0))
+    penalty = F.least(f["punct_ratio"] * 1.5 + f["digit_ratio"] + f["upper_ratio"],
+                      F.lit(1.0))
+    raw = (0.3 * length_ok + 0.2 * wordlen_ok + 0.3 * stop_ok
+           + 0.2 * (1.0 - penalty))
+    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def content_fingerprint(col: Column) -> Column:
+    """64-bit content fingerprint of normalized text (xxhash64) — the exact
+    dedup key as a compact integer."""
+    return F.xxhash64(normalized_text(col))
+
+
+def rolling_fingerprints(col: Column, k: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style fingerprint: the ``keep`` smallest hashes of the
+    k-shingle set. Robust to local edits (shared shingles keep shared
+    minima) — an array<bigint> join key for containment checks."""
+    hashes = F.transform(char_shingles(normalized_text(col), k),
+                         lambda s: F.xxhash64(s))
+    return F.slice(F.array_sort(hashes), 1, keep)

@@ -1,0 +1,196 @@
+"""Training-data pipeline operators: dedup (exact/minhash/simhash/ngram/
+embedding), similarity search (brute force vs LSH vs IVF recall), text
+analysis, multimodal kernels."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkschema.operators import dedup, similarity, text
+from sparkschema.operators.multimodal import extract_image_features, resize_images
+from sparkschema.sources.synthetic import images_df
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup
+
+def test_exact_duplicate_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "unique doc"),
+         (4, "HELLO WORLD "), (5, "another one")],
+        "doc_id long, text string")
+    groups = dedup.exact_duplicate_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and sorted(groups[0].ids) == [1, 2, 4]
+    kept = dedup.exact_dedup(df, "text", "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3, 5]
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, documents):
+    # plant near-duplicates: copy 5 docs with a one-token edit
+    base = documents.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"))
+    df = documents.select("doc_id", "text").unionByName(base)
+    pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=48,
+                                    bands=12, jaccard_min=0.6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in range(5)}
+    assert planted <= got
+    # verified jaccard really is high for planted pairs
+    assert all(r.jaccard > 0.6 for r in pairs.collect())
+
+
+def test_minhash_dedup_removes_planted(spark, documents):
+    base = documents.limit(3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("text"))
+    df = documents.select("doc_id", "text").unionByName(base)
+    kept = dedup.minhash_dedup(df, "text", "doc_id", num_hashes=48, bands=12,
+                               jaccard_min=0.8)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert not any(i + 100000 in kept_ids and i in kept_ids for i in range(3))
+
+
+def test_simhash_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different words entirely unrelated text")],
+        "doc_id long, text string")
+    cand = {(r.id_a, r.id_b): r.hamming
+            for r in dedup.simhash_candidates(df, "text", "doc_id").collect()}
+    assert (1, 2) in cand and cand[(1, 2)] <= 12
+    assert (1, 3) not in cand  # unrelated text exceeds hamming_max
+
+
+def test_ngram_jaccard_expression(spark):
+    df = spark.createDataFrame([("abcdef", "abcdeX"), ("abc", "xyz")], "a string, b string")
+    got = df.select(dedup.ngram_jaccard(F.col("a"), F.col("b"), 3).alias("j")).collect()
+    assert got[0].j > 0.3 and got[1].j == 0.0
+
+
+def test_embedding_near_duplicates(spark, embeddings):
+    # plant exact vector copies — cosine 1.0 must survive LSH bucketing
+    copies = embeddings.limit(4).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    df = embeddings.unionByName(copies)
+    pairs = dedup.embedding_near_duplicates(df, "embedding", "vec_id",
+                                            threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(4)} <= got
+
+
+# ------------------------------------------------------------ similarity
+
+def test_ann_recall_vs_bruteforce(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk_bruteforce(
+        queries, embeddings, "vec_id", "embedding", "vec_id", "embedding", k=10)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(truth) == 8 * 10
+    # self is always rank 1 with cosine ~1
+    r1 = {r.query_id: (r.neighbor_id, r.cosine)
+          for r in exact.where("rank = 1").collect()}
+    assert all(nid == qid and c > 0.999 for qid, (nid, c) in r1.items())
+
+    # random embeddings are LSH-adversarial (neighbor cosines are low) —
+    # few planes + many tables is the right operating point here
+    approx = similarity.ann_lsh_topk(
+        queries, embeddings, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, planes=4, tables=8)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, recall
+    # the true self-match always collides (cosine 1.0 ⇒ same signature)
+    self_hits = {r.query_id for r in approx.where("rank = 1").collect()
+                 if r.query_id == r.neighbor_id}
+    assert len(self_hits) == 8
+
+    ivf = similarity.ivf_topk(
+        queries, embeddings, "vec_id", "embedding", "vec_id", "embedding",
+        k=10, cells=8, nprobe=4)
+    got_ivf = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall_ivf = len(got_ivf & truth) / len(truth)
+    assert recall_ivf >= 0.5, recall_ivf
+
+
+# ------------------------------------------------------------------ text
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 123",), ("",)], "t string")
+    got = df.select(text.token_count(F.col("t")).alias("n"),
+                    text.whitespace_token_count(F.col("t")).alias("w")).collect()
+    assert got[0].n == 5  # Hello , world ! 123
+    assert got[0].w == 3
+    assert got[1].n == 0 and got[1].w == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog went to the park",),
+         ("el perro y el gato en la casa de los abuelos",),
+         ("der hund und die katze sind nicht hier",),
+         ("xyzzy plugh",)],
+        "t string")
+    got = [r.lang for r in df.select(text.lang_id(F.col("t")).alias("lang")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [("good", "The quick brown fox jumps over the lazy dog and it is a fine day."),
+         ("junk", "!!!! ???? @@@@ #### 1234567890 %%%%"),
+         ("empty", "")],
+        "kind string, t string")
+    got = {r.kind: r.q for r in
+           df.select("kind", text.quality_score(F.col("t")).alias("q")).collect()}
+    assert got["good"] > 0.7 > got["junk"] > got["empty"] >= 0.0
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [("a", "Some Document Text"), ("b", "some   document text"),
+         ("c", "different content")],
+        "id string, t string")
+    fp = {r.id: r.f for r in
+          df.select("id", text.content_fingerprint(F.col("t")).alias("f")).collect()}
+    assert fp["a"] == fp["b"] != fp["c"]
+    rf = {r.id: r.f for r in
+          df.select("id", text.rolling_fingerprints(F.col("t"), 4, 3).alias("f")).collect()}
+    assert rf["a"] == rf["b"]
+    assert len(rf["a"]) == 3
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_extract_image_features(spark):
+    imgs = images_df(spark, 120, with_bytes=True, corrupt_fraction=0.05,
+                     partitions=2)
+    feats = extract_image_features(imgs)
+    rows = feats.collect()
+    assert len(rows) == 120
+    ok = [r for r in rows if r.ok]
+    bad = [r for r in rows if not r.ok]
+    assert ok and bad  # corrupt injection surfaced as ok=false
+    assert all(r.w in (64, 128, 256, 512) for r in ok)
+    assert all(0 <= r.mean_r <= 255 for r in ok)
+
+
+def test_resize_images_roundtrip(spark):
+    from sparkschema.functions.imagecodec import decode
+    imgs = images_df(spark, 20, with_bytes=True, corrupt_fraction=0.0,
+                     partitions=2)
+    resized = resize_images(imgs, 32, 32).collect()
+    assert len(resized) == 20
+    px, _ = decode(bytes(resized[0].bytes))
+    assert px.shape == (32, 32, 3)
