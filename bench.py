@@ -1,0 +1,203 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: ``{"metric", "value", "unit", "queries": {...}, "sf", ...}``.
+
+The primary metric is the flagship constraint-validation throughput
+(validated rows/sec) over the synthetic image+caption table (BASELINE.json
+input_hint shape), excluding Spark session startup. The image table is
+materialized to parquet once under /tmp and reused, so the benchmark
+measures scan+validate, not generation.
+
+``SPARK_GRAFT_SCALING=1`` additionally runs the flagship job at local[8]
+and local[32] in separate sessions and reports throughput at both plus
+scaling efficiency ``eff = (thr_32/thr_8)/4`` (BASELINE.md two-cluster-size
+evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+BENCH_IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+BYTES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_BYTES_ROWS", "20000"))
+IMAGE_TABLE = f"/tmp/sparkschema_bench/images_{BENCH_IMAGE_ROWS}"
+IMAGE_BYTES_TABLE = f"/tmp/sparkschema_bench/images_bytes_{BYTES_ROWS}"
+REF_BYTES_TABLE = f"/tmp/sparkschema_bench/images_ref_{BYTES_ROWS}"
+
+FLAGSHIP_SPEC = {
+    "$schema": "http://json-schema.org/draft-07/schema#",
+    "type": "object",
+    "required": ["image_id", "w", "h", "fmt", "caption"],
+    "properties": {
+        "image_id": {"type": "string", "pattern": "^img-[0-9]{12}$"},
+        "w": {"type": "integer", "minimum": 1, "maximum": 16384},
+        "h": {"type": "integer", "minimum": 1, "maximum": 16384},
+        "fmt": {"enum": ["raw", "rawz", "png", "jpg"]},
+        "caption": {"type": "string", "minLength": 1, "maxLength": 1024,
+                    "pattern": "^[\\x20-\\x7E]+$"},
+        "phash": {"type": "integer", "format": "int64"},
+    },
+    "if": {"properties": {"fmt": {"const": "jpg"}}},
+    "then": {"properties": {"w": {"multipleOf": 8}}},
+}
+
+
+def make_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"sparkschema-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_image_tables(spark, cpus: int) -> None:
+    from sparkschema.sources.synthetic import images_df
+
+    if not os.path.exists(IMAGE_TABLE):
+        images_df(spark, BENCH_IMAGE_ROWS, partitions=cpus * 2) \
+            .drop("bytes").write.mode("overwrite").parquet(IMAGE_TABLE)
+    if not os.path.exists(IMAGE_BYTES_TABLE):
+        images_df(spark, BYTES_ROWS, with_bytes=True, partitions=cpus * 2) \
+            .write.mode("overwrite").parquet(IMAGE_BYTES_TABLE)
+    if not os.path.exists(REF_BYTES_TABLE):
+        images_df(spark, BYTES_ROWS, with_bytes=True, variant="ref",
+                  partitions=cpus * 2) \
+            .write.mode("overwrite").parquet(REF_BYTES_TABLE)
+
+
+def flagship_validate(spark) -> tuple[float, int]:
+    """One full row-level validation pass; returns (seconds, rows)."""
+    from pyspark.sql import functions as F
+
+    from sparkschema.compiler.table import compile_table_spec
+
+    imgs = spark.read.parquet(IMAGE_TABLE)
+    cts = compile_table_spec(FLAGSHIP_SPEC, imgs, key_cols=["image_id"])
+    t0 = time.perf_counter()
+    agg = imgs.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((~cts.row_valid()).cast("long")).alias("invalid"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    return elapsed, int(agg["rows"])
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from sparkschema.operators.roundtrip import roundtrip_verdict
+    from sparkschema.operators.uniqueness import duplicate_keys
+    from sparkschema.plans.validation_run import run_validation
+    from sparkschema.sources.synthetic import dim_fmt_df
+
+    out: dict[str, float] = {}
+    imgs = spark.read.parquet(IMAGE_TABLE)
+
+    # flagship violations (full build incl. explode) + verdicts + table ops
+    from sparkschema.compiler.table import compile_table_spec
+    cts = compile_table_spec(FLAGSHIP_SPEC, imgs, key_cols=["image_id"])
+    out["flagship_violations"] = timed(lambda: cts.violations(imgs).count())
+    out["flagship_verdicts"] = timed(lambda: cts.verdicts(imgs).count())
+    out["image_uniqueness_salted"] = timed(
+        lambda: duplicate_keys(imgs, "image_id").count())
+    out["image_ref_anti_join"] = timed(
+        lambda: run_validation(
+            {"properties": {"fmt": {"$ref_data": "dim_fmt.fmt"}}},
+            imgs, key_cols=["image_id"],
+            dims={"dim_fmt": dim_fmt_df(spark)}).violations.count())
+
+    bimgs = spark.read.parquet(IMAGE_BYTES_TABLE)
+    bref = spark.read.parquet(REF_BYTES_TABLE)
+    out["image_roundtrip_psnr"] = timed(
+        lambda: roundtrip_verdict(bimgs, bref).collect())
+
+    # TPC-ish operator queries on sf_dir
+    qs = entry_mod.queries()
+    for name in ("range_violations_lineitem", "minmax_lineitem",
+                 "duplicate_orderkeys", "histogram_extendedprice",
+                 "drift_ks_lineitem", "token_stats_documents",
+                 "minhash_pairs_documents", "embedding_topk",
+                 "events_json_invalid", "hll_distinct_lineitem"):
+        fn = qs[name]
+        out[name] = timed(lambda f=fn: f(spark, sf_dir).count())
+    return out
+
+
+def run_scaling() -> dict:
+    """Same flagship job at local[8] then local[32]; efficiency per
+    BASELINE.md: eff = (thr_32 / thr_8) / (32/8)."""
+    results = {}
+    for cpus in (8, 32):
+        spark = make_session(cpus)
+        try:
+            ensure_image_tables(spark, cpus)
+            flagship_validate(spark)  # warm the JVM/codegen
+            best = min(flagship_validate(spark)[0] for _ in range(3))
+            rows = BENCH_IMAGE_ROWS
+            results[cpus] = {"seconds": round(best, 3),
+                             "rows_per_sec": round(rows / best)}
+        finally:
+            spark.stop()
+    thr8 = results[8]["rows_per_sec"]
+    thr32 = results[32]["rows_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    return {"local8": results[8], "local32": results[32],
+            "efficiency": round(eff, 3)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = run_scaling()
+
+    spark = make_session(cpus)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        ensure_image_tables(spark, cpus)
+        flagship_validate(spark)  # warm-up (codegen + file index)
+        sec, rows = flagship_validate(spark)
+        qsecs = bench_queries(spark, sf_dir, cpus)
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "flagship_validated_rows_per_sec",
+        "value": round(rows / sec),
+        "unit": "rows/sec",
+        "queries": qsecs,
+        "sf": float(sf),
+        "flagship_rows": rows,
+        "flagship_seconds": round(sec, 3),
+        "cpus": cpus,
+    }
+    if scaling:
+        result["scaling"] = scaling
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
