@@ -89,46 +89,92 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5, jaccard_min: float = 0.7,
                       seed: int = 42, max_bucket: int = 1000) -> DataFrame:
-    """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with jaccard ≥
-    threshold, via banded MinHash-LSH then exact shingle-Jaccard verify.
+    """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with exact shingle
+    Jaccard ≥ threshold, found via banded MinHash-LSH.
 
-    ``max_bucket`` guards against degenerate buckets (e.g. empty strings):
-    buckets larger than it are dropped with the cap logged in the plan —
-    at real scale those are boilerplate clusters handled by exact dedup.
+    Three-stage shape, tuned for shuffle volume (learned from benching a
+    high-overlap corpus where naive LSH exploded):
+
+    1. **bucket join on bare ids** — band hashes read the persisted
+       signature column, so every minhash evaluates exactly once; only
+       ``(band, bh, id)`` rows enter the exchange, never shingle arrays.
+       Buckets larger than ``max_bucket`` (degenerate boilerplate
+       clusters — exact dedup's business) are dropped.
+    2. **cheap estimate filter** — candidate pairs join back to the
+       ``num_hashes``-element signatures; matching-minhash fraction
+       estimates Jaccard and discards sub-threshold pairs (one small
+       join, no string arrays yet).
+    3. **exact verify** — only surviving pairs join to shingle sets for
+       the exact ``|∩|/|∪|``.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k, seed)
-    shingles = char_shingles(normalized_text(F.col(text_col)), shingle_k)
-    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"),
-                     shingles.alias("sh"))
+
+    # The signature table is computed ONCE and persisted. Two traps drove
+    # this shape (bench regression: 5k docs going from seconds to >15 min):
+    # (a) Catalyst's CollapseProject inlines a referenced projection per
+    #     use-site, so routing the 48-minhash array through a column ref
+    #     consumed by 48 F.get()s re-evaluates the whole array 48×;
+    # (b) higher-order functions are interpreted, not codegen'd, so the
+    #     shingle construction must not be inlined into each of the 48
+    #     transforms either. The repartition is the materialization
+    #     barrier; persist() makes the three consumers (buckets, estimate,
+    #     verify) share one computation — at real scale this is the
+    #     signature table you would write out anyway.
+    sh_col = char_shingles(normalized_text(F.col(text_col)), shingle_k)
+    shingled = df.select(F.col(id_col).alias("id"), sh_col.alias("sh")) \
+                 .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+
+    def _hasher(h: int):
+        return lambda s: F.xxhash64(s, F.lit(seed + h))  # 1-arg HOF lambda
+
+    def mh(h: int) -> Column:
+        return F.array_min(F.transform(F.col("sh"), _hasher(h)))
+
+    sigs = shingled.select(
+        "id",
+        F.array(*[mh(h) for h in range(num_hashes)]).alias("sig")).persist()
 
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)).alias("bh"))
+                 F.xxhash64(*[F.get(F.col("sig"), b * rows + r)
+                              for r in range(rows)]).alias("bh"))
         for b in range(bands)
     ])
-    buckets = (base.select("id", "sh", F.explode(band_arr).alias("bb"))
-                   .select("id", "sh", "bb.band", "bb.bh"))
-
-    # same-bucket candidate pairs (a < b dedups the pair space); bucket size
-    # capped to keep worst-case join fan-out bounded
+    buckets = (sigs.select("id", F.explode(band_arr).alias("bb"))
+                   .select("id", "bb.band", "bb.bh"))
     counted = buckets.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "bh")))
     small = counted.where(F.col("__n") <= max_bucket).drop("__n")
-    a = small.select(F.col("band"), F.col("bh"), F.col("id").alias("id_a"),
-                     F.col("sh").alias("sh_a"))
-    b = small.select(F.col("band"), F.col("bh"), F.col("id").alias("id_b"),
-                     F.col("sh").alias("sh_b"))
-    pairs = (a.join(b, ["band", "bh"])
-              .where(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "sh_a", "sh_b")
-              .dropDuplicates(["id_a", "id_b"]))
+    pairs = (small.alias("a")
+             .join(small.alias("b"), ["band", "bh"])
+             .where(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
 
+    est = (pairs
+           .join(sigs.select(F.col("id").alias("id_a"),
+                             F.col("sig").alias("sig_a")), "id_a")
+           .join(sigs.select(F.col("id").alias("id_b"),
+                             F.col("sig").alias("sig_b")), "id_b"))
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = (est.withColumn("__est", matches / F.lit(float(num_hashes)))
+              .where(F.col("__est") >= jaccard_min * 0.7)  # generous margin
+              .select("id_a", "id_b"))
+
+    shs = df.select(F.col(id_col).alias("id"),
+                    char_shingles(normalized_text(F.col(text_col)),
+                                  shingle_k).alias("sh"))
+    verified = (est
+                .join(shs.select(F.col("id").alias("id_a"),
+                                 F.col("sh").alias("sh_a")), "id_a")
+                .join(shs.select(F.col("id").alias("id_b"),
+                                 F.col("sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = (inter / F.greatest(union, F.lit(1))).alias("jaccard")
-    return (pairs.select("id_a", "id_b", jac)
-                 .where(F.col("jaccard") >= jaccard_min))
+    return (verified.select("id_a", "id_b", jac)
+                    .where(F.col("jaccard") >= jaccard_min))
 
 
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
