@@ -300,10 +300,10 @@ def _q_minhash_pairs_documents(spark, sf):
 
 def _q_simhash_documents(spark, sf):
     """SimHash signatures (rows-only: xxhash64-based)."""
-    from sparkschema.operators.dedup import simhash
+    from sparkschema.operators.dedup import simhash_frame
 
     d = spark.read.parquet(_t(sf, "documents"))
-    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    return simhash_frame(d, "text", "doc_id").withColumnRenamed("id", "doc_id")
 
 
 def _q_hll_distinct_lineitem(spark, sf):

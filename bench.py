@@ -24,9 +24,13 @@ import shutil
 import sys
 import time
 
-BENCH_IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+BENCH_IMAGE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "20000000"))
 BYTES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_BYTES_ROWS", "20000"))
-IMAGE_TABLE = f"/tmp/sparkschema_bench/images_{BENCH_IMAGE_ROWS}"
+# the bench table layout must NOT depend on which session wrote it: a
+# local[8]-written 16-partition table silently caps a local[32] read at 16
+# tasks and fakes a bad scaling number — fix the file count
+TABLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "128"))
+IMAGE_TABLE = f"/tmp/sparkschema_bench/images_{BENCH_IMAGE_ROWS}_p{TABLE_PARTITIONS}"
 IMAGE_BYTES_TABLE = f"/tmp/sparkschema_bench/images_bytes_{BYTES_ROWS}"
 REF_BYTES_TABLE = f"/tmp/sparkschema_bench/images_ref_{BYTES_ROWS}"
 
@@ -55,6 +59,9 @@ def make_session(cpus: int):
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"sparkschema-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        # split packing must give every core work: the bench table is ~1 GB,
+        # so the default 128 MB split size would produce <10 scan tasks
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -67,7 +74,7 @@ def ensure_image_tables(spark, cpus: int) -> None:
     from sparkschema.sources.synthetic import images_df
 
     if not os.path.exists(IMAGE_TABLE):
-        images_df(spark, BENCH_IMAGE_ROWS, partitions=cpus * 2) \
+        images_df(spark, BENCH_IMAGE_ROWS, partitions=TABLE_PARTITIONS) \
             .drop("bytes").write.mode("overwrite").parquet(IMAGE_TABLE)
     if not os.path.exists(IMAGE_BYTES_TABLE):
         images_df(spark, BYTES_ROWS, with_bytes=True, partitions=cpus * 2) \

@@ -165,6 +165,10 @@ class ColumnCompiler:
         if domain == "array" and isinstance(dt, T.ArrayType):
             checks += self._array_checks(schema, col, dt, spath, ipath, present)
 
+        # ---- object (struct / map columns) ------------------------------
+        if domain == "object":
+            checks += self._object_checks(schema, col, dt, spath, ipath, present)
+
         # ---- combinators ----------------------------------------------
         checks += self._combinator_checks(schema, col, dt, spath, ipath, present)
         return checks
@@ -358,6 +362,131 @@ class ColumnCompiler:
             out.append(self._chk("contains", f"{spath}/contains", ipath,
                                  present & ~F.exists(col, pred), col, "err.contains"))
         return out
+
+    def _object_checks(self, schema, col, dt, spath, ipath, present) -> list[Check]:
+        """Object keywords on StructType / MapType(string, V) columns
+        (SURVEY.md §2.2 object table): properties/required recurse into
+        fields; map columns get propertyNames / patternProperties /
+        additionalProperties / min-maxProperties via map HOFs."""
+        out: list[Check] = []
+        props = schema.get("properties")
+        req = schema.get("required")
+
+        if isinstance(dt, T.StructType):
+            fields = {f.name: f.dataType for f in dt.fields}
+            if isinstance(props, dict):
+                for k, sub in props.items():
+                    if k in fields:
+                        out += self.compile_checks(sub, col[k], fields[k],
+                                                   f"{spath}/properties/{k}",
+                                                   f"{ipath}/{k}")
+            if isinstance(req, list):
+                for k in req:
+                    # a struct field that's NULL models the absent property;
+                    # a field missing from the dtype is statically absent
+                    fail = col[k].isNull() if k in fields else F.lit(True)
+                    out.append(self._chk("required", f"{spath}/required",
+                                         f"{ipath}/{k}", present & fail,
+                                         F.lit("null"), "obj.required.prop",
+                                         F.lit(k)))
+            return out
+
+        if not isinstance(dt, T.MapType):
+            return out
+        vt = dt.valueType
+        keys = F.map_keys(col)
+        matched_keys: list[Column] = []
+
+        if isinstance(props, dict):
+            for k, sub in props.items():
+                el = F.when(F.array_contains(keys, k),
+                            F.try_element_at(col, F.lit(k)))
+                out += self.compile_checks(sub, el, vt,
+                                           f"{spath}/properties/{k}",
+                                           f"{ipath}/{k}")
+        if isinstance(req, list):
+            for k in req:
+                out.append(self._chk("required", f"{spath}/required",
+                                     f"{ipath}/{k}",
+                                     present & ~F.array_contains(keys, k),
+                                     F.lit("null"), "obj.required.prop",
+                                     F.lit(k)))
+
+        patprops = schema.get("patternProperties")
+        if isinstance(patprops, dict):
+            for pat, sub in patprops.items():
+                flt = self._map_filter_by_key(col, pat)
+                ok = F.forall(F.map_values(flt),
+                              lambda v: self.compile_valid(sub, v, vt))
+                out.append(self._chk("patternProperties",
+                                     f"{spath}/patternProperties/{pat}", ipath,
+                                     present & ~ok, col.cast("string"),
+                                     "comp.no.schema"))
+
+        add = schema.get("additionalProperties")
+        if add is not None and add is not True:
+            declared = list(props.keys()) if isinstance(props, dict) else []
+            pats = list(patprops.keys()) if isinstance(patprops, dict) else []
+
+            def is_extra(k: Column) -> Column:
+                cond = ~k.isin(declared) if declared else F.lit(True)
+                for p in pats:
+                    cond = cond & ~k.rlike(p)
+                return cond
+
+            extras = F.filter(keys, is_extra)
+            if add is False:
+                out.append(self._chk("additionalProperties",
+                                     f"{spath}/additionalProperties", ipath,
+                                     present & (F.size(extras) > 0),
+                                     F.array_join(F.array_sort(extras), ", "),
+                                     "obj.additional.props",
+                                     F.array_join(F.array_sort(extras), ", ")))
+            elif isinstance(add, dict):
+                ok = F.forall(extras, lambda k: self.compile_valid(
+                    add, F.try_element_at(col, k), vt))
+                out.append(self._chk("additionalProperties",
+                                     f"{spath}/additionalProperties", ipath,
+                                     present & ~ok, col.cast("string"),
+                                     "comp.no.schema"))
+
+        mn = schema.get("minProperties")
+        if isinstance(mn, int) and not isinstance(mn, bool):
+            out.append(self._chk("minProperties", f"{spath}/minProperties",
+                                 ipath, present & (F.size(keys) < mn),
+                                 F.size(keys).cast("string"), "obj.min.props",
+                                 F.size(keys).cast("string"), F.lit(str(mn))))
+        mx = schema.get("maxProperties")
+        if isinstance(mx, int) and not isinstance(mx, bool):
+            out.append(self._chk("maxProperties", f"{spath}/maxProperties",
+                                 ipath, present & (F.size(keys) > mx),
+                                 F.size(keys).cast("string"), "obj.max.props",
+                                 F.size(keys).cast("string"), F.lit(str(mx))))
+
+        pn = schema.get("propertyNames")
+        if pn is not None:
+            ok = F.forall(keys, lambda k: self.compile_valid(
+                pn, k, T.StringType()))
+            out.append(self._chk("propertyNames", f"{spath}/propertyNames",
+                                 ipath, present & ~ok, col.cast("string"),
+                                 "comp.no.schema"))
+
+        deps = schema.get("dependencies")
+        if isinstance(deps, dict):
+            for a, dep in deps.items():
+                if isinstance(dep, list):
+                    for b in dep:
+                        out.append(self._chk(
+                            "dependencies", f"{spath}/dependencies",
+                            f"{ipath}/{a}",
+                            present & F.array_contains(keys, a)
+                            & ~F.array_contains(keys, b),
+                            F.lit(a), "obj.missing.prop.dep", F.lit(b)))
+        return out
+
+    @staticmethod
+    def _map_filter_by_key(col: Column, pattern: str) -> Column:
+        return F.map_filter(col, lambda k, v: k.rlike(pattern))
 
     def _combinator_checks(self, schema, col, dt, spath, ipath, present) -> list[Check]:
         out: list[Check] = []

@@ -190,13 +190,48 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
 # SimHash
 
 
+def simhash_frame(df: DataFrame, text_col: str, id_col: str,
+                  bits: int = 64, seed: int = 42,
+                  shingle_k: int = 3) -> DataFrame:
+    """``(id, simhash)`` for every document — the scale path.
+
+    The feature-hash array materializes behind a repartition barrier before
+    the ``bits`` per-bit counts read it; without the barrier CollapseProject
+    inlines the shingle construction into all 64 filters (interpreted HOFs,
+    64× recompute — same trap as minhash_lsh_pairs)."""
+    feats = char_shingles(normalized_text(F.col(text_col)), shingle_k)
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(feats, lambda t: F.xxhash64(t, F.lit(seed))).alias("hs"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    return hashed.select("id", _simhash_from_hashes(F.col("hs"), bits).alias("simhash"))
+
+
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    n = F.size(hashes)
+
+    def bit_test(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        cnt = F.size(F.filter(hashes, bit_test(i)))
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        acc = acc + F.when(cnt * 2 >= n, bit).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
 def simhash(col: Column, bits: int = 64, seed: int = 42,
             shingle_k: int = 3) -> Column:
     """SimHash signature as a bigint: bit i is set iff features whose hash
     has bit i set outnumber those that don't. Features are char k-shingles
     (not whitespace tokens): short documents need many small features so a
     local edit moves only a few votes and the Hamming distance stays small.
-    Pure HOF: one shingle-hash transform + ``bits`` filtered counts."""
+
+    NOTE: as a bare expression the shingle construction is re-evaluated
+    once per bit (interpreted HOFs + projection collapse); for corpus-scale
+    use prefer :func:`simhash_frame`, which materializes feature hashes
+    behind a barrier first."""
     feats = char_shingles(normalized_text(col), shingle_k)
     hashes = F.transform(feats, lambda t: F.xxhash64(t, F.lit(seed)))
     n = F.size(hashes)
@@ -221,8 +256,8 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
     SimHash (pigeonhole); near misses above that are still caught with
     high probability because flips rarely spread across every chunk.
     Bucket-join on chunks → exact popcount verify ≤ ``hamming_max``."""
-    sh = simhash(F.col(text_col), seed=seed)
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    base = simhash_frame(df, text_col, id_col, seed=seed) \
+        .select("id", F.col("simhash").alias("sh"))
     width = 64 // chunks
     mask = (1 << width) - 1
     chunk_arr = F.array(*[

@@ -1,0 +1,55 @@
+"""Violation report sinks — the analog of the reference's ``toJson`` error
+rendering (internal/SchemaUtil.scala:52-66, package.scala:154-156) plus
+engine-scale persistence.
+
+The collected JSON report caps examples per check with a window
+``row_number() <= k`` (the engine's only window use — SURVEY.md §2.5);
+full violations persist as parquet (Iceberg when available) for
+downstream joins.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def capped_examples(violations: DataFrame, per_check: int = 10) -> DataFrame:
+    """At most ``per_check`` violation rows per (keyword, instance_path)."""
+    w = Window.partitionBy("keyword", "instance_path") \
+              .orderBy(*violations.columns[:1])
+    return (violations.withColumn("__rn", F.row_number().over(w))
+                      .where(F.col("__rn") <= per_check).drop("__rn"))
+
+
+def json_report(violations: DataFrame, table_verdicts: list[dict] | None = None,
+                per_check: int = 10) -> str:
+    """Driver-side JSON report: per-check totals + capped examples.
+
+    Totals come from one aggregation; only the capped examples are
+    collected — safe at any violation volume."""
+    totals = [r.asDict() for r in
+              violations.groupBy("keyword", "instance_path")
+                        .agg(F.count(F.lit(1)).alias("count"))
+                        .orderBy(F.desc("count"), "keyword", "instance_path")
+                        .collect()]
+    examples = [r.asDict() for r in capped_examples(violations, per_check).collect()]
+    return json.dumps({
+        "checks": totals,
+        "examples": examples,
+        "table_verdicts": table_verdicts or [],
+    }, default=str, indent=2)
+
+
+def write_violations(violations: DataFrame, path: str,
+                     fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Persist the full violations table (partitioned by keyword so
+    downstream per-check reads prune files)."""
+    violations.write.mode(mode).partitionBy("keyword").format(fmt).save(path)
+
+
+def write_verdicts(verdicts: DataFrame, path: str,
+                   fmt: str = "parquet", mode: str = "overwrite") -> None:
+    verdicts.write.mode(mode).format(fmt).save(path)
