@@ -249,8 +249,12 @@ class Validator:
                                    "num.multiple.of", value, mo))
 
         fmt = schema.get("format")
-        if isinstance(fmt, str) and fmt in ("int32", "int64"):
-            if not self.formats[fmt](value):
+        if isinstance(fmt, str):
+            checker = self.formats.get(fmt)
+            # built-ins for numbers are int32/int64; custom registered
+            # formats (SchemaFormat analog) apply to any value type;
+            # unknown names pass
+            if checker is not None and not checker(value):
                 out.append(self._v("format", spath + "/format", ipath, value,
                                    "str.format", value, fmt))
         return out
