@@ -105,10 +105,14 @@ class CompiledTableSpec:
             ok = ok & ~c.fail
         return ok
 
-    def violations(self, df: DataFrame) -> DataFrame:
+    def violations(self, df: DataFrame, cast_keys: bool = True) -> DataFrame:
         """Violation rows ``(key..., keyword, schema_path, instance_path,
         value, msg)`` — matching the reference's error-object contract
-        (internal/SchemaUtil.scala:28-39)."""
+        (internal/SchemaUtil.scala:28-39).
+
+        ``cast_keys=False`` keeps key columns' native types (needed when a
+        key is an event-time column whose watermark metadata must survive
+        for a downstream streaming aggregation)."""
         structs = [
             F.when(c.fail, F.struct(
                 F.lit(c.keyword).alias("keyword"),
@@ -125,9 +129,10 @@ class CompiledTableSpec:
                                  ).add("v", VIOLATION_SCHEMA)
             ).select(*self.key_cols, "v.*")
         arr = F.array_compact(F.array(*structs))
-        # key columns are cast to string: the violations frame is a report
-        # with one uniform schema across row-level and table-level emitters
-        keys = [F.col(k).cast("string").alias(k) for k in self.key_cols]
+        # key columns are cast to string by default: the violations frame
+        # is a report with one uniform schema across all emitters
+        keys = [F.col(k).cast("string").alias(k) if cast_keys else F.col(k)
+                for k in self.key_cols]
         return (
             df.select(*keys, arr.alias("__viol"))
             .where(F.size("__viol") > 0)

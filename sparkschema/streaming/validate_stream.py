@@ -28,6 +28,32 @@ def streaming_violations(stream_df: DataFrame, spec: Any,
     return cts.violations(stream_df)
 
 
+def windowed_violation_counts(stream_df: DataFrame, spec: Any,
+                              key_cols: list[str], ts_col: str,
+                              window: str = "1 hour",
+                              watermark: str = "2 hours",
+                              **compile_kwargs) -> DataFrame:
+    """Continuous per-event-time-window violation counts with late-data
+    handling: ``(window, keyword, instance_path, cnt)``.
+
+    The watermark bounds state: windows older than ``watermark`` finalize
+    and evict, so the aggregation runs indefinitely at fixed memory. The
+    violation projection is the same compiled stateless expression tree as
+    batch — one compile, three execution modes (batch / foreachBatch /
+    native streaming agg)."""
+    from pyspark.sql import functions as F
+
+    # the timestamp rides along as an extra key column of the violation
+    # projection (native type, so its watermark survives for the agg)
+    cts = compile_table_spec(spec, stream_df, key_cols=[ts_col, *key_cols],
+                             **compile_kwargs)
+    v = cts.violations(stream_df.withWatermark(ts_col, watermark),
+                       cast_keys=False)
+    return (v.groupBy(F.window(F.col(ts_col), window).alias("window"),
+                      "keyword", "instance_path")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def foreach_batch_validate(
     stream_df: DataFrame,
     spec: Any,
