@@ -150,26 +150,32 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
     return out
 
 
-def run_scaling() -> dict:
-    """Same flagship job at local[8] then local[32]; efficiency per
-    BASELINE.md: eff = (thr_32 / thr_8) / (32/8)."""
+def run_scaling(n: int = 8, n4: int = 32) -> dict:
+    """Same flagship job on the same input at local[n] then local[4n];
+    efficiency per BASELINE.md: eff = (thr_4n / thr_n) / 4.
+
+    Setup (table generation) happens in its own session BEFORE any
+    measurement — generating inside the first measured session skews it
+    with write traffic and leaves the page cache in different states."""
+    setup = make_session(32)
+    try:
+        ensure_image_tables(setup, 32)
+    finally:
+        setup.stop()
+
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n, n4):
         spark = make_session(cpus)
         try:
-            ensure_image_tables(spark, cpus)
             flagship_validate(spark)  # warm the JVM/codegen
-            best = min(flagship_validate(spark)[0] for _ in range(3))
-            rows = BENCH_IMAGE_ROWS
+            best = min(flagship_validate(spark)[0] for _ in range(4))
             results[cpus] = {"seconds": round(best, 3),
-                             "rows_per_sec": round(rows / best)}
+                             "rows_per_sec": round(BENCH_IMAGE_ROWS / best)}
         finally:
             spark.stop()
-    thr8 = results[8]["rows_per_sec"]
-    thr32 = results[32]["rows_per_sec"]
-    eff = (thr32 / thr8) / (32 / 8)
-    return {"local8": results[8], "local32": results[32],
-            "efficiency": round(eff, 3)}
+    eff = (results[n4]["rows_per_sec"] / results[n]["rows_per_sec"]) / (n4 / n)
+    return {f"local{n}": results[n], f"local{n4}": results[n4],
+            "n": n, "n4": n4, "efficiency": round(eff, 3)}
 
 
 def main() -> None:
