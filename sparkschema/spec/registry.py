@@ -43,6 +43,10 @@ class SpecRegistry:
         self.index = DocumentIndex()
         self._formats: dict[str, Callable[[Any], bool]] = {}
         self._docs: dict[str, Any] = {}
+        # file:// is the only default scheme; network schemes are opt-in
+        self._url_handlers: dict[str, Callable[[str], str]] = {
+            "file": lambda url: open(url[len("file://"):], encoding="utf-8").read(),
+        }
 
     # -- registration --------------------------------------------------------
 
@@ -62,6 +66,24 @@ class SpecRegistry:
         (reference: SchemaFormat.scala:5-19, SchemaValidator.scala:75-76)."""
         self._formats[name] = fn
         return self
+
+    def add_url_handler(self, scheme: str,
+                        fn: Callable[[str], str]) -> "SpecRegistry":
+        """Custom URL-scheme loader — the ``addUrlHandler`` analog
+        (reference: SchemaValidator.scala:60-67, UrlStreamResolverFactory).
+        ``fn(url) -> JSON text``; used by :meth:`add_schema_from_url`.
+        Loading happens on the driver at registration time only — executors
+        never fetch."""
+        self._url_handlers[scheme] = fn
+        return self
+
+    def add_schema_from_url(self, url: str) -> "SpecRegistry":
+        scheme = url.split(":", 1)[0]
+        handler = self._url_handlers.get(scheme)
+        if handler is None:
+            raise ValueError(f"no URL handler registered for scheme {scheme!r} "
+                             f"(register one with add_url_handler)")
+        return self.add_schema(url, handler(url))
 
     # -- validator construction ----------------------------------------------
 

@@ -75,3 +75,18 @@ def test_columnar_catalog_override(spark):
                              catalog={"obj.required.prop": "FEHLT: {0}"})
     rows = cts.violations(df).collect()
     assert rows[0].msg == "FEHLT: w"
+
+
+def test_url_handler_registration(tmp_path):
+    """addUrlHandler analog (reference SchemaValidator.scala:60-67)."""
+    p = tmp_path / "s.json"
+    p.write_text('{"type": "integer"}')
+    reg = SpecRegistry()
+    reg.add_schema_from_url(f"file://{p}")
+    assert not reg.validate({"$ref": f"file://{p}"}, 5)
+    assert reg.validate({"$ref": f"file://{p}"}, "x")
+    # custom scheme
+    reg2 = SpecRegistry()
+    reg2.add_url_handler("mem", lambda url: '{"minimum": 10}')
+    reg2.add_schema_from_url("mem:bounds")
+    assert reg2.validate({"$ref": "mem:bounds"}, 5)
