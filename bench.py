@@ -185,7 +185,11 @@ def main() -> None:
 
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        scaling = run_scaling()
+        # default N=4 → 4N=16: this host exposes 32 hardware threads on
+        # ~16 physical cores, so 8→32 measures SMT, not scaling (full
+        # curve + discussion in BENCH.md); override via SPARK_GRAFT_SCALE_N
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+        scaling = run_scaling(n, 4 * n)
 
     spark = make_session(cpus)
     try:

@@ -24,7 +24,6 @@ JSON path, where the depth cap applies at eval time).
 
 from __future__ import annotations
 
-import itertools
 from dataclasses import dataclass, field
 from typing import Any, Callable
 

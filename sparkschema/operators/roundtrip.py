@@ -33,7 +33,13 @@ def _psnr_udf(a, b):
         if x is None or y is None:
             out.append(None)
             continue
-        p = psnr_bytes(bytes(x), bytes(y))
+        bx, by = bytes(x), bytes(y)
+        if bx == by:
+            # memcmp short-circuit: identical containers decode to
+            # identical pixels (lossless fmts vs the pristine copy)
+            out.append(float("inf"))
+            continue
+        p = psnr_bytes(bx, by)
         out.append(None if math.isnan(p) else p)
     return pd.Series(out, dtype="float64")
 
