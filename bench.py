@@ -196,7 +196,8 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         ensure_image_tables(spark, cpus)
         flagship_validate(spark)  # warm-up (codegen + file index)
-        sec, rows = flagship_validate(spark)
+        runs = [flagship_validate(spark) for _ in range(3)]
+        sec, rows = min(runs)  # best-of-3: single runs are noisy
         qsecs = bench_queries(spark, sf_dir, cpus)
     finally:
         spark.stop()
