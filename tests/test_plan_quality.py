@@ -1,0 +1,84 @@
+"""Physical-plan assertions: the shapes the engine promises at 100 TB
+(SURVEY.md §4). These test the *plan*, not the result — a regression that
+adds a shuffle or loses pushdown fails here even if answers stay right."""
+
+from pyspark.sql import functions as F
+
+from sparkschema.compiler.table import compile_table_spec
+from sparkschema.operators.referential import orphans
+from sparkschema.operators.stats import column_stats
+from sparkschema.sources.synthetic import images_df
+
+SPEC = {
+    "type": "object",
+    "required": ["image_id", "fmt"],
+    "properties": {
+        "image_id": {"type": "string", "pattern": "^img-[0-9]{12}$"},
+        "w": {"type": "integer", "minimum": 1, "maximum": 16384},
+        "fmt": {"enum": ["raw", "rawz", "png", "jpg"]},
+    },
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_violations_plan_has_no_exchange(spark, tmp_path):
+    path = str(tmp_path / "imgs")
+    images_df(spark, 1000, partitions=4).write.parquet(path)
+    imgs = spark.read.parquet(path)
+    cts = compile_table_spec(SPEC, imgs, key_cols=["image_id"])
+    plan = _plan(cts.violations(imgs))
+    assert "Exchange" not in plan, plan
+    assert "*(" in plan  # codegen'd stages render as *(n) in plan strings
+
+
+def test_violations_scan_prunes_unused_columns(spark, tmp_path):
+    path = str(tmp_path / "imgs2")
+    images_df(spark, 1000, with_bytes=True, partitions=2).write.parquet(path)
+    imgs = spark.read.parquet(path)
+    cts = compile_table_spec(SPEC, imgs, key_cols=["image_id"])
+    plan = _plan(cts.violations(imgs))
+    # the heavy binary column is not referenced by any check → never read
+    assert "bytes" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    path = str(tmp_path / "imgs3")
+    images_df(spark, 1000, partitions=2).write.parquet(path)
+    imgs = spark.read.parquet(path).where(F.col("fmt") == "jpg")
+    cts = compile_table_spec(SPEC, imgs, key_cols=["image_id"])
+    plan = _plan(cts.violations(imgs))
+    assert "PushedFilters: [IsNotNull(fmt), EqualTo(fmt,jpg)]" in plan \
+        or "EqualTo(fmt,jpg)" in plan, plan
+
+
+def test_verdicts_single_aggregation_exchange(spark, tmp_path):
+    path = str(tmp_path / "imgs4")
+    images_df(spark, 1000, partitions=4).write.parquet(path)
+    imgs = spark.read.parquet(path)
+    cts = compile_table_spec(SPEC, imgs, key_cols=["image_id"])
+    plan = _plan(cts.verdicts(imgs))
+    assert plan.count("Exchange") <= 2  # partial→final (+AQE read)
+    assert "HashAggregate" in plan
+
+
+def test_referential_broadcasts_small_dim(spark, tmp_path):
+    path = str(tmp_path / "imgs5")
+    images_df(spark, 1000, partitions=2).write.parquet(path)
+    imgs = spark.read.parquet(path)
+    dim = spark.createDataFrame([("jpg",), ("png",)], "fmt string")
+    plan = _plan(orphans(imgs, "fmt", dim, "fmt", strategy="broadcast"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # fact side must not shuffle
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_stats_reads_only_requested_columns(spark, tmp_path):
+    path = str(tmp_path / "imgs6")
+    images_df(spark, 1000, with_bytes=True, partitions=2).write.parquet(path)
+    imgs = spark.read.parquet(path)
+    plan = _plan(column_stats(imgs, ["w", "fmt"]))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "bytes" not in read_schema and "caption" not in read_schema
