@@ -1,0 +1,287 @@
+"""Dynamic-JSON validation compiled to Spark 4 VARIANT expressions.
+
+The second dynamic-JSON path, fully Catalyst-native: ``try_parse_json`` →
+``try_variant_get`` / ``schema_of_variant`` / ``is_variant_null`` predicate
+trees. No Python executes per row — this beats the Arrow/pandas kernel
+(:mod:`sparkschema.compiler.jsoncol`) wherever the spec is bounded.
+
+Notable: VARIANT distinguishes **absent** (SQL NULL from ``variant_get``)
+from **JSON null** (``is_variant_null``) — the one semantic the typed-
+column mapping collapses (SURVEY.md §1.4), preserved natively here exactly
+like the reference's ``JsUndefined`` vs ``JsNull``.
+
+Coverage: all scalar keywords, scalar enum/const, nested ``properties`` /
+``required``, single-schema ``items`` + size bounds + ``uniqueItems`` +
+``contains``, all combinators, boolean schemas. Unsupported constructs
+($ref, patternProperties, propertyNames, additionalProperties,
+dependencies, tuple items, complex enum/const) raise
+:class:`VariantUnsupported`; callers fall back to the Arrow kernel —
+``json_valid_auto`` does exactly that.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sparkschema.compiler.formats_sql import format_predicate
+from sparkschema.spec.jsonvalue import is_number
+
+_DEC = "decimal(38,12)"
+_SIMPLE_KEY = re.compile(r"^[A-Za-z0-9_\-]+$")
+
+_UNSUPPORTED = ("$ref", "patternProperties", "propertyNames",
+                "additionalProperties", "dependencies", "additionalItems",
+                "minProperties", "maxProperties")
+
+
+class VariantUnsupported(Exception):
+    """Spec construct with no VARIANT compilation — use the Arrow kernel."""
+
+
+def _get(v: Column, key: str) -> Column:
+    if not _SIMPLE_KEY.match(key):
+        raise VariantUnsupported(f"non-simple property name {key!r}")
+    return F.try_variant_get(v, f"$.{key}", "variant")
+
+
+def _vtype(v: Column) -> Column:
+    return F.schema_of_variant(v)
+
+
+def _is_string(v: Column) -> Column:
+    return _vtype(v) == "STRING"
+
+
+def _is_bool(v: Column) -> Column:
+    return _vtype(v) == "BOOLEAN"
+
+
+def _is_numberv(v: Column) -> Column:
+    t = _vtype(v)
+    return t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
+
+
+def _is_array(v: Column) -> Column:
+    return _vtype(v).startswith("ARRAY")
+
+
+def _is_object(v: Column) -> Column:
+    return _vtype(v).startswith("OBJECT") | _vtype(v).startswith("STRUCT")
+
+
+def _num(v: Column) -> Column:
+    return F.try_variant_get(v, "$", _DEC)
+
+
+def _str(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "string")
+
+
+def _arr(v: Column) -> Column:
+    return F.try_variant_get(v, "$", "array<variant>")
+
+
+def _canon_elem(e: Column) -> Column:
+    """Canonical string of an array element implementing JSON equality:
+    numbers normalize through one decimal type (1.0 ≡ 1), other types keep
+    their distinct JSON rendering. The numeric branch must be gated on the
+    variant's actual type — casting BOOLEAN to decimal coerces true→1 and
+    would merge ``[1, true]`` (draft4/uniqueItems.json golden case)."""
+    return F.when(_is_numberv(e), F.concat(F.lit("n:"), _num(e).cast("string"))) \
+            .otherwise(F.coalesce(F.to_json(e), F.lit("null")))
+
+
+def _type_ok(v: Column, name: str) -> Column:
+    if name == "string":
+        return _is_string(v)
+    if name == "boolean":
+        return _is_bool(v)
+    if name == "number":
+        return _is_numberv(v)
+    if name == "integer":
+        n = _num(v)
+        return _is_numberv(v) & n.isNotNull() & (n == F.floor(n).cast(_DEC))
+    if name == "array":
+        return _is_array(v)
+    if name == "object":
+        return _is_object(v)
+    if name == "null":
+        return F.is_variant_null(v)
+    raise VariantUnsupported(f"unknown type {name!r}")
+
+
+def _const_ok(v: Column, c: Any) -> Column:
+    if c is None:
+        return F.is_variant_null(v)
+    if isinstance(c, bool):
+        return _is_bool(v) & (F.try_variant_get(v, "$", "boolean") == c)
+    if is_number(c):
+        return _is_numberv(v) & (_num(v) == F.lit(c).cast(_DEC))
+    if isinstance(c, str):
+        return _is_string(v) & (_str(v) == c)
+    raise VariantUnsupported("complex const/enum values")
+
+
+def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
+    """True iff the variant value at ``v`` satisfies ``schema``.
+    SQL-NULL ``v`` (absent property) passes vacuously — ``required`` is the
+    parent's business, exactly like the kernel."""
+    if depth > 32:
+        raise VariantUnsupported("spec nesting too deep")
+    if schema is True:
+        return F.lit(True)
+    if schema is False:
+        return v.isNull()  # only absence "passes" a false schema vacuously
+    if not isinstance(schema, dict):
+        return F.lit(True)
+    for kw in _UNSUPPORTED:
+        if kw in schema:
+            raise VariantUnsupported(kw)
+
+    present = v.isNotNull()
+    ok = F.lit(True)
+
+    t = schema.get("type")
+    if t is not None:
+        names = t if isinstance(t, list) else [t]
+        cond = _type_ok(v, names[0])
+        for n in names[1:]:
+            cond = cond | _type_ok(v, n)
+        ok = ok & ~(present & ~cond)
+
+    if "enum" in schema:
+        cond = F.lit(False)
+        for e in schema["enum"]:
+            cond = cond | _const_ok(v, e)
+        ok = ok & ~(present & ~cond)
+    if "const" in schema:
+        ok = ok & ~(present & ~_const_ok(v, schema["const"]))
+
+    # numeric keywords gate on the value being a number (vacuous otherwise)
+    n = _num(v)
+    isnum = present & _is_numberv(v)
+    for kw, op in (("minimum", "ge"), ("maximum", "le")):
+        bound = schema.get(kw)
+        if is_number(bound):
+            excl = schema.get("exclusiveMinimum" if kw == "minimum"
+                              else "exclusiveMaximum") is True
+            b = F.lit(bound).cast(_DEC)
+            if kw == "minimum":
+                cond = (n > b) if excl else (n >= b)
+            else:
+                cond = (n < b) if excl else (n <= b)
+            ok = ok & ~(isnum & ~cond)
+    emn = schema.get("exclusiveMinimum")
+    if is_number(emn):
+        ok = ok & ~(isnum & ~(n > F.lit(emn).cast(_DEC)))
+    emx = schema.get("exclusiveMaximum")
+    if is_number(emx):
+        ok = ok & ~(isnum & ~(n < F.lit(emx).cast(_DEC)))
+    mo = schema.get("multipleOf")
+    if is_number(mo):
+        ok = ok & ~(isnum & ~((n % F.lit(mo).cast(_DEC)) == 0))
+
+    s = _str(v)
+    isstr = present & _is_string(v)
+    mn = schema.get("minLength")
+    if isinstance(mn, int) and not isinstance(mn, bool):
+        ok = ok & ~(isstr & (F.length(s) < mn))
+    mx = schema.get("maxLength")
+    if isinstance(mx, int) and not isinstance(mx, bool):
+        ok = ok & ~(isstr & (F.length(s) > mx))
+    pat = schema.get("pattern")
+    if isinstance(pat, str):
+        ok = ok & ~(isstr & ~s.rlike(pat))
+    fmt = schema.get("format")
+    if isinstance(fmt, str):
+        if fmt in ("int32", "int64"):
+            ok = ok & ~(isnum & ~format_predicate(fmt, n))
+        else:
+            ok = ok & ~(isstr & ~format_predicate(fmt, s))
+
+    arr = _arr(v)
+    isarr = present & _is_array(v)
+    mn = schema.get("minItems")
+    if isinstance(mn, int) and not isinstance(mn, bool):
+        ok = ok & ~(isarr & (F.size(arr) < mn))
+    mx = schema.get("maxItems")
+    if isinstance(mx, int) and not isinstance(mx, bool):
+        ok = ok & ~(isarr & (F.size(arr) > mx))
+    if schema.get("uniqueItems") is True:
+        canon = F.transform(arr, _canon_elem)
+        ok = ok & ~(isarr & (F.size(F.array_distinct(canon)) != F.size(canon)))
+    items = schema.get("items")
+    if isinstance(items, list):
+        raise VariantUnsupported("tuple items")
+    if isinstance(items, (dict, bool)) and items is not True:
+        elem_ok = F.forall(arr, lambda e: variant_valid(e, items, depth + 1))
+        ok = ok & ~(isarr & ~elem_ok)
+    if "contains" in schema:
+        has = F.exists(arr, lambda e: variant_valid(e, schema["contains"],
+                                                    depth + 1)
+                       & e.isNotNull())
+        ok = ok & ~(isarr & ~has)
+
+    props = schema.get("properties")
+    isobj = present & _is_object(v)
+    if isinstance(props, dict):
+        for k, sub in props.items():
+            child_ok = variant_valid(_get(v, k), sub, depth + 1)
+            ok = ok & ~(isobj & ~child_ok)
+    req = schema.get("required")
+    if isinstance(req, list):
+        for k in req:
+            ok = ok & ~(isobj & _get(v, k).isNull())
+
+    for comb in ("allOf", "anyOf", "oneOf"):
+        subs = schema.get(comb)
+        if isinstance(subs, list) and subs:
+            conds = [variant_valid(v, sub, depth + 1) for sub in subs]
+            if comb == "allOf":
+                agg = conds[0]
+                for c in conds[1:]:
+                    agg = agg & c
+            elif comb == "anyOf":
+                agg = conds[0]
+                for c in conds[1:]:
+                    agg = agg | c
+            else:
+                agg = conds[0].cast("int")
+                for c in conds[1:]:
+                    agg = agg + c.cast("int")
+                agg = agg == 1
+            ok = ok & ~(present & ~agg)
+    if "not" in schema:
+        ok = ok & ~(present & variant_valid(v, schema["not"], depth + 1))
+    if "if" in schema:
+        cond = variant_valid(v, schema["if"], depth + 1)
+        then_ok = variant_valid(v, schema["then"], depth + 1) \
+            if "then" in schema else F.lit(True)
+        else_ok = variant_valid(v, schema["else"], depth + 1) \
+            if "else" in schema else F.lit(True)
+        ok = ok & ~(present & ~F.when(cond, then_ok).otherwise(else_ok))
+    return ok
+
+
+def variant_valid_column(json_col: Column | str, schema: Any) -> Column:
+    """Boolean Column over a JSON-text column: NULL input → NULL; unparsable
+    → False (err.parse.json); else the compiled VARIANT predicate."""
+    col = F.col(json_col) if isinstance(json_col, str) else json_col
+    v = F.try_parse_json(col)
+    return F.when(col.isNull(), F.lit(None).cast("boolean")) \
+            .when(v.isNull(), F.lit(False)) \
+            .otherwise(variant_valid(v, schema))
+
+
+def json_valid_auto(json_col: Column | str, schema: Any,
+                    registry=None, dialect: str = "draft7") -> Column:
+    """VARIANT fast path when the spec compiles; Arrow kernel otherwise."""
+    try:
+        return variant_valid_column(json_col, schema)
+    except VariantUnsupported:
+        from sparkschema.compiler.jsoncol import json_valid_column
+        return json_valid_column(json_col, schema, registry, dialect)
