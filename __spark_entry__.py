@@ -230,12 +230,14 @@ def _q_events_hourly(spark, sf):
 
 
 def _q_events_json_invalid(spark, sf):
-    from sparkschema.compiler.jsoncol import json_valid_column
+    # VARIANT-native dynamic-JSON path (Catalyst expressions, no Python);
+    # json_valid_auto falls back to the Arrow kernel for unbounded specs
+    from sparkschema.compiler.variantcol import json_valid_auto
 
     e = spark.read.parquet(_t(sf, "events"))
     spec = {"type": "object", "required": ["k"],
             "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}}}
-    ok = json_valid_column("props", spec)
+    ok = json_valid_auto("props", spec)
     return e.agg(F.count(F.lit(1)).alias("total_rows"),
                  F.sum((~F.coalesce(ok, F.lit(False))).cast("long"))
                   .alias("invalid_rows"))
