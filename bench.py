@@ -62,6 +62,9 @@ def make_session(cpus: int):
         # split packing must give every core work: the bench table is ~1 GB,
         # so the default 128 MB split size would produce <10 scan tasks
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # image byte payloads average ~120 KB/row: default 10k-row Arrow
+        # batches would be >1 GB per core — cap the batch size
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

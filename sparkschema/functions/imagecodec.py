@@ -70,12 +70,18 @@ def decode(buf: bytes) -> tuple[np.ndarray, str]:
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 images.
-    Identical images → inf."""
+    Identical images → inf.
+
+    Integer arithmetic on purpose: int16 diff + int64-accumulated square
+    is exact and moves 4× less memory than the float64 textbook form —
+    this kernel is the hot loop of the round-trip check."""
     if a.shape != b.shape:
         return float("-inf")
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
-    if mse == 0:
+    diff = a.astype(np.int16) - b.astype(np.int16)
+    sq_sum = int(np.einsum("ijk,ijk->", diff, diff, dtype=np.int64))
+    if sq_sum == 0:
         return float("inf")
+    mse = sq_sum / a.size
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
