@@ -132,9 +132,14 @@ class CompiledTableSpec:
         # is a report with one uniform schema across all emitters
         keys = [F.col(k).cast("string").alias(k) if cast_keys else F.col(k)
                 for k in self.key_cols]
+        # filter on the cheap boolean conjunction FIRST: writing
+        # select(arr).where(size>0) makes Catalyst inline the whole
+        # struct-building array into the Filter condition, evaluating every
+        # check (regexes included) twice per row; gating on row_valid()
+        # builds violation structs only for the failing minority
         return (
-            df.select(*keys, arr.alias("__viol"))
-            .where(F.size("__viol") > 0)
+            df.where(~self.row_valid())
+            .select(*keys, arr.alias("__viol"))
             .select(*self.key_cols, F.explode("__viol").alias("v"))
             .select(*self.key_cols, "v.*")
         )

@@ -243,8 +243,19 @@ class Validator:
 
         mo = schema.get("multipleOf")
         if is_number(mo):
-            # exact decimal remainder (NumberValidators.scala:89-109)
-            if as_decimal(mo) == 0 or (d % as_decimal(mo)) != 0:
+            # exact decimal remainder (NumberValidators.scala:89-109);
+            # the default 28-digit context raises DivisionImpossible when
+            # the quotient outgrows it (found by hypothesis: 5e33 % 0.5) —
+            # widen to the actual magnitude like BigDecimal would
+            import decimal as _dec
+            dmo = as_decimal(mo)
+            if dmo == 0:
+                rem_nonzero = True
+            else:
+                with _dec.localcontext() as ctx:
+                    ctx.prec = max(28, abs(d.adjusted() - dmo.adjusted()) + 30)
+                    rem_nonzero = (d % dmo) != 0
+            if rem_nonzero:
                 out.append(self._v("multipleOf", spath + "/multipleOf", ipath, value,
                                    "num.multiple.of", value, mo))
 
