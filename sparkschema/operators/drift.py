@@ -85,6 +85,30 @@ def drift_check(cur: DataFrame, ref: DataFrame, column: str,
             "chi2": float(chi["statistic"]), "dof": int(chi["dof"])}
 
 
+def drift_check_vs_histogram(cur: DataFrame, column: str,
+                             ref_hist: list[tuple[int, int]],
+                             lo: float, hi: float, buckets: int = 64,
+                             chi2_threshold: float | None = None,
+                             ks_threshold: float | None = 0.1) -> dict:
+    """Drift vs a *stored* reference histogram (e.g. from a previous run's
+    checkpoint manifest) — no live reference table required, which is how
+    a production pipeline drifts against last week's snapshot."""
+    spark = cur.sparkSession
+    h_cur = histogram(cur, column, lo, hi, buckets)
+    h_ref = spark.createDataFrame([(int(b), int(c)) for b, c in ref_hist],
+                                  "bucket int, cnt long")
+    ks = ks_histograms(h_cur, h_ref).collect()[0]["statistic"]
+    chi = chi_square_histograms(h_cur, h_ref).collect()[0]
+    ok = True
+    if ks_threshold is not None:
+        ok = ok and (ks is not None and ks <= ks_threshold)
+    if chi2_threshold is not None:
+        ok = ok and chi["statistic"] <= chi2_threshold
+    return {"check": f"drift:{column}", "pass": bool(ok),
+            "ks": float(ks) if ks is not None else None,
+            "chi2": float(chi["statistic"]), "dof": int(chi["dof"])}
+
+
 def ks_exact_by_group(df: DataFrame, group_col: str, value_col: str,
                       ref: DataFrame) -> DataFrame:
     """Exact two-sample KS per group via ``applyInPandas`` (numpy kernel).

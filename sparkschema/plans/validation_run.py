@@ -101,11 +101,21 @@ def run_validation(
             violations = violations.unionByName(ov)
 
         elif req.kind == "drift":
-            if ref is None:
-                continue
             cfg = req.config if isinstance(req.config, dict) else {}
             dd = dict(drift_defaults or {})
             dd.update(cfg)
+            if "ref_histogram" in dd:
+                # stored-histogram drift: works without a live ref table
+                from sparkschema.operators.drift import drift_check_vs_histogram
+                table_verdicts.append(drift_check_vs_histogram(
+                    df, req.column, dd["ref_histogram"],
+                    lo=float(dd["lo"]), hi=float(dd["hi"]),
+                    buckets=int(dd.get("buckets", 64)),
+                    ks_threshold=dd.get("ks_threshold", 0.1),
+                    chi2_threshold=dd.get("chi2_threshold")))
+                continue
+            if ref is None:
+                continue
             stats = df.agg(F.min(req.column).cast("double"),
                            F.max(req.column).cast("double")).collect()[0] \
                 if ("lo" not in dd or "hi" not in dd) else None

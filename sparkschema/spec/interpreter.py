@@ -274,7 +274,13 @@ class Validator:
 
     def _string_keywords(self, schema, value: str, spath, ipath) -> list[Violation]:
         out: list[Violation] = []
-        n = len(value)  # codepoints; see module docstring deviation note
+        if ("minLength" in schema or "maxLength" in schema) and not value.isascii():
+            # grapheme-cluster counting like the reference's BreakIterator
+            # (StringValidators.scala:126-132); ASCII short-circuits to len
+            from sparkschema.spec.jsonvalue import grapheme_length
+            n = grapheme_length(value)
+        else:
+            n = len(value)
 
         mn = schema.get("minLength")
         if isinstance(mn, int) and not isinstance(mn, bool) and n < mn:

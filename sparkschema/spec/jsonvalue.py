@@ -96,6 +96,36 @@ def as_decimal(v: Any) -> Decimal:
 
 
 # ---------------------------------------------------------------------------
+# string length (grapheme-cluster approximation)
+
+def grapheme_length(s: str) -> int:
+    """Length in grapheme clusters, approximated without ICU.
+
+    The reference counts BreakIterator grapheme clusters
+    (StringValidators.scala:126-132). Python has no ICU here, so we fold
+    the dominant cases: combining marks (Mn/Me/Mc) and zero-width joiners
+    attach to the previous cluster; everything else (including astral
+    codepoints, which Python already counts as 1) starts a new cluster.
+    Exact for ASCII, astral chars, and combining sequences; emoji ZWJ
+    family sequences still count their visible parts."""
+    import unicodedata
+
+    n = 0
+    prev_joiner = False
+    for ch in s:
+        if ch == "‍":
+            prev_joiner = True
+            continue
+        if prev_joiner:
+            prev_joiner = False
+            continue  # ZWJ glues this char to the previous cluster
+        if n > 0 and unicodedata.category(ch) in ("Mn", "Me", "Mc"):
+            continue
+        n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
 # deep equality & canonical form
 
 def canonical(v: Any) -> Any:

@@ -127,3 +127,17 @@ def test_histogram_counts_match_duckdb(lineitem):
         from '{SF}/lineitem.parquet' group by 1
     """).fetchall())
     assert h == exp
+
+
+def test_drift_vs_stored_histogram(lineitem):
+    """Drift against a stored histogram (checkpoint-manifest path)."""
+    ref = [(r.bucket, r.cnt) for r in
+           stats.histogram(lineitem, "l_extendedprice", 0, 60000, 16).collect()]
+    same = drift.drift_check_vs_histogram(lineitem, "l_extendedprice", ref,
+                                          0, 60000, 16)
+    assert same["pass"] and same["ks"] < 1e-9
+    import pyspark.sql.functions as F
+    shifted = lineitem.withColumn("l_extendedprice", F.col("l_extendedprice") * 2)
+    bad = drift.drift_check_vs_histogram(shifted, "l_extendedprice", ref,
+                                         0, 60000, 16)
+    assert not bad["pass"]

@@ -100,3 +100,18 @@ def test_violations_accumulate_across_keywords():
     )
     kws = sorted(e.keyword for e in errs)
     assert kws == ["minLength", "minimum", "required"]
+
+
+def test_grapheme_cluster_lengths():
+    """minLength/maxLength count grapheme clusters like the reference's
+    BreakIterator (SURVEY.md §7 watch-list item): combining sequences are
+    one cluster, astral codepoints are one cluster."""
+    combining = "e\u0301"  # e + COMBINING ACUTE ACCENT -> 1 cluster
+    assert not validate({"maxLength": 1}, combining)
+    assert validate({"minLength": 2}, combining)
+    astral = "\U0001F4A9"
+    assert not validate({"maxLength": 1}, astral)
+    assert not validate({"minLength": 1}, astral)
+    # the reference golden case: two supplementary codepoints are length 2
+    assert not validate({"maxLength": 2}, astral * 2)
+    assert validate({"maxLength": 1}, astral * 2)
