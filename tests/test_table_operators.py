@@ -141,3 +141,13 @@ def test_drift_vs_stored_histogram(lineitem):
     bad = drift.drift_check_vs_histogram(shifted, "l_extendedprice", ref,
                                          0, 60000, 16)
     assert not bad["pass"]
+
+
+def test_salted_uniqueness_extreme_skew(spark):
+    """1M rows where 50% share ONE key: the salted two-phase agg must
+    produce exact counts (the skew scenario salting exists for)."""
+    df = spark.range(1_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(42)).otherwise(F.col("id")).alias("k"))
+    dups = uniqueness.duplicate_keys(df, "k", salt_lanes=16)
+    rows = {r.k: r.dup_count for r in dups.collect()}
+    assert rows == {42: 500_000}
