@@ -94,11 +94,12 @@ def _q_enum_violations_lineitem(spark, sf):
 def _q_pattern_match_customer(spark, sf):
     c = spark.read.parquet(_t(sf, "customer"))
     pat = "^Customer#[0-9]{9}$"
+    # phone_prefix stays a constant 0 on BOTH sides: the oracle hardcodes it,
+    # and a data-dependent Spark branch would silently diverge if the dataset
+    # ever gained a c_phone column (ADVICE r1).
     return c.agg(
         F.count(F.lit(1)).alias("total_rows"),
         F.sum(F.col("c_name").rlike(pat).cast("long")).alias("matched"),
-        F.sum(F.col("c_phone").rlike("^[0-9]{2}-").cast("long")).alias("phone_prefix")
-        if "c_phone" in c.columns else
         F.lit(0).cast("long").alias("phone_prefix"))
 
 

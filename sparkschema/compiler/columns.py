@@ -81,6 +81,84 @@ def _num_lit(v: Any) -> Column:
     return F.lit(v)
 
 
+def grapheme_length_col(col: Column) -> Column:
+    """String length in grapheme clusters — the Catalyst twin of
+    jsonvalue.grapheme_length (reference counts BreakIterator clusters,
+    StringValidators.scala:126-132). ASCII fast path: when codepoint count
+    equals byte count the string is pure ASCII and F.length is already the
+    cluster count (no regex runs — CASE branches evaluate lazily in
+    codegen). Otherwise fold ZWJ-glued chars and non-leading combining
+    marks (Mn/Me/Mc) before counting, matching the kernel's approximation
+    exactly on its documented cases."""
+    zwj = "‍"
+    no_zwj = F.regexp_replace(col, f"(?s){zwj}+.?", "")
+    folded = F.concat(
+        F.substring(no_zwj, 1, 1),
+        F.regexp_replace(F.substring(no_zwj, 2, 2147483646),
+                         r"[\p{Mn}\p{Me}\p{Mc}]", ""))
+    return F.when(F.length(col) == F.octet_length(col), F.length(col)) \
+            .otherwise(F.length(folded))
+
+
+def json_eq_col(col: Column, v: Any, dt: T.DataType) -> Column:
+    """Boolean Column: value at ``col`` deep-equals JSON value ``v``.
+
+    Structural recursion over the column dtype — never a string rendering,
+    so struct field order, double formatting (``1.0`` vs ``1``) and omitted
+    null fields cannot cause false mismatches (the to_json-vs-canonical_json
+    trap). JSON semantics mirror jsonvalue.json_equal: numbers compare by
+    value (``1.0 ≡ 1``), booleans never equal numbers, SQL NULL models JSON
+    null/absent. May return SQL NULL when inner comparisons hit NULLs —
+    callers coalesce."""
+    if v is None:
+        return col.isNull()
+    if isinstance(dt, T.StructType):
+        if not isinstance(v, dict):
+            return F.lit(False)
+        names = {f.name for f in dt.fields}
+        if any(k not in names for k in v):
+            return F.lit(False)  # key the dtype can't carry ⇒ never equal
+        cond = col.isNotNull()
+        for f in dt.fields:
+            cond = cond & json_eq_col(col[f.name], v.get(f.name), f.dataType)
+        return cond
+    if isinstance(dt, T.ArrayType):
+        if not isinstance(v, (list, tuple)):
+            return F.lit(False)
+        cond = col.isNotNull() & (F.size(col) == len(v))
+        for i, x in enumerate(v):
+            cond = cond & json_eq_col(F.get(col, i), x, dt.elementType)
+        return cond
+    if isinstance(dt, T.MapType):
+        if not isinstance(v, dict):
+            return F.lit(False)
+        cond = col.isNotNull() & (F.size(col) == len(v))
+        for k, x in v.items():
+            el = F.try_element_at(col, F.lit(k))
+            if x is None:
+                # JSON null value: key must exist but map NULL ≡ absent in the
+                # columnar model, so require the key and a NULL value.
+                cond = cond & F.map_contains_key(col, F.lit(k)) & el.isNull()
+            else:
+                cond = cond & json_eq_col(el, x, dt.valueType)
+        return cond
+    # scalars
+    domain = json_domain(dt)
+    if domain == "number":
+        if not is_number(v):
+            return F.lit(False)
+        from sparkschema.spec.jsonvalue import as_decimal
+        return col == F.lit(as_decimal(v))
+    if domain == "boolean":
+        return (col == F.lit(v)) if isinstance(v, bool) else F.lit(False)
+    if domain == "string":
+        if not isinstance(v, str):
+            return F.lit(False)
+        scol = col if isinstance(dt, T.StringType) else col.cast("string")
+        return scol == F.lit(v)
+    return F.lit(False)
+
+
 def _render_template(key: str, args: list[Column | str],
                      catalog: dict[str, str] | None = None) -> Column:
     """Catalyst twin of messages.render: build the message as a concat of
@@ -221,10 +299,15 @@ class ColumnCompiler:
         elif domain == "boolean":
             lits = [v for v in enum if isinstance(v, bool)]
         else:
-            # complex columns: canonical-JSON comparison
-            from sparkschema.spec.jsonvalue import canonical_json
-            cands = [canonical_json(v) for v in enum]
-            return ~F.to_json(col).isin(cands) if cands else col.isNotNull()
+            # complex columns: structural typed equality (never to_json —
+            # field order / 1.0-vs-1 rendering would false-flag)
+            eqs = [json_eq_col(col, v, dt) for v in enum]
+            if not eqs:
+                return col.isNotNull()
+            any_eq = eqs[0]
+            for e in eqs[1:]:
+                any_eq = any_eq | e
+            return ~F.coalesce(any_eq, F.lit(False))
         if not lits:
             return col.isNotNull()  # nothing of this type in the enum
         return ~col.isin(lits)
@@ -238,8 +321,7 @@ class ColumnCompiler:
         if domain == "boolean" and isinstance(const, bool):
             return ~(col == F.lit(const))
         if domain in ("array", "object"):
-            from sparkschema.spec.jsonvalue import canonical_json
-            return ~(F.to_json(col) == F.lit(canonical_json(const)))
+            return ~F.coalesce(json_eq_col(col, const, dt), F.lit(False))
         return col.isNotNull()  # type-mismatched const: every present value fails
 
     def _number_checks(self, schema, col, dt, spath, ipath, present) -> list[Check]:
@@ -273,13 +355,7 @@ class ColumnCompiler:
 
         mo = schema.get("multipleOf")
         if is_number(mo):
-            if statically_integer(dt) and isinstance(mo, int):
-                fail = (col % F.lit(mo)) != 0
-            else:
-                # decimal-exact remainder (NumberValidators.scala:89-109):
-                # cast through decimal so 0.01-style factors stay exact
-                d = col.cast("decimal(38,12)")
-                fail = (d % F.lit(Decimal(str(mo)))) != 0
+            fail = self._multiple_of_fail(col, dt, mo)
             out.append(self._chk("multipleOf", f"{spath}/multipleOf", ipath,
                                  present & fail, col, "num.multiple.of",
                                  vs, F.lit(str(mo))))
@@ -291,17 +367,95 @@ class ColumnCompiler:
                                  col, "str.format", vs, F.lit(fmt)))
         return out
 
+    @staticmethod
+    def _multiple_of_fail(col: Column, dt: T.DataType, mo: Any) -> Column:
+        """Decimal-exact remainder (NumberValidators.scala:89-109) without the
+        decimal(38,12) overflow window: values beyond the cast range used to
+        go NULL and silently pass while the widening kernel flagged them.
+
+        Tiers (all pure Catalyst):
+        - integral col: native int % for whole ``mo``; exact decimal % for
+          fractional ``mo`` (long ⤳ decimal(38, s) never overflows: 19 int
+          digits + scale ≤ 18 fits precision 38);
+        - decimal col: native decimal % — exact, no cast;
+        - double/float col, binary-representable ``mo`` (0.5, 0.25, 3.0 …):
+          IEEE fmod is exact for EVERY finite double (incl. 5e33 % 0.5) —
+          no decimal cast at all;
+        - double/float col, truly-decimal ``mo = M·10⁻ˢ``: three ranges.
+          |v| < 10¹⁹ via decimal(38, max(s,12)) with a round-trip guard (a
+          value needing more fractional digits than the scale cannot be a
+          multiple of a 10⁻ˢ-step ⇒ violation); 10¹⁹ ≤ |v| < 10³⁸
+          (necessarily whole — every double ≥ 2⁵³ is an integer) via
+          decimal(38,0) % mo, which matches the kernel bit-for-bit because
+          Spark's double→decimal cast goes through Double.toString shortest
+          repr, the same view as_decimal takes; |v| ≥ 10³⁸ by parsing
+          Spark's scientific rendering: mantissa·10^17 is an exact ≤18-digit
+          integer, and (v·10ˢ) mod M reduces via a 310-entry 10^r mod M
+          literal LUT — shortest-repr-exact to 1.8e308.
+        Known approximation (documented): mo with scale > 18 or ≥ 16
+        significant digits clips to the decimal path."""
+        from sparkschema.spec.jsonvalue import as_decimal
+        mo_dec = as_decimal(mo).normalize()
+        is_whole_mo = mo_dec == mo_dec.to_integral_value()
+        s = max(-mo_dec.as_tuple().exponent, 0)
+
+        if statically_integer(dt):
+            if is_whole_mo:
+                return (col % F.lit(int(mo_dec))) != 0
+            scale = min(s, 18)
+            return (col.cast(f"decimal(38,{scale})") % F.lit(mo_dec)) != 0
+        if isinstance(dt, T.DecimalType):
+            return (col % F.lit(mo_dec)) != 0
+
+        # double / float columns
+        dbl = col.cast("double")
+        binary_mo = Decimal(float(mo_dec)) == mo_dec
+
+        if binary_mo:
+            # IEEE fmod is exact for every finite double; below 2^53 its
+            # verdict provably equals the kernel's shortest-repr view.
+            base_fail = (col % F.lit(float(mo_dec))) != 0
+        else:
+            scale = min(max(s, 12), 18)
+            dcol = col.cast(f"decimal(38,{scale})")
+            roundtrips = dcol.isNotNull() & (dcol.cast("double") == dbl)
+            base_fail = F.when(roundtrips, (dcol % F.lit(mo_dec)) != 0) \
+                         .otherwise(F.lit(True))
+
+        # [2^53, 1e38): the double is whole; decimal(38,0) goes through
+        # Double.toString shortest repr — bit-for-bit kernel parity.
+        big_fail = (col.cast("decimal(38,0)") % F.lit(mo_dec)) != 0
+
+        M = int(mo_dec.scaleb(s))
+        if M >= 1 and s <= 18:
+            # |v| ≥ 1e38: Spark renders the double scientifically
+            # ("1.234E301"); mantissa·10^17 is an exact ≤18-digit integer of
+            # the shortest repr, so (v·10^s) mod M reduces with a
+            # power-of-ten LUT — bit-for-bit kernel parity out to 1.8e308.
+            sstr = F.abs(dbl).cast("string")
+            mant = (F.substring_index(sstr, "E", 1).cast("decimal(18,17)")
+                    * F.lit(10 ** 17)).cast("decimal(36,0)")
+            expo = F.substring_index(sstr, "E", -1).cast("int") - 17 + s
+            lut = F.array(*[F.lit(pow(10, r, M)) for r in range(310)])
+            huge_fail = F.pmod(F.pmod(mant, F.lit(M)) * F.get(lut, expo),
+                               F.lit(M)) != 0
+        else:
+            huge_fail = big_fail  # pathological mo: overflow ⇒ NULL ⇒ pass
+        return (F.when(F.abs(dbl) >= F.lit(1e38), huge_fail)
+                 .when(F.abs(dbl) >= F.lit(float(2 ** 53)), big_fail)
+                 .otherwise(base_fail))
+
     def _string_checks(self, schema, col, spath, ipath, present) -> list[Check]:
         out: list[Check] = []
         mn = schema.get("minLength")
         if isinstance(mn, int) and not isinstance(mn, bool):
             out.append(self._chk("minLength", f"{spath}/minLength", ipath,
-                                 present & (F.length(col) < mn), col,
+                                 present & (grapheme_length_col(col) < mn), col,
                                  "str.min.length", col, F.lit(str(mn))))
         mx = schema.get("maxLength")
         if isinstance(mx, int) and not isinstance(mx, bool):
             out.append(self._chk("maxLength", f"{spath}/maxLength", ipath,
-                                 present & (F.length(col) > mx), col,
+                                 present & (grapheme_length_col(col) > mx), col,
                                  "str.max.length", col, F.lit(str(mx))))
         pat = schema.get("pattern")
         if isinstance(pat, str):

@@ -40,7 +40,9 @@ def _build_validator(schema_text: str, docs_text: str, dialect: str):
 
     schema = parse_json(schema_text)
     reg = SpecRegistry(dialect)
-    for uri, doc in json.loads(docs_text).items():
+    # parse_json (not json.loads): fractional keyword values must come back
+    # as Decimal so is_number()/multipleOf see them (BigDecimal parity).
+    for uri, doc in parse_json(docs_text).items():
         reg.add_schema(uri, doc)
     root_uri = "urn:sparkschema:jsoncol"
     reg.index.add_document(root_uri, schema, sniff_dialect(schema, dialect))
@@ -48,10 +50,13 @@ def _build_validator(schema_text: str, docs_text: str, dialect: str):
 
 
 def _make_udfs(schema: Any, registry, dialect: str):
-    from sparkschema.spec.jsonvalue import dump_json
+    from sparkschema.spec.jsonvalue import dump_json_exact
 
-    schema_text = dump_json(schema) if not isinstance(schema, str) else schema
-    docs_text = json.dumps(getattr(registry, "_docs", {}) or {}, default=str)
+    # dump_json_exact keeps Decimal keyword values (minimum: 0.5, multipleOf:
+    # 0.25, ...) as JSON numbers; json.dumps(default=str) would quote them and
+    # the executor-side rebuild would silently drop the keyword.
+    schema_text = dump_json_exact(schema) if not isinstance(schema, str) else schema
+    docs_text = dump_json_exact(getattr(registry, "_docs", {}) or {})
 
     state: dict[str, Any] = {}
 

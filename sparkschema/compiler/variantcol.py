@@ -189,10 +189,12 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
     isstr = present & _is_string(v)
     mn = schema.get("minLength")
     if isinstance(mn, int) and not isinstance(mn, bool):
-        ok = ok & ~(isstr & (F.length(s) < mn))
+        from sparkschema.compiler.columns import grapheme_length_col
+        ok = ok & ~(isstr & (grapheme_length_col(s) < mn))
     mx = schema.get("maxLength")
     if isinstance(mx, int) and not isinstance(mx, bool):
-        ok = ok & ~(isstr & (F.length(s) > mx))
+        from sparkschema.compiler.columns import grapheme_length_col
+        ok = ok & ~(isstr & (grapheme_length_col(s) > mx))
     pat = schema.get("pattern")
     if isinstance(pat, str):
         ok = ok & ~(isstr & ~s.rlike(pat))

@@ -2,14 +2,17 @@
 (reference: internal/validators/ArrayConstraintValidators.scala:76-95;
 SURVEY.md §2.4 "salted hash-aggregate").
 
-Scale design: a duplicate-key check is a two-phase aggregation. Phase 1
-groups by ``(key, salt)`` where the salt derives from the *physical
-partition id*, so a pathologically hot key (billions of identical
-``phash`` values) is first collapsed within each of S salt lanes — no
-single reducer ever receives more than 1/S of a hot key's partials.
-Phase 2 sums the per-salt partial counts per key. For well-distributed
-keys the salt is ~free (map-side combine already collapses per-partition
-duplicates); for skewed keys it bounds the worst reducer.
+Scale design: the default is a single hash aggregation. For a COUNT
+aggregate, Spark's map-side partial agg collapses every partition's copies
+of a hot key to ONE partial row before the exchange, so even a
+billion-row hot key sends at most #map-partitions rows to its reducer —
+skew-immune without salting. The opt-in ``salt_lanes > 1`` path is a
+two-phase aggregation — phase 1 groups by ``(key, partition-derived
+salt)``, phase 2 merges per-salt partials — for aggregates where partial
+agg cannot collapse (e.g. huge per-partition distinct-key counts forcing
+the hash-agg sort fallback). Measured on a 20M-row near-unique key table,
+always-on salting doubled the exchanged volume (every key re-shuffled in
+phase 2), hence the adaptive default of 1 (VERDICT r1 #5).
 """
 
 from __future__ import annotations
@@ -19,10 +22,12 @@ from pyspark.sql import functions as F
 
 
 def duplicate_keys(df: DataFrame, keys: list[str] | str,
-                   salt_lanes: int = 16) -> DataFrame:
+                   salt_lanes: int = 1) -> DataFrame:
     """Keys occurring more than once: ``(key..., dup_count)``.
 
-    ``salt_lanes`` controls skew resistance; 1 disables salting.
+    ``salt_lanes > 1`` opts into the two-phase salted aggregation (see
+    module docstring); the default single groupBy is already skew-safe
+    for count aggregates via map-side combine.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     if salt_lanes > 1:
@@ -37,7 +42,7 @@ def duplicate_keys(df: DataFrame, keys: list[str] | str,
 
 
 def duplicate_violations(df: DataFrame, keys: list[str] | str,
-                         salt_lanes: int = 16,
+                         salt_lanes: int = 1,
                          keyword: str = "x-unique") -> DataFrame:
     """Duplicate keys rendered as violation rows matching the engine's
     violation contract (keyword, schema_path, instance_path, value, msg)."""
@@ -56,7 +61,7 @@ def duplicate_violations(df: DataFrame, keys: list[str] | str,
 
 
 def uniqueness_verdict(df: DataFrame, keys: list[str] | str,
-                       salt_lanes: int = 16) -> DataFrame:
+                       salt_lanes: int = 1) -> DataFrame:
     """One verdict row: ``(check, pass, dup_keys, dup_rows)``."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     dups = duplicate_keys(df, keys, salt_lanes)

@@ -49,7 +49,7 @@ def run_validation(
     dialect: str | None = None,
     psnr_min: float = 40.0,
     drift_defaults: dict | None = None,
-    salt_lanes: int = 16,
+    salt_lanes: int = 1,
 ) -> ValidationResult:
     """Compile ``spec`` against ``df`` and run every requested check.
 

@@ -22,9 +22,13 @@ Semantics follow the reference validator observable behavior (SURVEY.md §2.2,
   depth-capped (err.max.depth).
 
 Known, documented deviations (SURVEY.md §7 watch list):
-- ``minLength``/``maxLength`` count Unicode codepoints, not grapheme
-  clusters (reference uses BreakIterator, StringValidators.scala:126-132);
-  identical on ASCII and astral chars, differs on combining sequences.
+- ``minLength``/``maxLength`` count grapheme clusters via an ICU-free
+  approximation (jsonvalue.grapheme_length: combining marks and ZWJ-glued
+  chars fold into the previous cluster) — matches the reference's
+  BreakIterator (StringValidators.scala:126-132) on ASCII, astral chars
+  and combining sequences; emoji ZWJ families may still differ. The
+  columnar and VARIANT paths use the same fold in SQL
+  (compiler.columns.grapheme_length_col).
 - ``pattern`` uses Python ``re`` (unanchored ``search``), not Nashorn
   ECMA-262; dialects agree on the fixture corpus.
 """

@@ -167,6 +167,34 @@ def dump_json(v: Any) -> str:
     return json.dumps(v, default=_decimal_default, separators=(",", ":"), ensure_ascii=False)
 
 
+def dump_json_exact(v: Any) -> str:
+    """Lossless JSON text: ``Decimal`` renders as its exact decimal literal
+    (``0.5`` stays ``0.5``, ``5E+33`` stays ``5E+33`` — both valid JSON
+    numbers), so ``parse_json(dump_json_exact(v))`` round-trips numerics
+    bit-exactly. Used to broadcast schema/registry documents to executors
+    (BigDecimal parity for ``multipleOf``/bounds — the reference keeps
+    ``JsNumber(BigDecimal)`` end-to-end, SchemaValidator.scala:84-92)."""
+    def enc(x: Any) -> str:
+        if x is None:
+            return "null"
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        if isinstance(x, Decimal):
+            return str(x)  # exact decimal literal; JSON grammar allows E-notation
+        if isinstance(x, (int, float)):
+            return json.dumps(x)
+        if isinstance(x, str):
+            return json.dumps(x, ensure_ascii=False)
+        if isinstance(x, (list, tuple)):
+            return "[" + ",".join(enc(i) for i in x) + "]"
+        if isinstance(x, dict):
+            return "{" + ",".join(
+                f"{json.dumps(str(k), ensure_ascii=False)}:{enc(val)}"
+                for k, val in x.items()) + "}"
+        raise TypeError(f"not a JSON value: {type(x)!r}")
+    return enc(v)
+
+
 def canonical_json(v: Any) -> str:
     """Canonical JSON text: sorted keys + normalized numbers. Equal JSON
     values (per :func:`json_equal`) render identically — usable as a

@@ -1,0 +1,207 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md r1):
+
+1. Decimal keyword values survive the registry broadcast to executors
+   (jsoncol): a $ref'd document with fractional minimum/multipleOf must
+   still be enforced worker-side.
+2. enum/const on complex columns use structural typed equality, never a
+   to_json-vs-canonical_json string comparison (field order, 1.0-vs-1).
+3. multipleOf on fractional columns has no decimal(38,12) overflow window:
+   extreme values agree with the widening kernel.
+4. minLength/maxLength count grapheme clusters on all three paths.
+"""
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from sparkschema.compiler.columns import ColumnCompiler, grapheme_length_col
+from sparkschema.spec.interpreter import Validator
+from sparkschema.spec.jsonvalue import grapheme_length, parse_json
+from sparkschema.spec.registry import SpecRegistry
+
+
+# ---------------------------------------------------------------------------
+# 1. Decimal-exact registry broadcast (ADVICE high)
+
+def test_jsoncol_ref_with_fractional_keywords(spark):
+    from sparkschema.compiler.jsoncol import json_valid_column
+
+    reg = SpecRegistry("draft7")
+    reg.add_schema("http://example.com/frac.json",
+                   parse_json('{"minimum": 0.5, "multipleOf": 0.25}'))
+    schema = {"$ref": "http://example.com/frac.json"}
+    df = spark.createDataFrame(
+        [("a", "0.1"), ("b", "0.75"), ("c", "0.6"), ("d", "2")],
+        "id string, js string")
+    got = {r.id: r.ok for r in
+           df.select("id", json_valid_column("js", schema, registry=reg)
+                     .alias("ok")).collect()}
+    # 0.1 fails minimum 0.5; 0.6 fails multipleOf 0.25; 0.75 and 2 pass
+    assert got == {"a": False, "b": True, "c": False, "d": True}
+
+
+def test_dump_json_exact_roundtrips_decimals():
+    from sparkschema.spec.jsonvalue import dump_json_exact
+
+    doc = parse_json('{"minimum": 0.5, "multipleOf": 0.25, "x": [1.5, 5e33], '
+                     '"s": "t", "n": null, "b": true, "i": 7}')
+    back = parse_json(dump_json_exact(doc))
+    assert back == doc
+    assert isinstance(back["minimum"], Decimal)
+    assert back["minimum"] == Decimal("0.5")
+
+
+# ---------------------------------------------------------------------------
+# 2. enum/const structural equality on complex columns (ADVICE medium)
+
+def test_enum_const_on_struct_columns(spark):
+    # non-alphabetical field order + whole doubles: the to_json rendering
+    # trap from ADVICE r1. zeta sorts after alpha; 1.0 must equal 1.
+    df = spark.createDataFrame(
+        [(1, {"zeta": 1.0, "alpha": "x"}), (2, {"zeta": 2.0, "alpha": "y"}),
+         (3, None)],
+        "i int, s struct<zeta: double, alpha: string>")
+    cc = ColumnCompiler()
+    spec_enum = {"enum": [{"alpha": "x", "zeta": 1}, {"alpha": "q", "zeta": 9}]}
+    spec_const = {"const": {"zeta": 2, "alpha": "y"}}
+    got = {r.i: (r.e, r.c) for r in df.select(
+        "i",
+        cc.compile_valid(spec_enum, F.col("s"), df.schema["s"].dataType).alias("e"),
+        cc.compile_valid(spec_const, F.col("s"), df.schema["s"].dataType).alias("c"),
+    ).collect()}
+    assert got[1] == (True, False)
+    assert got[2] == (False, True)
+    assert got[3] == (True, True)  # NULL ⇒ vacuous pass
+
+
+def test_const_on_double_array_column(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0]), (2, [1.0, 2.5]), (3, [1.0])],
+                               "i int, a array<double>")
+    cc = ColumnCompiler()
+    dt = df.schema["a"].dataType
+    got = {r.i: (r.c, r.e) for r in df.select(
+        "i",
+        cc.compile_valid({"const": [1, 2]}, F.col("a"), dt).alias("c"),
+        cc.compile_valid({"enum": [[1, 2.5], [1.0]]}, F.col("a"), dt).alias("e"),
+    ).collect()}
+    assert got[1] == (True, False)
+    assert got[2] == (False, True)
+    assert got[3] == (False, True)
+
+
+def test_enum_const_on_map_columns(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1.0, "b": 2.0}), (2, {"a": 1.0}), (3, {"a": 1.0, "c": 3.0})],
+        "i int, m map<string, double>")
+    cc = ColumnCompiler()
+    dt = df.schema["m"].dataType
+    got = {r.i: (r.c, r.e) for r in df.select(
+        "i",
+        cc.compile_valid({"const": {"b": 2, "a": 1}}, F.col("m"), dt).alias("c"),
+        cc.compile_valid({"enum": [{"a": 1}, {"a": 1, "c": 3.0}]},
+                         F.col("m"), dt).alias("e"),
+    ).collect()}
+    assert got[1] == (True, False)
+    assert got[2] == (False, True)
+    assert got[3] == (False, True)
+
+
+def test_enum_never_crosses_bool_number(spark):
+    df = spark.createDataFrame([(1, [1.0]), (2, [0.0])], "i int, a array<double>")
+    cc = ColumnCompiler()
+    dt = df.schema["a"].dataType
+    got = {r.i: r.e for r in df.select(
+        "i", cc.compile_valid({"enum": [[True], [False]]}, F.col("a"), dt)
+        .alias("e")).collect()}
+    assert got == {1: False, 2: False}  # 1 ≢ true, 0 ≢ false
+
+
+# ---------------------------------------------------------------------------
+# 3. multipleOf extreme values: columnar vs kernel parity (ADVICE low)
+
+MO_EXTREME_VALUES = [
+    None, 0.0, 0.1, 0.2, 0.25, 0.5, 0.75, 1.0, 2.5, 3.0, 1e-13, 2.5e-12,
+    1234.56, 9.75, 1e9, 5e33, 1e30, 3e20, 2.5e20, 1e40, 7.2e41, 1e300,
+    123456789.123456, -0.3, -5e33, 9007199254740992.0, 9007199254740994.0,
+]
+MO_SPECS = [
+    {"multipleOf": 0.5}, {"multipleOf": 0.25}, {"multipleOf": 0.1},
+    {"multipleOf": 0.01}, {"multipleOf": 3}, {"multipleOf": 2},
+    {"multipleOf": 0.3}, {"multipleOf": 1},
+]
+
+
+def test_multipleof_extreme_double_parity(spark):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(MO_EXTREME_VALUES)],
+                               "i int, x double")
+    cc = ColumnCompiler()
+    kernel = Validator()
+    cols = [cc.compile_valid(parse_json(__import__("json").dumps(s)),
+                             F.col("x"), df.schema["x"].dataType).alias(f"s{j}")
+            for j, s in enumerate(MO_SPECS)]
+    got = {r["i"]: r for r in df.select("i", *cols).collect()}
+    problems = []
+    for j, s in enumerate(MO_SPECS):
+        spec = parse_json(__import__("json").dumps(s))
+        for i, v in enumerate(MO_EXTREME_VALUES):
+            columnar = got[i][f"s{j}"]
+            expected = True if v is None else not kernel.validate(spec, v)
+            if bool(columnar) != expected:
+                problems.append(f"spec={s} value={v!r}: columnar={columnar} "
+                                f"kernel={expected}")
+    assert not problems, "\n".join(problems)
+
+
+def test_multipleof_decimal_column_no_cast_overflow(spark):
+    df = spark.createDataFrame(
+        [(1, Decimal("123456789012345678901234567.89")),
+         (2, Decimal("123456789012345678901234567.80")),
+         (3, Decimal("0.05"))],
+        "i int, x decimal(38,2)")
+    cc = ColumnCompiler()
+    dt = df.schema["x"].dataType
+    got = {r.i: r.ok for r in df.select(
+        "i", cc.compile_valid({"multipleOf": parse_json("0.1")}, F.col("x"), dt)
+        .alias("ok")).collect()}
+    # .89 is not a multiple of 0.1; .80 is; 0.05 is not — the old
+    # decimal(38,12) cast would NULL-overflow rows 1-2 and silently pass both
+    assert got == {1: False, 2: True, 3: False}
+
+
+# ---------------------------------------------------------------------------
+# 4. grapheme-cluster lengths in SQL (columnar + VARIANT paths)
+
+GRAPHEME_SAMPLES = [
+    "", "abc", "hello world",                    # ASCII fast path
+    "café",                                # combining acute: 4 clusters
+    "á̂b",                            # stacked marks: 2 clusters
+    "́x",                                   # leading mark counts: 2
+    "e‍x",                                  # ZWJ glue: 1 cluster
+    "a‍",                                   # trailing ZWJ: 1
+    "‍a b",                                 # leading ZWJ eats 'a': 3→" b"+1
+    "naïve", "日本語", "𝔘𝔫𝔦", "👍👍",
+]
+
+
+def test_grapheme_length_col_matches_kernel(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(GRAPHEME_SAMPLES)],
+                               "i int, s string")
+    got = {r.i: r.n for r in
+           df.select("i", grapheme_length_col(F.col("s")).alias("n")).collect()}
+    for i, s in enumerate(GRAPHEME_SAMPLES):
+        assert got[i] == grapheme_length(s), (
+            f"{s!r}: sql={got[i]} kernel={grapheme_length(s)}")
+
+
+def test_minlength_grapheme_parity_columnar(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(GRAPHEME_SAMPLES)],
+                               "i int, s string")
+    cc = ColumnCompiler()
+    kernel = Validator()
+    dt = df.schema["s"].dataType
+    for spec in ({"minLength": 2}, {"maxLength": 3}, {"minLength": 5}):
+        got = {r.i: r.ok for r in df.select(
+            "i", cc.compile_valid(spec, F.col("s"), dt).alias("ok")).collect()}
+        for i, s in enumerate(GRAPHEME_SAMPLES):
+            expected = not kernel.validate(spec, s)
+            assert bool(got[i]) == expected, f"spec={spec} s={s!r}"
