@@ -10,10 +10,20 @@ input_hint shape), excluding Spark session startup. The image table is
 materialized to parquet once under /tmp and reused, so the benchmark
 measures scan+validate, not generation.
 
-``SPARK_GRAFT_SCALING=1`` additionally runs the flagship job at local[8]
-and local[32] in separate sessions and reports throughput at both plus
-scaling efficiency ``eff = (thr_32/thr_8)/4`` (BASELINE.md two-cluster-size
-evidence).
+The two-cluster-size evidence (BASELINE.md north rule) is part of the
+DEFAULT run: the flagship job executes at local[N] and local[4N] in
+separate sessions and the output carries a ``scaling`` block with
+throughput at both plus ``efficiency = (thr_4N/thr_N)/4``. Disable with
+``SPARK_GRAFT_SCALING=0`` (e.g. for quick iteration); tune the pair with
+``SPARK_GRAFT_SCALE_N`` (default 4 → 16: this host exposes 32 hardware
+threads on ~16 physical cores, so 8→32 would measure SMT, not scaling).
+
+Cold-environment robustness (VERDICT r1 #3): the round-1 driver run
+measured the flagship 10× slower than the builder run because the bench
+tables were out of page cache — the first reads were disk-bound and even
+best-of-3 after one warm-up hadn't converged. Every timing below is
+preceded by an explicit page-cache warm (sequential read of all table
+files) so the number measures the engine, not the disk.
 """
 
 from __future__ import annotations
@@ -68,6 +78,11 @@ def make_session(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # shuffle spill on tmpfs: this sandbox's disk reads ~150 MB/s and the
+        # kernel evicts page cache aggressively; RAM is 125 GiB
+        .config("spark.local.dir",
+                "/dev/shm/sparkschema_local" if os.path.isdir("/dev/shm")
+                else "/tmp/sparkschema_local")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -86,6 +101,26 @@ def ensure_image_tables(spark, cpus: int) -> None:
         images_df(spark, BYTES_ROWS, with_bytes=True, variant="ref",
                   partitions=cpus * 2) \
             .write.mode("overwrite").parquet(REF_BYTES_TABLE)
+
+
+def warm_page_cache(*paths: str) -> float:
+    """Sequentially read every file under ``paths`` so timed runs measure
+    compute, not cold disk. Returns GiB touched."""
+    buf = bytearray(1 << 20)
+    total = 0
+    for p in paths:
+        for root, _, files in os.walk(p):
+            for fname in files:
+                try:
+                    with open(os.path.join(root, fname), "rb", buffering=0) as fh:
+                        while True:
+                            n = fh.readinto(buf)
+                            if not n:
+                                break
+                            total += n
+                except OSError:
+                    pass
+    return total / (1 << 30)
 
 
 def flagship_validate(spark) -> tuple[float, int]:
@@ -123,7 +158,12 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
     out: dict[str, float] = {}
     imgs = spark.read.parquet(IMAGE_TABLE)
 
-    # flagship violations (full build incl. explode) + verdicts + table ops
+    # flagship violations (full build incl. explode) + verdicts + table ops.
+    # Re-warm before each table group: this sandbox's kernel evicts page
+    # cache within minutes, and a cold 2.6 GiB byte-table read costs >100 s
+    # at this disk's ~150 MB/s — that, not compute, was the round-1 driver
+    # bench's dominant term.
+    warm_page_cache(IMAGE_TABLE)
     from sparkschema.compiler.table import compile_table_spec
     cts = compile_table_spec(FLAGSHIP_SPEC, imgs, key_cols=["image_id"])
     out["flagship_violations"] = timed(lambda: cts.violations(imgs).count())
@@ -138,18 +178,29 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
 
     bimgs = spark.read.parquet(IMAGE_BYTES_TABLE)
     bref = spark.read.parquet(REF_BYTES_TABLE)
+    warm_page_cache(IMAGE_BYTES_TABLE, REF_BYTES_TABLE)
     out["image_roundtrip_psnr"] = timed(
         lambda: roundtrip_verdict(bimgs, bref).collect())
 
     # TPC-ish operator queries on sf_dir
+    warm_page_cache(sf_dir)
     qs = entry_mod.queries()
     for name in ("range_violations_lineitem", "minmax_lineitem",
                  "duplicate_orderkeys", "histogram_extendedprice",
                  "drift_ks_lineitem", "token_stats_documents",
-                 "minhash_pairs_documents", "embedding_topk",
-                 "events_json_invalid", "hll_distinct_lineitem"):
+                 "embedding_topk", "events_json_invalid",
+                 "hll_distinct_lineitem"):
         fn = qs[name]
         out[name] = timed(lambda f=fn: f(spark, sf_dir).count())
+
+    # full-corpus near-dup sweep (the queries() entry is now a bounded
+    # superset-vs-exact correctness check; the bench measures the real op)
+    from sparkschema.operators.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out["minhash_pairs_documents"] = timed(
+        lambda: minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=48,
+                                  bands=12, jaccard_min=0.6,
+                                  signature_impl="numpy").count())
     return out
 
 
@@ -170,6 +221,7 @@ def run_scaling(n: int = 8, n4: int = 32) -> dict:
     for cpus in (n, n4):
         spark = make_session(cpus)
         try:
+            warm_page_cache(IMAGE_TABLE)  # cache evicts between sessions here
             flagship_validate(spark)  # warm the JVM/codegen
             best = min(flagship_validate(spark)[0] for _ in range(4))
             results[cpus] = {"seconds": round(best, 3),
@@ -187,10 +239,11 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
 
     scaling = None
-    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        # default N=4 → 4N=16: this host exposes 32 hardware threads on
-        # ~16 physical cores, so 8→32 measures SMT, not scaling (full
-        # curve + discussion in BENCH.md); override via SPARK_GRAFT_SCALE_N
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        # ON by default (the north rule's two-cluster-size evidence must be
+        # in every recorded bench run). N=4 → 4N=16 by default: this host
+        # exposes 32 hardware threads on ~16 physical cores, so 8→32
+        # measures SMT, not scaling (full curve + discussion in BENCH.md).
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
         scaling = run_scaling(n, 4 * n)
 
@@ -198,6 +251,7 @@ def main() -> None:
     try:
         spark.sparkContext.setLogLevel("ERROR")
         ensure_image_tables(spark, cpus)
+        warmed_gib = warm_page_cache(IMAGE_TABLE, sf_dir)
         flagship_validate(spark)  # warm-up (codegen + file index)
         runs = [flagship_validate(spark) for _ in range(3)]
         sec, rows = min(runs)  # best-of-3: single runs are noisy
@@ -214,6 +268,7 @@ def main() -> None:
         "flagship_rows": rows,
         "flagship_seconds": round(sec, 3),
         "cpus": cpus,
+        "warmed_gib": round(warmed_gib, 2),
     }
     if scaling:
         result["scaling"] = scaling

@@ -111,17 +111,19 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     ranked = corpus.select(F.col(c_id).alias("cid"), F.col(c_vec).alias("cv"),
                            F.xxhash64(F.col(c_id).cast("string"), F.lit(seed))
                             .alias("__r"))
-    centroids = [
-        (i, row["cv"]) for i, row in
-        enumerate(ranked.orderBy("__r").limit(cells).collect())
-    ]
+    # bounded collect: exactly `cells` rows
+    cent_vecs = [[float(x) for x in row["cv"]]
+                 for row in ranked.orderBy("__r").limit(cells).collect()]
+    # ONE nested-array literal node (array<array<double>>): a per-dim F.lit
+    # tree was cells × dims × (1+nprobe) Catalyst nodes — at 1024-dim × 256
+    # cells the ~million-node plan blew up before any data ran (VERDICT r1).
+    cent_lit = F.lit(cent_vecs)
 
     def nearest_cells(vec: Column, n: int) -> Column:
-        scored = F.array(*[
-            F.struct((-cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cv])))
-                     .alias("d"), F.lit(i).alias("cell"))
-            for i, cv in centroids
-        ])
+        scored = F.transform(
+            cent_lit,
+            lambda cv, i: F.struct((-cosine_expr(vec, cv)).alias("d"),
+                                   i.alias("cell")))
         return F.slice(F.array_sort(scored), 1, n)
 
     c_assigned = corpus.select(

@@ -50,6 +50,40 @@ def test_minhash_lsh_finds_planted_near_dups(spark, documents):
     assert all(r.jaccard > 0.6 for r in pairs.collect())
 
 
+def test_minhash_numpy_kernel_identical_pairs(spark, documents):
+    """The Arrow-batched numpy signature kernel (opt-in) must produce the
+    same exact-verified pair set as the pure-expression path — different
+    hash family, same candidate recall on the corpus, identical output
+    after the exact-Jaccard verify stage."""
+    base = documents.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"))
+    df = documents.select("doc_id", "text").unionByName(base)
+    kw = dict(num_hashes=48, bands=12, jaccard_min=0.6)
+    p_expr = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                    dedup.minhash_lsh_pairs(df, "text", "doc_id", **kw).collect())
+    p_np = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in
+                  dedup.minhash_lsh_pairs(df, "text", "doc_id",
+                                          signature_impl="numpy", **kw).collect())
+    assert p_expr == p_np and len(p_expr) >= 5
+
+
+def test_minhash_numpy_kernel_unicode_and_short(spark):
+    """Kernel shingle universe matches char_shingles: codepoint k-grams,
+    whole-string fallback below k, NULL passthrough."""
+    df = spark.createDataFrame(
+        [(1, "héllo wörld héllo wörld"), (2, "héllo wörld héllo wörld!"),
+         (3, "ab"), (4, "ab"), (5, None)],
+        "doc_id long, text string")
+    sigs = {r.id: r.sig for r in
+            dedup.minhash_signatures(df, "text", "doc_id",
+                                     num_hashes=16, impl="numpy").collect()}
+    assert sigs[5] is None
+    assert sigs[3] == sigs[4]                   # identical short docs
+    same = sum(a == b for a, b in zip(sigs[1], sigs[2]))
+    assert same >= 10                           # near-dups share most minima
+
+
 def test_minhash_dedup_removes_planted(spark, documents):
     base = documents.limit(3).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
