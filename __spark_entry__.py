@@ -55,7 +55,8 @@ def entry(spark: SparkSession) -> DataFrame:
         strategy="broadcast"
     ).select(F.col("l_orderkey").cast("string"),
              F.col("l_linenumber").cast("string"),
-             "keyword", "schema_path", "instance_path", "value", "msg")
+             "keyword", "schema_path", "instance_path", "value", "msg",
+             "errors", "resolution_scope", "referrer")
     return row_viols.unionByName(ref_viols)
 
 

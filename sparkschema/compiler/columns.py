@@ -41,7 +41,13 @@ FRACTIONAL = (T.FloatType, T.DoubleType)
 
 @dataclass
 class Check:
-    """One compiled keyword check on one column/path."""
+    """One compiled keyword check on one column/path.
+
+    ``errors``/``resolution_scope``/``referrer`` mirror the reference's
+    error-object extras (SchemaUtil.scala:28-39 additionalInfo,
+    Results.scala:42-43): enum/const carry their allowed values, oneOf
+    carries the matched-branch list, checks compiled under an inlined $ref
+    carry the ref site as referrer."""
 
     keyword: str
     schema_path: str
@@ -49,6 +55,9 @@ class Check:
     fail: Column      # boolean: TRUE iff the keyword is violated
     value: Column     # offending value rendered as string
     msg: Column       # violation message (string column)
+    errors: Column | None = None   # nested sub-error info as JSON text
+    resolution_scope: str = ""
+    referrer: str = ""
 
 
 def json_domain(dt: T.DataType) -> str:
@@ -204,6 +213,19 @@ class ColumnCompiler:
             return [self._chk("schema", spath, ipath, col.isNotNull(), col,
                               "err.false.schema")]
 
+        # checks under a compile-time-inlined $ref report the TARGET's
+        # schema path and carry the ref site as referrer (table.inline_refs
+        # leaves these markers; ErrorReportingSpec.scala:48-66 parity)
+        if "$__ref_site" in schema:
+            site = schema["$__ref_site"]
+            target = schema.get("$__ref_target")
+            plain = {k: v for k, v in schema.items()
+                     if k not in ("$__ref_site", "$__ref_target")}
+            sub = self.compile_checks(plain, col, dt,
+                                      target if target else spath, ipath)
+            from dataclasses import replace as _replace
+            return [_replace(c, referrer=c.referrer or site) for c in sub]
+
         checks: list[Check] = []
         domain = json_domain(dt)
         present = col.isNotNull()
@@ -219,16 +241,19 @@ class ColumnCompiler:
                     "err.expected.type", F.lit("|".join(names)), F.lit(domain)))
 
         # ---- enum / const ---------------------------------------------
+        from sparkschema.spec.jsonvalue import dump_json
         enum = schema.get("enum")
         if isinstance(enum, list):
             fail = self._enum_fail(enum, col, dt)
             if fail is not None:
                 checks.append(self._chk("enum", f"{spath}/enum", ipath,
-                                        present & fail, col, "any.enum"))
+                                        present & fail, col, "any.enum",
+                                        errors=F.lit(dump_json({"enum": enum}))))
         if "const" in schema:
             fail = self._const_fail(schema["const"], col, dt)
             checks.append(self._chk("const", f"{spath}/const", ipath,
-                                    present & fail, col, "any.const"))
+                                    present & fail, col, "any.const",
+                                    errors=F.lit(dump_json({"const": schema["const"]}))))
 
         # ---- numeric ---------------------------------------------------
         if domain == "number":
@@ -662,28 +687,39 @@ class ColumnCompiler:
                                  present & ~v, col, "any.any"))
         oneof = schema.get("oneOf")
         if isinstance(oneof, list) and oneof:
-            cnt = sub_valid(oneof[0]).cast("int")
-            for s in oneof[1:]:
-                cnt = cnt + sub_valid(s).cast("int")
+            valids = [sub_valid(s) for s in oneof]
+            cnt = valids[0].cast("int")
+            for v in valids[1:]:
+                cnt = cnt + v.cast("int")
+            # matched-branch paths, reported like the kernel / the
+            # reference's any.one.of.many (AnyConstraintValidators:170-186)
+            matched = F.array_compact(F.array(*[
+                F.when(v, F.lit(f"/oneOf/{i}")) for i, v in enumerate(valids)]))
+            err = F.when(cnt > 1, F.to_json(F.struct(matched.alias("matched"))))
             out.append(self._chk("oneOf", f"{spath}/oneOf", ipath,
                                  present & (cnt != 1), col,
-                                 "any.one.of.none"))
+                                 "any.one.of.none", errors=err))
         if "not" in schema:
             out.append(self._chk("not", f"{spath}/not", ipath,
                                  present & sub_valid(schema["not"]), col, "any.not"))
         if "if" in schema:
-            cond = sub_valid(schema["if"])
-            then_v = sub_valid(schema["then"]) if "then" in schema else F.lit(True)
-            else_v = sub_valid(schema["else"]) if "else" in schema else F.lit(True)
-            ok = F.when(cond, then_v).otherwise(else_v)
-            out.append(self._chk("if", f"{spath}/if", ipath,
-                                 present & ~ok, col, "err.if.then.else"))
+            # the violated BRANCH is the keyword (kernel/reference parity)
+            cond = F.coalesce(sub_valid(schema["if"]), F.lit(False))
+            if "then" in schema:
+                out.append(self._chk("then", f"{spath}/then", ipath,
+                                     present & cond & ~sub_valid(schema["then"]),
+                                     col, "err.if.then.else"))
+            if "else" in schema:
+                out.append(self._chk("else", f"{spath}/else", ipath,
+                                     present & ~cond & ~sub_valid(schema["else"]),
+                                     col, "err.if.then.else"))
         return out
 
     # ---- helpers --------------------------------------------------------
 
     def _chk(self, keyword: str, spath: str, ipath: str, fail: Column,
-             value: Column, msg_key: str, *msg_args: Column) -> Check:
+             value: Column, msg_key: str, *msg_args: Column,
+             errors: Column | None = None) -> Check:
         return Check(
             keyword=keyword,
             schema_path=spath,
@@ -691,4 +727,5 @@ class ColumnCompiler:
             fail=F.coalesce(fail, F.lit(False)),
             value=F.coalesce(value.cast("string"), F.lit("null")),
             msg=_render_template(msg_key, list(msg_args), self.catalog),
+            errors=errors,
         )

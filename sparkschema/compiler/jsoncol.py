@@ -29,6 +29,11 @@ VIOLATION_ARRAY_TYPE = T.ArrayType(T.StructType([
     T.StructField("instance_path", T.StringType()),
     T.StructField("value", T.StringType()),
     T.StructField("msg", T.StringType()),
+    # nested sub-errors (compact JSON) + ref metadata, as in the
+    # reference's error object (SchemaUtil.scala:28-39, Results.scala:42-43)
+    T.StructField("errors", T.StringType()),
+    T.StructField("resolution_scope", T.StringType()),
+    T.StructField("referrer", T.StringType()),
 ]))
 
 
@@ -96,7 +101,8 @@ def _make_udfs(schema: Any, registry, dialect: str):
             try:
                 value = parse_json(txt)
             except Exception:
-                return [("parse", "#", "/", str(txt)[:256], "Could not parse JSON.")]
+                return [("parse", "#", "/", str(txt)[:256],
+                         "Could not parse JSON.", "", "", "")]
             return [tuple(v) for v in validator.validate(sch, value, scope)]
 
         return pd.Series([one(x) for x in s])

@@ -43,6 +43,11 @@ VIOLATION_SCHEMA = T.StructType([
     T.StructField("instance_path", T.StringType()),
     T.StructField("value", T.StringType()),
     T.StructField("msg", T.StringType()),
+    # reference error-object extras (SchemaUtil.scala:28-39 additionalInfo,
+    # Results.scala:42-43): nested sub-errors as JSON, $id scope, $ref site
+    T.StructField("errors", T.StringType()),
+    T.StructField("resolution_scope", T.StringType()),
+    T.StructField("referrer", T.StringType()),
 ])
 
 _EXTENSION_KEYWORDS = ("x-unique", "x-drift", "x-roundtrip", "$ref_data",
@@ -50,30 +55,46 @@ _EXTENSION_KEYWORDS = ("x-unique", "x-drift", "x-roundtrip", "$ref_data",
 
 
 def inline_refs(schema: Any, resolver: RefResolver | None, scope: Scope | None,
-                _seen: frozenset = frozenset()) -> Any:
-    """Resolve every $ref eagerly; cycles raise SpecError (driver-side)."""
+                _seen: frozenset = frozenset(), _path: str = "#") -> Any:
+    """Resolve every $ref eagerly; cycles raise SpecError (driver-side).
+
+    Inlined subtrees are annotated with ``$__ref_site`` (the schema path of
+    the $ref) and, for local refs, ``$__ref_target`` (the target pointer) —
+    the column compiler strips them and stamps the resulting checks with
+    referrer/retargeted schema paths (ErrorReportingSpec.scala:48-66)."""
     if not isinstance(schema, dict):
         return schema
     if "$ref" in schema and isinstance(schema["$ref"], str):
+        ref = schema["$ref"]
         if resolver is None or scope is None:
-            raise SpecError("$ref", f"no registry to resolve {schema['$ref']}")
-        key = (scope.base, schema["$ref"])
+            raise SpecError("$ref", f"no registry to resolve {ref}")
+        key = (scope.base, ref)
         if key in _seen:
-            raise SpecError("$ref", f"recursive ref {schema['$ref']} cannot "
+            raise SpecError("$ref", f"recursive ref {ref} cannot "
                                     "compile to columnar predicates")
         try:
-            target, tscope = resolver.resolve(schema["$ref"], scope)
+            target, tscope = resolver.resolve(ref, scope)
         except Exception as e:  # RefError incl. depth cap on self-refs
-            raise SpecError("$ref", f"cannot resolve {schema['$ref']}: {e}") from e
-        return inline_refs(target, resolver, tscope, _seen | {key})
+            raise SpecError("$ref", f"cannot resolve {ref}: {e}") from e
+        inlined = inline_refs(target, resolver, tscope, _seen | {key}, _path)
+        if isinstance(inlined, dict):
+            inlined = dict(inlined)
+            inlined.setdefault("$__ref_site", _path)
+            # retarget to the pointer fragment for "#/..."-style refs,
+            # including fragments of absolute URIs ("urn:x#/definitions/y")
+            frag = ref[ref.index("#"):] if "#" in ref else ""
+            if frag.startswith("#/"):
+                inlined.setdefault("$__ref_target", frag)
+        return inlined
     out = {}
     for k, v in schema.items():
         if k in ("enum", "const", "default", "examples") or k in _EXTENSION_KEYWORDS:
             out[k] = v
         elif isinstance(v, dict):
-            out[k] = inline_refs(v, resolver, scope, _seen)
+            out[k] = inline_refs(v, resolver, scope, _seen, f"{_path}/{k}")
         elif isinstance(v, list):
-            out[k] = [inline_refs(x, resolver, scope, _seen) for x in v]
+            out[k] = [inline_refs(x, resolver, scope, _seen, f"{_path}/{k}/{i}")
+                      for i, x in enumerate(v)]
         else:
             out[k] = v
     return out
@@ -119,6 +140,10 @@ class CompiledTableSpec:
                 F.lit(c.instance_path).alias("instance_path"),
                 c.value.alias("value"),
                 c.msg.alias("msg"),
+                (F.coalesce(c.errors, F.lit("")) if c.errors is not None
+                 else F.lit("")).alias("errors"),
+                F.lit(c.resolution_scope).alias("resolution_scope"),
+                F.lit(c.referrer).alias("referrer"),
             ))
             for c in self.checks
         ]
@@ -312,13 +337,18 @@ def _row_combinators(cc: ColumnCompiler, schema: dict,
     value_col = F.lit("<row>")
 
     if "if" in schema:
-        cond = obj_valid(schema["if"])
-        then_v = obj_valid(schema["then"]) if "then" in schema else F.lit(True)
-        else_v = obj_valid(schema["else"]) if "else" in schema else F.lit(True)
-        out.append(Check("if", "#/if", "/",
-                         ~F.coalesce(F.when(cond, then_v).otherwise(else_v), F.lit(False)),
-                         value_col,
-                         F.lit(msg_catalog.render("err.if.then.else", catalog=catalog))))
+        # violated branch is the keyword (kernel/reference parity)
+        cond = F.coalesce(obj_valid(schema["if"]), F.lit(False))
+        if "then" in schema:
+            out.append(Check("then", "#/then", "/",
+                             F.coalesce(cond & ~obj_valid(schema["then"]), F.lit(False)),
+                             value_col,
+                             F.lit(msg_catalog.render("err.if.then.else", catalog=catalog))))
+        if "else" in schema:
+            out.append(Check("else", "#/else", "/",
+                             F.coalesce(~cond & ~obj_valid(schema["else"]), F.lit(False)),
+                             value_col,
+                             F.lit(msg_catalog.render("err.if.then.else", catalog=catalog))))
     for comb, key in (("allOf", "any.all"), ("anyOf", "any.any")):
         subs = schema.get(comb)
         if isinstance(subs, list) and subs:
@@ -330,12 +360,17 @@ def _row_combinators(cc: ColumnCompiler, schema: dict,
                              F.lit(msg_catalog.render(key, catalog=catalog))))
     oneof = schema.get("oneOf")
     if isinstance(oneof, list) and oneof:
-        cnt = obj_valid(oneof[0]).cast("int")
-        for x in oneof[1:]:
-            cnt = cnt + obj_valid(x).cast("int")
+        valids = [F.coalesce(obj_valid(x), F.lit(False)) for x in oneof]
+        cnt = valids[0].cast("int")
+        for v in valids[1:]:
+            cnt = cnt + v.cast("int")
+        matched = F.array_compact(F.array(*[
+            F.when(v, F.lit(f"/oneOf/{i}")) for i, v in enumerate(valids)]))
+        err = F.when(cnt > 1, F.to_json(F.struct(matched.alias("matched"))))
         out.append(Check("oneOf", "#/oneOf", "/", F.coalesce(cnt != 1, F.lit(True)),
                          value_col,
-                         F.lit(msg_catalog.render("any.one.of.none", catalog=catalog))))
+                         F.lit(msg_catalog.render("any.one.of.none", catalog=catalog)),
+                         errors=err))
     if "not" in schema:
         out.append(Check("not", "#/not", "/",
                          F.coalesce(obj_valid(schema["not"]), F.lit(False)),

@@ -49,6 +49,9 @@ def orphan_violations(fact: DataFrame, fact_col: str, dim: DataFrame,
         F.col(fact_col).cast("string").alias("value"),
         F.concat(F.lit("Value "), F.col(fact_col).cast("string"),
                  F.lit(f" not present in reference table {ref}.")).alias("msg"),
+        F.lit("").alias("errors"),
+        F.lit("").alias("resolution_scope"),
+        F.lit("").alias("referrer"),
     )
 
 

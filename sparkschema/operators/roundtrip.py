@@ -80,6 +80,9 @@ def roundtrip_violations(images: DataFrame, ref: DataFrame,
         F.lit("/bytes").alias("instance_path"),
         val.cast("string").alias("value"),
         msg.alias("msg"),
+        F.lit("").alias("errors"),
+        F.lit("").alias("resolution_scope"),
+        F.lit("").alias("referrer"),
     )
     arr = F.array_compact(F.array(
         F.when(f["ref_missing"], mk("x-roundtrip", F.lit("null"),

@@ -57,6 +57,9 @@ def duplicate_violations(df: DataFrame, keys: list[str] | str,
         value.alias("value"),
         F.concat(F.lit("Key "), value, F.lit(" is duplicated "),
                  F.col("dup_count").cast("string"), F.lit(" times.")).alias("msg"),
+        F.lit("").alias("errors"),
+        F.lit("").alias("resolution_scope"),
+        F.lit("").alias("referrer"),
     )
 
 

@@ -79,7 +79,8 @@ def run_validation(
                                        "dup_rows": row["dup_rows"]})
                 dv = uniqueness.duplicate_violations(df, c, salt_lanes).select(
                     F.col(c).cast("string").alias(key_cols[0]),
-                    "keyword", "schema_path", "instance_path", "value", "msg")
+                    "keyword", "schema_path", "instance_path", "value", "msg",
+                    "errors", "resolution_scope", "referrer")
                 violations = violations.unionByName(dv, allowMissingColumns=True)
 
         elif req.kind == "ref_data":
@@ -97,7 +98,8 @@ def run_validation(
                                                ref_name=dim_name,
                                                strategy="broadcast")
             ov = ov.select(*[F.col(k).cast("string").alias(k) for k in key_cols],
-                           "keyword", "schema_path", "instance_path", "value", "msg")
+                           "keyword", "schema_path", "instance_path", "value", "msg",
+                    "errors", "resolution_scope", "referrer")
             violations = violations.unionByName(ov)
 
         elif req.kind == "drift":
@@ -142,7 +144,8 @@ def run_validation(
             })
             rv = roundtrip_violations(df, ref, pmin).select(
                 F.col("image_id").cast("string").alias(key_cols[0]),
-                "keyword", "schema_path", "instance_path", "value", "msg")
+                "keyword", "schema_path", "instance_path", "value", "msg",
+                    "errors", "resolution_scope", "referrer")
             violations = violations.unionByName(rv, allowMissingColumns=True)
 
         elif req.kind == "null_fraction":

@@ -54,13 +54,23 @@ from sparkschema.spec.refs import MAX_DEPTH, RefError, RefResolver, Scope
 
 class Violation(NamedTuple):
     """One violation row — the reference's error-object contract
-    (internal/SchemaUtil.scala:28-39 createErrorObject)."""
+    (internal/SchemaUtil.scala:28-39 createErrorObject;
+    Results.scala:42-43 for resolutionScope/referrer).
+
+    ``errors`` is the reference's nested additional-info object rendered as
+    compact JSON: per-branch sub-failures for allOf/anyOf/oneOf keyed
+    ``/allOf/{i}`` (AnyConstraintValidators.scala collectFailures), the
+    matched-paths list for oneOf-many, the allowed values for enum/const.
+    Empty string = no additional info (keeps the Spark column non-null)."""
 
     keyword: str
     schema_path: str
     instance_path: str
     value: str  # offending value rendered as compact JSON
     msg: str
+    errors: str = ""
+    resolution_scope: str = ""
+    referrer: str = ""
 
 
 class Validator:
@@ -116,7 +126,14 @@ class Validator:
                 target, tscope = self.resolver.resolve(ref, scope)
             except RefError as e:
                 return [self._v("$ref", spath, ipath, value, e.msg_key, *(e.args_ or (ref,)))]
-            return self._validate(target, value, tscope, spath, ipath, depth + 1)
+            # errors below a pointer ref report the TARGET's schema path
+            # ("#/definitions/num", ErrorReportingSpec.scala:48-66) and
+            # carry the ref site as `referrer` (Results.scala:43); this
+            # includes pointer fragments of absolute URIs
+            frag = ref[ref.index("#"):] if "#" in ref else ""
+            new_spath = frag if frag.startswith("#/") else spath
+            return self._validate(target, value, tscope.with_referrer(spath),
+                                  new_spath, ipath, depth + 1)
 
         out: list[Violation] = []
 
@@ -142,7 +159,7 @@ class Validator:
             out += self._array_keywords(schema, value, scope, spath, ipath, depth)
         elif vt == "object":
             out += self._object_keywords(schema, value, scope, spath, ipath, depth)
-        return out
+        return self._stamp(out, scope)
 
     # -- any-constraints: enum/const/combinators (AnyConstraintValidators) --
 
@@ -151,61 +168,71 @@ class Validator:
 
         if "enum" in schema and isinstance(schema["enum"], list):
             if not any(json_equal(value, e) for e in schema["enum"]):
-                out.append(self._v("enum", spath + "/enum", ipath, value, "any.enum"))
+                out.append(self._v("enum", spath + "/enum", ipath, value, "any.enum",
+                                   errors_info={"enum": schema["enum"]}))
 
         if "const" in schema:
             if not json_equal(value, schema["const"]):
-                out.append(self._v("const", spath + "/const", ipath, value, "any.const"))
+                out.append(self._v("const", spath + "/const", ipath, value, "any.const",
+                                   errors_info={"const": schema["const"]}))
 
+        # combinators emit ONE error whose `errors` field nests the failing
+        # branches (AnyConstraintValidators.scala collectFailures), not
+        # flattened sibling rows
         if isinstance(schema.get("allOf"), list):
-            sub = []
-            for i, s in enumerate(schema["allOf"]):
-                sub += self._validate(s, value, scope, f"{spath}/allOf/{i}", ipath, depth + 1)
-            if sub:
-                out.append(self._v("allOf", spath + "/allOf", ipath, value, "any.all"))
-                out += sub
+            branches = [
+                (i, self._validate(s, value, scope, f"{spath}/allOf/{i}", ipath, depth + 1))
+                for i, s in enumerate(schema["allOf"])
+            ]
+            if any(errs for _, errs in branches):
+                out.append(self._v("allOf", spath + "/allOf", ipath, value, "any.all",
+                                   errors_info=self._collect_failures(branches, "/allOf")))
 
         if isinstance(schema.get("anyOf"), list):
             # lazy first-success (untilFirstSuccess)
-            failures: list[Violation] = []
+            branches = []
             for i, s in enumerate(schema["anyOf"]):
                 errs = self._validate(s, value, scope, f"{spath}/anyOf/{i}", ipath, depth + 1)
                 if not errs:
-                    failures = []
+                    branches = []
                     break
-                failures += errs
+                branches.append((i, errs))
             else:
-                out.append(self._v("anyOf", spath + "/anyOf", ipath, value, "any.any"))
-                out += failures
+                out.append(self._v("anyOf", spath + "/anyOf", ipath, value, "any.any",
+                                   errors_info=self._collect_failures(branches, "/anyOf")))
 
         if isinstance(schema.get("oneOf"), list):
-            successes = 0
-            failures = []
+            branches, matched = [], []
             for i, s in enumerate(schema["oneOf"]):
                 errs = self._validate(s, value, scope, f"{spath}/oneOf/{i}", ipath, depth + 1)
                 if errs:
-                    failures += errs
+                    branches.append((i, errs))
                 else:
-                    successes += 1
-            if successes == 0:
-                out.append(self._v("oneOf", spath + "/oneOf", ipath, value, "any.one.of.none"))
-                out += failures
-            elif successes > 1:
-                out.append(self._v("oneOf", spath + "/oneOf", ipath, value, "any.one.of.many"))
+                    matched.append(f"/oneOf/{i}")
+            if not matched:
+                out.append(self._v("oneOf", spath + "/oneOf", ipath, value,
+                                   "any.one.of.none",
+                                   errors_info=self._collect_failures(branches, "/oneOf")))
+            elif len(matched) > 1:
+                # matched paths reported like AnyConstraintValidators.scala:170-186
+                out.append(self._v("oneOf", spath + "/oneOf", ipath, value,
+                                   "any.one.of.many", errors_info={"matched": matched}))
 
         if "not" in schema:
             if not self._validate(schema["not"], value, scope, spath + "/not", ipath, depth + 1):
                 out.append(self._v("not", spath + "/not", ipath, value, "any.not"))
 
-        # if/then/else (AnyConstraintValidators.scala:14-67): lone `if` passes
+        # if/then/else (AnyConstraintValidators.scala:14-67): lone `if` passes;
+        # the violated BRANCH is the keyword, as in the reference
         if "if" in schema:
             cond_ok = not self._validate(schema["if"], value, scope, spath + "/if", ipath, depth + 1)
             branch = "then" if cond_ok else "else"
             if branch in schema:
                 sub = self._validate(schema[branch], value, scope, f"{spath}/{branch}", ipath, depth + 1)
                 if sub:
-                    out.append(self._v("if", spath + "/if", ipath, value, "err.if.then.else"))
-                    out += sub
+                    out.append(self._v(
+                        branch, f"{spath}/{branch}", ipath, value, "err.if.then.else",
+                        errors_info={f"/{branch}": [self._sub_obj(v) for v in sub]}))
         return out
 
     # -- numeric keywords (NumberValidators.scala) ---------------------------
@@ -461,6 +488,44 @@ class Validator:
                 self._pattern_cache[pat] = None
         return self._pattern_cache[pat]
 
-    def _v(self, keyword, spath, ipath, value, key, *args) -> Violation:
+    def _v(self, keyword, spath, ipath, value, key, *args,
+           errors_info: Any = None) -> Violation:
         return Violation(keyword, spath, ipath or "/", dump_json(value),
-                         msg.render(key, *args, catalog=self.catalog))
+                         msg.render(key, *args, catalog=self.catalog),
+                         dump_json(errors_info) if errors_info else "")
+
+    @staticmethod
+    def _sub_obj(v: Violation) -> dict:
+        """Reference-shaped sub-error object for nesting under ``errors``
+        (SchemaUtil.createErrorObject fields + msgs array)."""
+        import json as _json
+
+        o: dict[str, Any] = {"keyword": v.keyword, "schemaPath": v.schema_path,
+                             "instancePath": v.instance_path, "value": v.value,
+                             "msgs": [v.msg]}
+        if v.errors:
+            o["errors"] = _json.loads(v.errors)
+        if v.resolution_scope:
+            o["resolutionScope"] = v.resolution_scope
+        if v.referrer:
+            o["referrer"] = v.referrer
+        return o
+
+    def _collect_failures(self, branches: list[tuple[int, list[Violation]]],
+                          prefix: str) -> dict:
+        """The collectFailures analog (AnyConstraintValidators.scala:230-258):
+        failing branches keyed ``{prefix}/{idx}``."""
+        return {f"{prefix}/{i}": [self._sub_obj(v) for v in errs]
+                for i, errs in branches if errs}
+
+    @staticmethod
+    def _stamp(viols: list[Violation], scope: Scope) -> list[Violation]:
+        """Attach resolutionScope/referrer (Results.scala failureWithPath:
+        only present when the scope carries an explicit $id / a $ref was
+        followed; inner frames win over outer ones)."""
+        rs = scope.base if getattr(scope, "has_id", False) and scope.base else ""
+        rf = getattr(scope, "referrer", None) or ""
+        if not rs and not rf:
+            return viols
+        return [v._replace(resolution_scope=v.resolution_scope or rs,
+                           referrer=v.referrer or rf) for v in viols]

@@ -94,18 +94,28 @@ class Scope:
     bookkeeping (violation paths are threaded by the validator itself).
     """
 
-    __slots__ = ("root", "base")
+    __slots__ = ("root", "base", "referrer", "has_id")
 
-    def __init__(self, root: Any, base: str = ""):
+    def __init__(self, root: Any, base: str = "", referrer: str | None = None,
+                 has_id: bool = False):
         self.root = root
         self.base = base
+        # error-report metadata (Results.scala:42-43): referrer = schema
+        # path of the $ref that led here; has_id = an explicit id/$id set
+        # this base (the reference only reports resolutionScope then)
+        self.referrer = referrer
+        self.has_id = has_id
 
     def refine(self, schema: Any, dialect: str) -> "Scope":
         """Rebase the scope when entering an ``id``/``$id``-bearing node."""
         sid = _id_of(schema, dialect)
         if sid is None:
             return self
-        return Scope(self.root, urljoin(self.base, sid) if self.base else sid)
+        return Scope(self.root, urljoin(self.base, sid) if self.base else sid,
+                     self.referrer, has_id=True)
+
+    def with_referrer(self, referrer: str) -> "Scope":
+        return Scope(self.root, self.base, referrer, self.has_id)
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Scope(base={self.base!r})"

@@ -69,4 +69,5 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert set(df.columns) == {"l_orderkey", "l_linenumber", "keyword",
-                               "schema_path", "instance_path", "value", "msg"}
+                               "schema_path", "instance_path", "value", "msg",
+                               "errors", "resolution_scope", "referrer"}
