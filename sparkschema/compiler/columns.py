@@ -484,9 +484,11 @@ class ColumnCompiler:
                                  "str.max.length", col, F.lit(str(mx))))
         pat = schema.get("pattern")
         if isinstance(pat, str):
+            from sparkschema.spec.ecma_pattern import translate_ecma
+            jpat, _ = translate_ecma(pat, "java")
             # rlike = unanchored find, same as the reference's matcher.search(0)
             out.append(self._chk("pattern", f"{spath}/pattern", ipath,
-                                 present & ~col.rlike(pat), col,
+                                 present & ~col.rlike(jpat), col,
                                  "str.pattern", col, F.lit(pat)))
         fmt = schema.get("format")
         if isinstance(fmt, str) and fmt not in ("int32", "int64"):
@@ -665,7 +667,9 @@ class ColumnCompiler:
 
     @staticmethod
     def _map_filter_by_key(col: Column, pattern: str) -> Column:
-        return F.map_filter(col, lambda k, v: k.rlike(pattern))
+        from sparkschema.spec.ecma_pattern import translate_ecma
+        jpat, _ = translate_ecma(pattern, "java")
+        return F.map_filter(col, lambda k, v: k.rlike(jpat))
 
     def _combinator_checks(self, schema, col, dt, spath, ipath, present) -> list[Check]:
         out: list[Check] = []

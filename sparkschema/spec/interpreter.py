@@ -29,8 +29,13 @@ Known, documented deviations (SURVEY.md §7 watch list):
   and combining sequences; emoji ZWJ families may still differ. The
   columnar and VARIANT paths use the same fold in SQL
   (compiler.columns.grapheme_length_col).
-- ``pattern`` uses Python ``re`` (unanchored ``search``), not Nashorn
-  ECMA-262; dialects agree on the fixture corpus.
+- ``pattern`` evaluates with Python ``re`` (unanchored ``search``) after a
+  compile-time ECMA-262 dialect translation
+  (:mod:`sparkschema.spec.ecma_pattern`: ASCII ``\\d``/``\\w``, ECMA ``\\s``
+  set, ``\\cX`` control escapes, end-anchor ``$`` → ``\\Z``, ``[]``/``[^]``
+  classes); remaining divergences are surfaced as warnings — see the
+  dialect table in that module. The columnar/VARIANT paths apply the same
+  translation targeting Java ``rlike``.
 """
 
 from __future__ import annotations
@@ -482,10 +487,15 @@ class Validator:
 
     def _compile_pattern(self, pat: str) -> re.Pattern | None:
         if pat not in self._pattern_cache:
+            from sparkschema.spec.ecma_pattern import translate_ecma
+            translated, _ = translate_ecma(pat, "python")
             try:
-                self._pattern_cache[pat] = re.compile(pat)
+                self._pattern_cache[pat] = re.compile(translated)
             except re.error:
-                self._pattern_cache[pat] = None
+                try:  # translation should never be worse than the raw pattern
+                    self._pattern_cache[pat] = re.compile(pat)
+                except re.error:
+                    self._pattern_cache[pat] = None
         return self._pattern_cache[pat]
 
     def _v(self, keyword, spath, ipath, value, key, *args,

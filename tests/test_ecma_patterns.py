@@ -1,0 +1,71 @@
+"""ECMA-262 pattern dialect shim: known-divergent constructs must behave
+like Nashorn's RegExpFactory (reference StringValidators.scala:16-50) on
+both the kernel (Python re) and the columnar (Java rlike) paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkschema.compiler.columns import ColumnCompiler
+from sparkschema.spec.ecma_pattern import translate_ecma
+from sparkschema.spec.registry import SpecRegistry
+
+# (pattern, value, ecma_matches) for constructs where raw Python/Java regex
+# would disagree with ECMA-262
+DIVERGENT_CASES = [
+    (r"^\d+$", "١٢٣", False),        # ECMA \d is ASCII; Python re is Unicode
+    (r"^\w+$", "naïve", False),      # ECMA \w is ASCII
+    (r"a$", "a\n", False),           # ECMA $ = end of input, no trailing-\n grace
+    (r"a$", "a", True),
+    ("\\cJ", "\n", True),            # control escape (Python re lacks \cX)
+    (r"^\s$", " ", True),       # NBSP is ECMA whitespace, not Java \s
+    (r"^\s$", "　", True),       # ideographic space
+    ("[^]", "anything", True),       # ECMA [^] matches any char
+    ("x[]y", "xy", False),           # ECMA [] never matches
+    (r"^[\d]+$", "42", True),
+]
+
+
+def kernel_matches(pattern, value) -> bool:
+    reg = SpecRegistry("draft7")
+    return not reg.validate({"pattern": pattern}, value)
+
+
+@pytest.mark.parametrize("pattern,value,expected", DIVERGENT_CASES)
+def test_kernel_matches_ecma_semantics(pattern, value, expected):
+    assert kernel_matches(pattern, value) is expected, (pattern, value)
+
+
+def test_columnar_matches_ecma_semantics(spark):
+    cc = ColumnCompiler()
+    df = spark.createDataFrame(
+        [(i, v) for i, (_, v, _) in enumerate(DIVERGENT_CASES)],
+        "i int, s string")
+    cols = [cc.compile_valid({"pattern": p}, F.col("s"),
+                             df.schema["s"].dataType).alias(f"p{i}")
+            for i, (p, _, _) in enumerate(DIVERGENT_CASES)]
+    got = {r.i: r for r in df.select("i", *cols).collect()}
+    for i, (p, v, expected) in enumerate(DIVERGENT_CASES):
+        assert bool(got[i][f"p{i}"]) is expected, (p, v)
+
+
+def test_java_lone_brace_escaped():
+    # ECMA treats a dangling '{' as a literal; Java regex rejects it
+    jpat, _ = translate_ecma("a{x", "java")
+    assert jpat == r"a\{x"
+    jpat2, _ = translate_ecma("a{2,3}", "java")
+    assert jpat2 == "a{2,3}"  # real quantifiers untouched
+
+
+def test_divergence_warnings_reported():
+    _, warns = translate_ecma(r"\bfoo\b", "python")
+    assert any("word boundary" in w for w in warns)
+    _, warns2 = translate_ecma(r"[\D]", "python")
+    assert any("character class" in w for w in warns2)
+    _, none = translate_ecma(r"^[a-z]+$", "python")
+    assert none == []
+
+
+def test_translation_preserves_classes_and_escapes():
+    out, _ = translate_ecma(r"[a\]b]\$x$", "python")
+    # escaped ] stays in class; escaped $ stays literal; final $ anchors input end
+    assert out == r"[a\]b]\$x\Z"
