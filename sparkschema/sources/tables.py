@@ -29,6 +29,20 @@ def load_table(spark: SparkSession, path_or_ident: str,
     return spark.read.parquet(path_or_ident)
 
 
+def table_snapshot_id(spark: SparkSession, ident: str) -> str | None:
+    """Current Iceberg snapshot id for a catalog table, or None when the
+    table isn't Iceberg / no Iceberg runtime is on the classpath. Recorded
+    by the checkpoint manifest for lineage pinning
+    (streaming.checkpoint.Manifest.record snapshot_id)."""
+    try:
+        row = spark.sql(
+            f"select snapshot_id from {ident}.snapshots "
+            f"order by committed_at desc limit 1").collect()
+        return str(row[0][0]) if row else None
+    except Exception:
+        return None
+
+
 def load_testdata(spark: SparkSession, sf_dir: str,
                   names: tuple[str, ...] = TPCH_TABLES) -> dict[str, DataFrame]:
     out = {}

@@ -76,12 +76,19 @@ def run_resumable(
     manifest_path: str,
     process_unit: Callable[[DataFrame, list[str]], dict],
     files_per_unit: int = 8,
+    snapshot_id: str | None = None,
 ) -> ResumableResult:
     """Process a parquet dataset in resumable units of input files.
 
     ``process_unit(df, files) -> metrics`` runs the validation job for one
     unit; its returned metrics are committed to the manifest with the
     unit's lineage. Already-committed units are skipped on restart.
+
+    ``snapshot_id`` pins the run to an Iceberg snapshot
+    (sources.tables.table_snapshot_id); committed units carry it, and a
+    restart against a DIFFERENT snapshot refuses to mix lineages —
+    re-validating changed data needs a fresh manifest, matching Iceberg's
+    snapshot-isolation model.
     """
     files = sorted(
         glob.glob(os.path.join(input_path, "**", "*.parquet"), recursive=True)
@@ -94,6 +101,14 @@ def run_resumable(
     manifest = Manifest(manifest_path)
     done = manifest.completed()
 
+    if snapshot_id is not None:
+        prior = {r.get("snapshot_id") for r in done.values()} - {None}
+        if prior and prior != {snapshot_id}:
+            raise ValueError(
+                f"manifest {manifest_path} is pinned to snapshot(s) "
+                f"{sorted(prior)} but this run reads {snapshot_id}; "
+                f"use a fresh manifest to validate a different snapshot")
+
     processed = skipped = 0
     unit_metrics: list[dict] = []
     for unit_files in units:
@@ -104,7 +119,7 @@ def run_resumable(
             continue
         df = spark.read.parquet(*unit_files)
         metrics = process_unit(df, unit_files)
-        manifest.record(uid, unit_files, metrics)
+        manifest.record(uid, unit_files, metrics, snapshot_id=snapshot_id)
         processed += 1
         unit_metrics.append(metrics)
     return ResumableResult(processed, skipped, unit_metrics)
