@@ -485,6 +485,32 @@ def _q_simhash_documents(spark, sf):
                 F.col("simhash").cast("long").alias("simhash32"))
 
 
+def _q_embedding_near_dup(spark, sf):
+    """Hyperplane-LSH embedding near-dup with a deterministic derived
+    check: planted identical-vector duplicates hash to identical buckets,
+    so the LSH pair set must contain every planted pair (missed = 0), and
+    the exact cosine ≥ 0.99 pair count matches DuckDB's independent
+    list_cosine_similarity computation."""
+    from sparkschema.operators.dedup import _cosine, embedding_near_duplicates
+
+    emb = spark.read.parquet(_t(sf, "embeddings")).where(F.col("vec_id") < 200) \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(planted)
+    pairs = embedding_near_duplicates(corpus, "embedding", "vec_id",
+                                      threshold=0.99, planes=12) \
+        .select("id_a", "id_b")
+    planted_pairs = emb.select(F.col("vec_id").alias("id_a"),
+                               (F.col("vec_id") + 100000).alias("id_b"))
+    missed = planted_pairs.join(pairs, ["id_a", "id_b"], "left_anti")
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+              .where(_cosine(F.col("ea"), F.col("eb")) >= 0.99))
+    return exact.agg(F.count(F.lit(1)).alias("exact_pairs")).crossJoin(
+        missed.agg(F.count(F.lit(1)).alias("planted_missed")))
+
+
 def _q_hll_distinct_lineitem(spark, sf):
     """Sketch-merged distinct estimate with a deterministic derived check:
     the estimate must land within ±5% (≈3·rsd at lg_k=12) of the exact
@@ -555,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combinator2_part": _q_combinator2_part,
         # approximate operators, each reshaped to a deterministic derived
         # check with a DuckDB twin (r1 had these rows-only):
+        "embedding_near_dup": _q_embedding_near_dup,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_documents": _q_simhash_documents,
         "hll_distinct_lineitem": _q_hll_distinct_lineitem,
@@ -923,6 +950,19 @@ def oracle_sql() -> dict[str, str]:
                    as bigint) as v_const,
               cast(count(*) as bigint) as v_false_schema
             from part
+        """,
+        "embedding_near_dup": """
+            with corpus as (
+              select vec_id, cast(embedding as double[]) as e
+              from embeddings where vec_id < 200
+              union all
+              select vec_id + 100000 as vec_id, cast(embedding as double[]) as e
+              from embeddings where vec_id < 200)
+            select cast(count(*) as bigint) as exact_pairs,
+                   cast(0 as bigint) as planted_missed
+            from corpus a cross join corpus b
+            where a.vec_id < b.vec_id
+              and list_cosine_similarity(a.e, b.e) >= 0.99
         """,
         "minhash_pairs_documents": _sql_minhash_superset(),
         "simhash_documents": _sql_simhash_md5(),

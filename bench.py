@@ -41,6 +41,14 @@ BYTES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_BYTES_ROWS", "20000"))
 # tasks and fakes a bad scaling number — fix the file count
 TABLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_BENCH_PARTITIONS", "128"))
 IMAGE_TABLE = f"/tmp/sparkschema_bench/images_{BENCH_IMAGE_ROWS}_p{TABLE_PARTITIONS}"
+# the scaling pair runs on a 2x table: the flagship job carries ~0.5-0.8 s
+# of fixed per-job overhead (submit/schedule/collect) that is constant
+# across local[N] levels, so at 20M rows it dilutes the 4N level's
+# throughput and understates efficiency; doubling the parallel work makes
+# the measurement reflect the plan, not the harness
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS",
+                                  str(BENCH_IMAGE_ROWS * 2)))
+SCALING_TABLE = f"/tmp/sparkschema_bench/images_{SCALING_ROWS}_p{TABLE_PARTITIONS}"
 IMAGE_BYTES_TABLE = f"/tmp/sparkschema_bench/images_bytes_{BYTES_ROWS}"
 REF_BYTES_TABLE = f"/tmp/sparkschema_bench/images_ref_{BYTES_ROWS}"
 
@@ -123,13 +131,13 @@ def warm_page_cache(*paths: str) -> float:
     return total / (1 << 30)
 
 
-def flagship_validate(spark) -> tuple[float, int]:
+def flagship_validate(spark, table: str = IMAGE_TABLE) -> tuple[float, int]:
     """One full row-level validation pass; returns (seconds, rows)."""
     from pyspark.sql import functions as F
 
     from sparkschema.compiler.table import compile_table_spec
 
-    imgs = spark.read.parquet(IMAGE_TABLE)
+    imgs = spark.read.parquet(table)
     cts = compile_table_spec(FLAGSHIP_SPEC, imgs, key_cols=["image_id"])
     t0 = time.perf_counter()
     agg = imgs.agg(
@@ -214,23 +222,38 @@ def run_scaling(n: int = 8, n4: int = 32) -> dict:
     setup = make_session(32)
     try:
         ensure_image_tables(setup, 32)
+        if not os.path.exists(SCALING_TABLE):
+            from sparkschema.sources.synthetic import images_df
+            images_df(setup, SCALING_ROWS, partitions=TABLE_PARTITIONS) \
+                .drop("bytes").write.mode("overwrite").parquet(SCALING_TABLE)
     finally:
         setup.stop()
 
-    results = {}
-    for cpus in (n, n4):
-        spark = make_session(cpus)
-        try:
-            warm_page_cache(IMAGE_TABLE)  # cache evicts between sessions here
-            flagship_validate(spark)  # warm the JVM/codegen
-            best = min(flagship_validate(spark)[0] for _ in range(4))
-            results[cpus] = {"seconds": round(best, 3),
-                             "rows_per_sec": round(BENCH_IMAGE_ROWS / best)}
-        finally:
-            spark.stop()
+    # per-core throughput on this shared host swings ~20% over minutes
+    # (noisy neighbors); a single 4-then-16 sequence can catch the two
+    # levels in different load windows and report a fake efficiency in
+    # either direction. Interleave the levels over two rounds and take the
+    # per-level minimum — if the host was quiet in ANY window, each level
+    # gets its true time.
+    best: dict[int, float] = {}
+    for _ in range(2):
+        for cpus in (n, n4):
+            spark = make_session(cpus)
+            try:
+                warm_page_cache(SCALING_TABLE)  # cache evicts between sessions
+                flagship_validate(spark, SCALING_TABLE)  # warm JVM/codegen
+                t = min(flagship_validate(spark, SCALING_TABLE)[0]
+                        for _ in range(3))
+                best[cpus] = min(best.get(cpus, float("inf")), t)
+            finally:
+                spark.stop()
+    results = {c: {"seconds": round(t, 3),
+                   "rows_per_sec": round(SCALING_ROWS / t)}
+               for c, t in best.items()}
     eff = (results[n4]["rows_per_sec"] / results[n]["rows_per_sec"]) / (n4 / n)
     return {f"local{n}": results[n], f"local{n4}": results[n4],
-            "n": n, "n4": n4, "efficiency": round(eff, 3)}
+            "n": n, "n4": n4, "rows": SCALING_ROWS,
+            "efficiency": round(eff, 3)}
 
 
 def main() -> None:
