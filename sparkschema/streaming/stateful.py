@@ -37,15 +37,16 @@ OUTPUT_SCHEMA = T.StructType([
 
 def keyed_violation_state(stream_df: DataFrame, spec: Any, key_col: str,
                           max_violations: int = 10,
-                          idle_timeout: str = "30 minutes",
+                          idle_timeout_ms: int = 30 * 60 * 1000,
                           **compile_kwargs) -> DataFrame:
     """Per-key cumulative violation tracking over a stream.
 
     Emits one update row per (key, micro-batch): totals since the key was
     first seen, this batch's contribution, and whether the key crossed the
     ``max_violations`` quarantine budget. Keys idle longer than
-    ``idle_timeout`` have their state evicted (processing-time timeout),
-    so state size tracks the ACTIVE key set, not the all-time one.
+    ``idle_timeout_ms`` have their state evicted (processing-time timeout;
+    PySpark's setTimeoutDuration takes milliseconds), so state size tracks
+    the ACTIVE key set, not the all-time one.
     """
     from sparkschema.compiler.table import compile_table_spec
 
@@ -72,7 +73,7 @@ def keyed_violation_state(stream_df: DataFrame, spec: Any, key_col: str,
         total_rows, total_viols = prev_rows + rows, prev_viols + viols
         quarantined = bool(quarantined or total_viols > max_violations)
         state.update((total_rows, total_viols, quarantined))
-        state.setTimeoutDuration(idle_timeout)
+        state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame([{
             "key": key[0],
             "rows_total": total_rows,

@@ -20,15 +20,22 @@ def _write_batch(spark, path, rows):
 
 
 def _run_once(spark, src, chk, sink_name, max_violations):
+    # foreachBatch sink: the memory sink cannot recover from a checkpoint,
+    # and recovery across restarts is exactly what this test exercises
     stream = spark.readStream.schema("image_id string, w int").parquet(src)
     out = keyed_violation_state(stream, SPEC, "image_id",
                                 max_violations=max_violations)
-    q = (out.writeStream.format("memory").queryName(sink_name)
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
          .outputMode("update")
          .option("checkpointLocation", chk)
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    return {r.key: r for r in spark.sql(f"select * from {sink_name}").collect()}
+    return {r.key: r for r in collected}
 
 
 @pytest.mark.filterwarnings("ignore")
