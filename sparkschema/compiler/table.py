@@ -254,7 +254,10 @@ def compile_table_spec(
                                              catalog=catalog)),
             ))
 
-    # presence dependencies: if col A present, cols B.. must be present
+    # dependencies: array form = presence dependency (col A present ⇒
+    # cols B.. present); schema form = presence of A requires the ROW to
+    # satisfy the dependent object schema (ObjectConstraints4.scala:45-61,
+    # kernel parity interpreter._object_keywords)
     deps = schema.get("dependencies")
     if isinstance(deps, dict):
         for a, dep in deps.items():
@@ -272,6 +275,17 @@ def compile_table_spec(
                             msg=F.lit(msg_catalog.render("obj.missing.prop.dep",
                                                          b, catalog=catalog)),
                         ))
+            elif isinstance(dep, (dict, bool)):
+                ok = object_schema_valid(cc, dep, fields)
+                checks.append(Check(
+                    keyword="dependencies",
+                    schema_path=f"#/dependencies/{a}",
+                    instance_path=f"/{a}",
+                    fail=F.col(a).isNotNull() & ~F.coalesce(ok, F.lit(False)),
+                    value=F.col(a).cast("string"),
+                    msg=F.lit(msg_catalog.render("comp.no.schema",
+                                                 catalog=catalog)),
+                ))
 
     # root-level conditional / combinators across columns (row-as-object):
     checks += _row_combinators(cc, schema, fields, catalog)
@@ -300,6 +314,37 @@ def _has_ref(schema: Any) -> bool:
     return False
 
 
+def object_schema_valid(cc: ColumnCompiler, s: Any,
+                        fields: dict[str, T.DataType]) -> Column:
+    """Row-level validity of an object schema over the table's columns
+    (properties / required / allOf / anyOf / not, row-as-object mapping)."""
+    if s is True:
+        return F.lit(True)
+    if s is False:
+        return F.lit(False)
+    ok = F.lit(True)
+    props = s.get("properties") or {}
+    for name, sub in props.items():
+        if name in fields and isinstance(sub, (dict, bool)):
+            plain = sub if not isinstance(sub, dict) else {
+                k: v for k, v in sub.items() if k not in _EXTENSION_KEYWORDS}
+            ok = ok & cc.compile_valid(plain, F.col(name), fields[name])
+    for r in s.get("required") or []:
+        if r in fields:
+            ok = ok & F.col(r).isNotNull()
+    for comb, op in (("allOf", "and"), ("anyOf", "or")):
+        subs = s.get(comb)
+        if isinstance(subs, list) and subs:
+            acc = object_schema_valid(cc, subs[0], fields)
+            for x in subs[1:]:
+                nxt = object_schema_valid(cc, x, fields)
+                acc = (acc & nxt) if op == "and" else (acc | nxt)
+            ok = ok & acc
+    if "not" in s:
+        ok = ok & ~object_schema_valid(cc, s["not"], fields)
+    return ok
+
+
 def _row_combinators(cc: ColumnCompiler, schema: dict,
                      fields: dict[str, T.DataType],
                      catalog: dict[str, str] | None) -> list[Check]:
@@ -308,30 +353,7 @@ def _row_combinators(cc: ColumnCompiler, schema: dict,
     spec's ``if fmt=jpg then w multipleOf 8`` shape, FIXTURES.md §3)."""
 
     def obj_valid(s: Any) -> Column:
-        if s is True:
-            return F.lit(True)
-        if s is False:
-            return F.lit(False)
-        ok = F.lit(True)
-        props = s.get("properties") or {}
-        for name, sub in props.items():
-            if name in fields and isinstance(sub, (dict, bool)):
-                plain = sub if not isinstance(sub, dict) else {
-                    k: v for k, v in sub.items() if k not in _EXTENSION_KEYWORDS}
-                ok = ok & cc.compile_valid(plain, F.col(name), fields[name])
-        for r in s.get("required") or []:
-            if r in fields:
-                ok = ok & F.col(r).isNotNull()
-        for comb, op in (("allOf", "and"), ("anyOf", "or")):
-            subs = s.get(comb)
-            if isinstance(subs, list) and subs:
-                acc = obj_valid(subs[0])
-                for x in subs[1:]:
-                    acc = (acc & obj_valid(x)) if op == "and" else (acc | obj_valid(x))
-                ok = ok & acc
-        if "not" in s:
-            ok = ok & ~obj_valid(s["not"])
-        return ok
+        return object_schema_valid(cc, s, fields)
 
     out: list[Check] = []
     value_col = F.lit("<row>")
