@@ -54,6 +54,11 @@ SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS",
 SCALING_TABLE = f"/tmp/sparkschema_bench/images_{SCALING_ROWS}_p{TABLE_PARTITIONS}"
 IMAGE_BYTES_TABLE = f"/tmp/sparkschema_bench/images_bytes_{BYTES_ROWS}"
 REF_BYTES_TABLE = f"/tmp/sparkschema_bench/images_ref_{BYTES_ROWS}"
+# hash-bucketed twins of the byte tables (Iceberg bucket(image_id) stand-in):
+# the round-trip join compiles to a SortMergeJoin with NO exchange — written
+# once, re-registered per session (in-memory catalog forgets metadata)
+BUCKETED_BYTES_TABLE = f"/tmp/sparkschema_bench/images_bytes_bkt_{BYTES_ROWS}"
+BUCKETED_REF_TABLE = f"/tmp/sparkschema_bench/images_ref_bkt_{BYTES_ROWS}"
 
 FLAGSHIP_SPEC = {
     "$schema": "http://json-schema.org/draft-07/schema#",
@@ -112,6 +117,11 @@ def ensure_image_tables(spark, cpus: int) -> None:
         images_df(spark, BYTES_ROWS, with_bytes=True, variant="ref",
                   partitions=cpus * 2) \
             .write.mode("overwrite").parquet(REF_BYTES_TABLE)
+    from sparkschema.sources.tables import ensure_bucketed_table
+    ensure_bucketed_table(spark, "bench_bytes_bkt", BUCKETED_BYTES_TABLE,
+                          source_df=spark.read.parquet(IMAGE_BYTES_TABLE))
+    ensure_bucketed_table(spark, "bench_ref_bkt", BUCKETED_REF_TABLE,
+                          source_df=spark.read.parquet(REF_BYTES_TABLE))
 
 
 def warm_page_cache(*paths: str) -> float:
@@ -192,6 +202,15 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
     warm_page_cache(IMAGE_BYTES_TABLE, REF_BYTES_TABLE)
     out["image_roundtrip_psnr"] = timed(
         lambda: roundtrip_verdict(bimgs, bref).collect())
+
+    # same check over the bucketed layout: SortMergeJoin with NO exchange
+    # (the 2.6 GiB byte corpus never shuffles — the 10^12-scale plan)
+    from sparkschema.sources.tables import ensure_bucketed_table
+    bkt_imgs = ensure_bucketed_table(spark, "bench_bytes_bkt", BUCKETED_BYTES_TABLE)
+    bkt_ref = ensure_bucketed_table(spark, "bench_ref_bkt", BUCKETED_REF_TABLE)
+    warm_page_cache(BUCKETED_BYTES_TABLE, BUCKETED_REF_TABLE)
+    out["image_roundtrip_psnr_bucketed"] = timed(
+        lambda: roundtrip_verdict(bkt_imgs, bkt_ref).collect())
 
     # TPC-ish operator queries on sf_dir
     warm_page_cache(sf_dir)

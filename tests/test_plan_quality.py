@@ -82,3 +82,33 @@ def test_stats_reads_only_requested_columns(spark, tmp_path):
     plan = _plan(column_stats(imgs, ["w", "fmt"]))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "bytes" not in read_schema and "caption" not in read_schema
+
+
+def test_bucketed_roundtrip_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed byte tables (the Iceberg bucket(image_id) stand-in)
+    join for the round-trip check with NO exchange and exactly ONE Arrow
+    UDF evaluation — at 10^12 scale the byte corpus never shuffles."""
+    from sparkschema.operators.roundtrip import roundtrip_verdict
+    from sparkschema.sources.tables import ensure_bucketed_table
+
+    clean = dict(dup_fraction=0.0, orphan_fmt_fraction=0.0,
+                 caption_anomaly_fraction=0.0, corrupt_fraction=0.0,
+                 caption_mismatch_fraction=0.0)
+    src = images_df(spark, 400, with_bytes=True, partitions=2, **clean)
+    ref = images_df(spark, 400, with_bytes=True, variant="ref", partitions=2,
+                    **clean)
+    a = ensure_bucketed_table(spark, "pq_bkt_a", str(tmp_path / "a"),
+                              source_df=src, buckets=4)
+    b = ensure_bucketed_table(spark, "pq_bkt_b", str(tmp_path / "b"),
+                              source_df=ref, buckets=4)
+    v = roundtrip_verdict(a, b)
+    plan = _plan(v)
+    assert "SortMergeJoin" in plan
+    assert plan.count("ArrowEvalPython") == 1
+    # the only exchange allowed is the final single-row aggregation step
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part, join_part
+    row = v.collect()[0]
+    assert row["rows"] == 400 and bool(row["pass"])
+    spark.sql("drop table if exists pq_bkt_a")
+    spark.sql("drop table if exists pq_bkt_b")
