@@ -43,6 +43,36 @@ def json_report(violations: DataFrame, table_verdicts: list[dict] | None = None,
     }, default=str, indent=2)
 
 
+def to_reference_json(violations: DataFrame, limit: int = 1000) -> str:
+    """Render violations in the reference's ``toJson`` array shape
+    (SchemaUtil.scala:52-66): one object per violation with camelCase keys
+    ``keyword / schemaPath / instancePath / value / msgs`` plus the nested
+    ``errors`` object and ``resolutionScope``/``referrer`` when present
+    (Results.scala:42-43). ``limit`` bounds the driver collect."""
+    rows = violations.limit(limit).collect()
+    out = []
+    for r in rows:
+        d = r.asDict()
+        obj = {
+            "keyword": d.get("keyword"),
+            "schemaPath": d.get("schema_path"),
+            "instancePath": d.get("instance_path"),
+            "value": d.get("value"),
+            "msgs": [d.get("msg")],
+        }
+        if d.get("errors"):
+            try:
+                obj["errors"] = json.loads(d["errors"])
+            except (json.JSONDecodeError, TypeError):
+                obj["errors"] = d["errors"]
+        if d.get("resolution_scope"):
+            obj["resolutionScope"] = d["resolution_scope"]
+        if d.get("referrer"):
+            obj["referrer"] = d["referrer"]
+        out.append(obj)
+    return json.dumps(out, indent=2, default=str)
+
+
 def write_violations(violations: DataFrame, path: str,
                      fmt: str = "parquet", mode: str = "overwrite") -> None:
     """Persist the full violations table (partitioned by keyword so

@@ -90,3 +90,26 @@ def test_url_handler_registration(tmp_path):
     reg2.add_url_handler("mem", lambda url: '{"minimum": 10}')
     reg2.add_schema_from_url("mem:bounds")
     assert reg2.validate({"$ref": "mem:bounds"}, 5)
+
+
+def test_to_reference_json_shape(spark):
+    """Reference toJson parity (SchemaUtil.scala:52-66): camelCase keys,
+    msgs array, nested errors object, resolutionScope/referrer when set."""
+    import json as _json
+
+    from sparkschema.compiler.table import compile_table_spec
+    from sparkschema.plans.report import to_reference_json
+
+    df = spark.createDataFrame([(1, "gif", 3)], "id int, fmt string, w int")
+    spec = {"type": "object",
+            "properties": {"fmt": {"enum": ["png", "jpg"]}},
+            "oneOf": [{"properties": {"w": {"maximum": 5}}},
+                      {"properties": {"w": {"minimum": 1}}}]}
+    cts = compile_table_spec(spec, df, key_cols=["id"])
+    arr = _json.loads(to_reference_json(cts.violations(df)))
+    by_kw = {o["keyword"]: o for o in arr}
+    e = by_kw["enum"]
+    assert set(e) >= {"keyword", "schemaPath", "instancePath", "value", "msgs"}
+    assert e["errors"] == {"enum": ["png", "jpg"]}
+    assert isinstance(e["msgs"], list) and e["msgs"]
+    assert by_kw["oneOf"]["errors"] == {"matched": ["/oneOf/0", "/oneOf/1"]}
