@@ -406,17 +406,17 @@ class ColumnCompiler:
         - double/float col, binary-representable ``mo`` (0.5, 0.25, 3.0 …):
           IEEE fmod is exact for EVERY finite double (incl. 5e33 % 0.5) —
           no decimal cast at all;
-        - double/float col, truly-decimal ``mo = M·10⁻ˢ``: three ranges.
-          |v| < 10¹⁹ via decimal(38, max(s,12)) with a round-trip guard (a
+        - double/float col, truly-decimal ``mo = M·10⁻ˢ``: two ranges.
+          |v| < 2⁵³ via decimal(38, max(s,12)) with a round-trip guard (a
           value needing more fractional digits than the scale cannot be a
-          multiple of a 10⁻ˢ-step ⇒ violation); 10¹⁹ ≤ |v| < 10³⁸
-          (necessarily whole — every double ≥ 2⁵³ is an integer) via
-          decimal(38,0) % mo, which matches the kernel bit-for-bit because
-          Spark's double→decimal cast goes through Double.toString shortest
-          repr, the same view as_decimal takes; |v| ≥ 10³⁸ by parsing
-          Spark's scientific rendering: mantissa·10^17 is an exact ≤18-digit
-          integer, and (v·10ˢ) mod M reduces via a 310-entry 10^r mod M
-          literal LUT — shortest-repr-exact to 1.8e308.
+          multiple of a 10⁻ˢ-step ⇒ violation); |v| ≥ 2⁵³ (every such
+          double is a whole number) via the EXACT BINARY value: IEEE fmod
+          v mod M is exact because M < 2⁵³, and (v·10ˢ) mod M reduces as
+          ((v mod M)·(10ˢ mod M)) mod M. The kernel takes the same
+          exact-binary view at ≥ 2⁵³ (jsonvalue.as_decimal) — shortest
+          repr is lossy as an integer there, and Java 17's Double.toString
+          even disagrees with Python's repr in the last digit, so the
+          binary integer is the only engine-independent definition.
         Known approximation (documented): mo with scale > 18 or ≥ 16
         significant digits clips to the decimal path."""
         from sparkschema.spec.jsonvalue import as_decimal
@@ -447,26 +447,25 @@ class ColumnCompiler:
             base_fail = F.when(roundtrips, (dcol % F.lit(mo_dec)) != 0) \
                          .otherwise(F.lit(True))
 
-        # [2^53, 1e38): the double is whole; decimal(38,0) goes through
-        # Double.toString shortest repr — bit-for-bit kernel parity.
-        big_fail = (col.cast("decimal(38,0)") % F.lit(mo_dec)) != 0
-
         M = int(mo_dec.scaleb(s))
-        if M >= 1 and s <= 18:
-            # |v| ≥ 1e38: Spark renders the double scientifically
-            # ("1.234E301"); mantissa·10^17 is an exact ≤18-digit integer of
-            # the shortest repr, so (v·10^s) mod M reduces with a
-            # power-of-ten LUT — bit-for-bit kernel parity out to 1.8e308.
-            sstr = F.abs(dbl).cast("string")
-            mant = (F.substring_index(sstr, "E", 1).cast("decimal(18,17)")
-                    * F.lit(10 ** 17)).cast("decimal(36,0)")
-            expo = F.substring_index(sstr, "E", -1).cast("int") - 17 + s
-            lut = F.array(*[F.lit(pow(10, r, M)) for r in range(310)])
-            huge_fail = F.pmod(F.pmod(mant, F.lit(M)) * F.get(lut, expo),
-                               F.lit(M)) != 0
+        if 1 <= M < 2 ** 53 and s <= 18:
+            # |v| ≥ 2^53: the exact-binary view. v mod M via IEEE fmod is
+            # exact (both operands exactly representable); then
+            # (v·10^s) mod M = ((v mod M)·(10^s mod M)) mod M, with the
+            # product done in decimal because it can exceed 2^53.
+            t = pow(10, s, M)
+            vm = F.pmod(dbl, F.lit(float(M))).cast("decimal(20,0)")
+            big_fail = F.pmod(vm * F.lit(t), F.lit(M)) != 0
         else:
-            huge_fail = big_fail  # pathological mo: overflow ⇒ NULL ⇒ pass
-        return (F.when(F.abs(dbl) >= F.lit(1e38), huge_fail)
+            # pathological mo (≥16 significant digits or scale >18): fall
+            # back to the decimal view; values beyond its range flag
+            big_fail = F.coalesce(
+                (col.cast("decimal(38,0)") % F.lit(mo_dec)) != 0, F.lit(True))
+        # NaN/±Inf are not JSON numbers (the kernel never sees them); on a
+        # double column they are never a multiple of anything — and they
+        # must not reach the decimal casts, which throw under ANSI mode
+        nonfinite = dbl.isNaN() | (F.abs(dbl) == F.lit(float("inf")))
+        return (F.when(nonfinite, F.lit(True))
                  .when(F.abs(dbl) >= F.lit(float(2 ** 53)), big_fail)
                  .otherwise(base_fail))
 

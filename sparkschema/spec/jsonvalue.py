@@ -83,7 +83,14 @@ def matches_type(v: Any, type_name: str) -> bool:
 
 
 def as_decimal(v: Any) -> Decimal:
-    """Exact decimal view of a JSON number (floats via shortest repr)."""
+    """Exact decimal view of a JSON number.
+
+    Floats below 2^53 go through shortest repr — the canonical decimal a
+    user wrote (``0.1`` stays ``0.1``, not its 55-digit binary expansion).
+    At/above 2^53 every double is a whole number and shortest repr is
+    LOSSY as an integer (and Java 17's Double.toString disagrees with
+    Python's repr in the last digit for some values), so the exact binary
+    integer is the only unambiguous view — both engine paths use it."""
     if isinstance(v, Decimal):
         return v
     if isinstance(v, int) and not isinstance(v, bool):
@@ -91,6 +98,8 @@ def as_decimal(v: Any) -> Decimal:
     if isinstance(v, float):
         if math.isnan(v) or math.isinf(v):
             raise ValueError("non-finite number in JSON value")
+        if abs(v) >= 2.0 ** 53:
+            return Decimal(v)  # exact: the double IS this integer
         return Decimal(repr(v))
     raise TypeError(f"not a JSON number: {v!r}")
 

@@ -205,3 +205,42 @@ def test_minlength_grapheme_parity_columnar(spark):
         for i, s in enumerate(GRAPHEME_SAMPLES):
             expected = not kernel.validate(spec, s)
             assert bool(got[i]) == expected, f"spec={spec} s={s!r}"
+
+
+def test_multipleof_randomized_wide_range_parity(spark):
+    """Seeded sweep over the full double range (exponents -320..308):
+    columnar multipleOf tiers must agree with the widening kernel on every
+    value — the property the decimal(38,12) cast silently broke in r1."""
+    import random
+
+    rng = random.Random(20260816)
+    values = [0.0]
+    for _ in range(400):
+        mant = rng.uniform(1.0, 10.0) * (1 if rng.random() < 0.5 else -1)
+        values.append(mant * 10.0 ** rng.randint(-320, 308))
+    # whole-ish values and near-multiples of the test factors
+    values += [float(rng.randint(-10**18, 10**18)) for _ in range(100)]
+    values += [round(rng.uniform(-1000, 1000), 2) for _ in range(100)]
+
+    specs = [{"multipleOf": m} for m in (0.5, 0.1, 0.25, 0.01, 3, 0.3, 7)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i int, x double")
+    cc = ColumnCompiler()
+    kernel = Validator()
+    cols = [cc.compile_valid(parse_json(__import__("json").dumps(sp)),
+                             F.col("x"), df.schema["x"].dataType).alias(f"s{j}")
+            for j, sp in enumerate(specs)]
+    got = {r["i"]: r for r in df.select("i", *cols).collect()}
+    import math
+
+    problems = []
+    for j, sp in enumerate(specs):
+        spec = parse_json(__import__("json").dumps(sp))
+        for i, v in enumerate(values):
+            if math.isinf(v) or math.isnan(v):
+                expected = False  # non-finite ⇒ violation (not JSON numbers)
+            else:
+                expected = not kernel.validate(spec, v)
+            if bool(got[i][f"s{j}"]) != expected:
+                problems.append(f"mo={sp['multipleOf']} v={v!r}")
+    assert not problems, f"{len(problems)} mismatches, first: {problems[:5]}"
