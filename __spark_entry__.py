@@ -214,6 +214,17 @@ def _q_quality_components_documents(spark, sf):
         f["stopword_hits"].cast("long").alias("stopword_hits"))
 
 
+def _q_quality_score_documents(spark, sf):
+    """Full composite quality score (operators.text.quality_score): the
+    DuckDB oracle recomputes the entire documented formula — length band,
+    mean word length band, stopword saturation, punct/digit/upper penalty."""
+    from sparkschema.operators.text import quality_score
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    return d.select("doc_id",
+                    F.round(quality_score(F.col("text")), 4).alias("q_score"))
+
+
 def _q_fingerprint_documents(spark, sf):
     from sparkschema.operators.dedup import normalized_text
 
@@ -567,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_documents": _q_token_stats_documents,
         "lang_counts_documents": _q_lang_counts_documents,
         "quality_components_documents": _q_quality_components_documents,
+        "quality_score_documents": _q_quality_score_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "events_hourly": _q_events_hourly,
         "events_json_invalid": _q_events_json_invalid,
@@ -827,6 +839,43 @@ def oracle_sql() -> dict[str, str]:
                      ['the','and','of','to','in','is','that','it','was','for']))
                      as bigint) as stopword_hits
             from toks
+        """,
+        "quality_score_documents": f"""
+            with f as (
+              select doc_id,
+                     length(text) as n_chars,
+                     regexp_extract_all(text, '{_TOKRE}') as toks,
+                     list_filter(regexp_extract_all(text, '{_TOKRE}'),
+                                 x -> regexp_matches(x, '^[A-Za-z0-9]+$')) as words,
+                     len(list_intersect(list_distinct(string_split({norm_text}, ' ')),
+                         ['the','and','of','to','in','is','that','it','was','for']))
+                       as stop_hits,
+                     length(regexp_replace(text, '[^A-Z]', '', 'g')) as n_upper,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) as n_digit
+              from documents),
+            g as (
+              select doc_id, n_chars, len(toks) as n_tokens, len(words) as n_words,
+                     case when len(words) > 0 then
+                       list_sum(list_transform(words, w -> length(w)))
+                         / cast(len(words) as double) else 0.0 end as mwl,
+                     case when len(toks) > 0 then
+                       (len(toks) - len(words)) / cast(len(toks) as double)
+                       else 0.0 end as punct_ratio,
+                     stop_hits,
+                     case when n_chars > 0 then n_upper / cast(n_chars as double)
+                          else 0.0 end as upper_ratio,
+                     case when n_chars > 0 then n_digit / cast(n_chars as double)
+                          else 0.0 end as digit_ratio
+              from f)
+            select doc_id,
+                   round(round(greatest(least(
+                     0.3 * (case when n_chars >= 20 and n_chars <= 20000 then 1.0
+                                 when n_chars > 0 then 0.5 else 0.0 end)
+                     + 0.2 * (case when mwl >= 2.5 and mwl <= 12 then 1.0 else 0.3 end)
+                     + 0.3 * least(stop_hits / 3.0, 1.0)
+                     + 0.2 * (1.0 - least(punct_ratio * 1.5 + digit_ratio + upper_ratio,
+                                          1.0)), 1.0), 0.0), 6), 4) as q_score
+            from g
         """,
         "fingerprint_documents": f"""
             select doc_id, md5({norm_text}) as fp_md5 from documents
