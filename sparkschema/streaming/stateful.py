@@ -12,7 +12,8 @@ image_id been behaving" state, which neither a stateless projection nor a
 windowed aggregation (whose state evicts with the watermark) can express.
 
 State is Arrow-batched per key-group (no per-row Python), bounded by the
-key cardinality, and dropped via GroupStateTimeout when a key goes idle.
+key cardinality, and (opt-in, for continuously-running queries) dropped
+via GroupStateTimeout when a key goes idle.
 """
 
 from __future__ import annotations
@@ -37,16 +38,21 @@ OUTPUT_SCHEMA = T.StructType([
 
 def keyed_violation_state(stream_df: DataFrame, spec: Any, key_col: str,
                           max_violations: int = 10,
-                          idle_timeout_ms: int = 30 * 60 * 1000,
+                          idle_timeout_ms: int | None = None,
                           **compile_kwargs) -> DataFrame:
     """Per-key cumulative violation tracking over a stream.
 
     Emits one update row per (key, micro-batch): totals since the key was
     first seen, this batch's contribution, and whether the key crossed the
-    ``max_violations`` quarantine budget. Keys idle longer than
-    ``idle_timeout_ms`` have their state evicted (processing-time timeout;
-    PySpark's setTimeoutDuration takes milliseconds), so state size tracks
-    the ACTIVE key set, not the all-time one.
+    ``max_violations`` quarantine budget.
+
+    ``idle_timeout_ms`` opts into processing-time state eviction: keys
+    idle longer than it are dropped, so state size tracks the ACTIVE key
+    set. ONLY enable it on a continuously-running query — with a
+    registered processing-time timeout Spark keeps scheduling no-data
+    micro-batches to service future evictions, so an ``availableNow``
+    (catch-up) run would never terminate (observed: 300+ empty batches).
+    The default (None) uses NoTimeout and terminates normally.
     """
     from sparkschema.compiler.table import compile_table_spec
 
@@ -73,7 +79,8 @@ def keyed_violation_state(stream_df: DataFrame, spec: Any, key_col: str,
         total_rows, total_viols = prev_rows + rows, prev_viols + viols
         quarantined = bool(quarantined or total_viols > max_violations)
         state.update((total_rows, total_viols, quarantined))
-        state.setTimeoutDuration(idle_timeout_ms)
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame([{
             "key": key[0],
             "rows_total": total_rows,
@@ -83,7 +90,9 @@ def keyed_violation_state(stream_df: DataFrame, spec: Any, key_col: str,
             "quarantined": quarantined,
         }])
 
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if idle_timeout_ms is not None
+                    else GroupStateTimeout.NoTimeout)
     return (flagged.groupBy("key")
             .applyInPandasWithState(update, OUTPUT_SCHEMA, STATE_SCHEMA,
-                                    "update",
-                                    GroupStateTimeout.ProcessingTimeTimeout))
+                                    "update", timeout_conf))
