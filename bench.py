@@ -316,9 +316,9 @@ def main() -> None:
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         # ON by default (the north rule's two-cluster-size evidence must be
-        # in every recorded bench run). N=4 → 4N=16 by default: this host
-        # exposes 32 hardware threads on ~16 physical cores, so 8→32
-        # measures SMT, not scaling (full curve + discussion in BENCH.md).
+        # in every recorded bench run). Default pair N=2 → 4N=8: within
+        # physical core capacity and below the co-tenant contention region
+        # (rationale + measurements in the module docstring and BENCH.md).
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         scaling = run_scaling(n, 4 * n)
 

@@ -90,6 +90,48 @@ def _num_lit(v: Any) -> Column:
     return F.lit(v)
 
 
+def _dec_precision(d: Decimal) -> int:
+    """Total decimal digits Spark needs to hold ``d`` as a DecimalType
+    literal. NOT len(as_tuple().digits): ``Decimal('1E+40')`` has one
+    stored digit but needs precision 41."""
+    t = d.as_tuple()
+    if t.exponent >= 0:
+        return len(t.digits) + t.exponent
+    return max(len(t.digits), -t.exponent)
+
+
+def _num_eq_lit(col: Column, dt: T.DataType, v: Any) -> Column:
+    """JSON-equality of a numeric column against a number literal without
+    the two traps of a bare ``col == F.lit(...)``:
+
+    - a >38-digit exact decimal (e.g. ``as_decimal(1e40)``) cannot be a
+      DecimalType literal at all — F.lit throws at plan-build time;
+    - comparing a DoubleType column to a wide decimal/long literal makes
+      Catalyst cast the LITERAL to double, collapsing values ≥ 2⁵³ onto
+      their neighbors (9007199254740993 would "equal" ...992.0) while the
+      kernel's exact view says unequal.
+
+    The dtype decides the representable set: a double column can only
+    equal v if v is exactly a double; an integral column only if v is a
+    whole int64; a decimal column only if v fits its precision."""
+    from sparkschema.spec.jsonvalue import as_decimal
+    d = as_decimal(v)
+    if isinstance(dt, FRACTIONAL):
+        try:
+            representable = Decimal(float(d)) == d
+        except (OverflowError, ValueError):
+            representable = False
+        return (col == F.lit(float(d))) if representable else F.lit(False)
+    if isinstance(dt, INTEGRAL):
+        if d == d.to_integral_value() and -2 ** 63 <= d < 2 ** 63:
+            return col == F.lit(int(d))
+        return F.lit(False)
+    # DecimalType: representable iff it fits the 38-digit ceiling
+    if _dec_precision(d.normalize()) <= 38:
+        return col == F.lit(d)
+    return F.lit(False)
+
+
 def grapheme_length_col(col: Column) -> Column:
     """String length in grapheme clusters — the Catalyst twin of
     jsonvalue.grapheme_length (reference counts BreakIterator clusters,
@@ -156,8 +198,7 @@ def json_eq_col(col: Column, v: Any, dt: T.DataType) -> Column:
     if domain == "number":
         if not is_number(v):
             return F.lit(False)
-        from sparkschema.spec.jsonvalue import as_decimal
-        return col == F.lit(as_decimal(v))
+        return _num_eq_lit(col, dt, v)
     if domain == "boolean":
         return (col == F.lit(v)) if isinstance(v, bool) else F.lit(False)
     if domain == "string":
@@ -318,8 +359,14 @@ class ColumnCompiler:
         domain = json_domain(dt)
         # JSON equality: restrict literals to the column's own type domain
         if domain == "number":
-            lits = [v for v in enum if is_number(v)]
-        elif domain == "string":
+            eqs = [_num_eq_lit(col, dt, v) for v in enum if is_number(v)]
+            if not eqs:
+                return col.isNotNull()
+            any_eq = eqs[0]
+            for e in eqs[1:]:
+                any_eq = any_eq | e
+            return ~F.coalesce(any_eq, F.lit(False))
+        if domain == "string":
             lits = [v for v in enum if isinstance(v, str)]
         elif domain == "boolean":
             lits = [v for v in enum if isinstance(v, bool)]
@@ -340,7 +387,7 @@ class ColumnCompiler:
     def _const_fail(self, const: Any, col: Column, dt: T.DataType) -> Column:
         domain = json_domain(dt)
         if domain == "number" and is_number(const):
-            return ~(col == _num_lit(const))
+            return ~F.coalesce(_num_eq_lit(col, dt, const), F.lit(False))
         if domain == "string" and isinstance(const, str):
             return ~(col == F.lit(const))
         if domain == "boolean" and isinstance(const, bool):
@@ -424,8 +471,19 @@ class ColumnCompiler:
         is_whole_mo = mo_dec == mo_dec.to_integral_value()
         s = max(-mo_dec.as_tuple().exponent, 0)
 
+        if _dec_precision(mo_dec) > 38:
+            # mo's exact form cannot be a DecimalType literal (e.g. the
+            # 41-digit binary integer of the double 1e40). Such an mo is a
+            # huge whole number: compare in double — IEEE fmod is exact
+            # because mo, coming from a float, is binary-representable.
+            return F.coalesce((col.cast("double") % F.lit(float(mo_dec))) != 0,
+                              F.lit(True))
+
         if statically_integer(dt):
             if is_whole_mo:
+                if not -2 ** 63 <= mo_dec < 2 ** 63:
+                    # mo exceeds int64: the only int64 multiple is 0
+                    return col != 0
                 return (col % F.lit(int(mo_dec))) != 0
             scale = min(s, 18)
             return (col.cast(f"decimal(38,{scale})") % F.lit(mo_dec)) != 0
@@ -483,8 +541,8 @@ class ColumnCompiler:
                                  "str.max.length", col, F.lit(str(mx))))
         pat = schema.get("pattern")
         if isinstance(pat, str):
-            from sparkschema.spec.ecma_pattern import translate_ecma
-            jpat, _ = translate_ecma(pat, "java")
+            from sparkschema.spec.ecma_pattern import translate_ecma_checked
+            jpat = translate_ecma_checked(pat, "java")
             # rlike = unanchored find, same as the reference's matcher.search(0)
             out.append(self._chk("pattern", f"{spath}/pattern", ipath,
                                  present & ~col.rlike(jpat), col,
@@ -666,8 +724,8 @@ class ColumnCompiler:
 
     @staticmethod
     def _map_filter_by_key(col: Column, pattern: str) -> Column:
-        from sparkschema.spec.ecma_pattern import translate_ecma
-        jpat, _ = translate_ecma(pattern, "java")
+        from sparkschema.spec.ecma_pattern import translate_ecma_checked
+        jpat = translate_ecma_checked(pattern, "java")
         return F.map_filter(col, lambda k, v: k.rlike(jpat))
 
     def _combinator_checks(self, schema, col, dt, spath, ipath, present) -> list[Check]:

@@ -317,7 +317,10 @@ def _has_ref(schema: Any) -> bool:
 def object_schema_valid(cc: ColumnCompiler, s: Any,
                         fields: dict[str, T.DataType]) -> Column:
     """Row-level validity of an object schema over the table's columns
-    (properties / required / allOf / anyOf / not, row-as-object mapping)."""
+    (properties / required / allOf / anyOf / oneOf / not / if-then-else,
+    row-as-object mapping). A required column absent from the DataFrame is
+    statically absent from every row — the schema can never hold (kernel
+    parity: required fails on a missing property)."""
     if s is True:
         return F.lit(True)
     if s is False:
@@ -330,8 +333,7 @@ def object_schema_valid(cc: ColumnCompiler, s: Any,
                 k: v for k, v in sub.items() if k not in _EXTENSION_KEYWORDS}
             ok = ok & cc.compile_valid(plain, F.col(name), fields[name])
     for r in s.get("required") or []:
-        if r in fields:
-            ok = ok & F.col(r).isNotNull()
+        ok = ok & (F.col(r).isNotNull() if r in fields else F.lit(False))
     for comb, op in (("allOf", "and"), ("anyOf", "or")):
         subs = s.get(comb)
         if isinstance(subs, list) and subs:
@@ -340,8 +342,21 @@ def object_schema_valid(cc: ColumnCompiler, s: Any,
                 nxt = object_schema_valid(cc, x, fields)
                 acc = (acc & nxt) if op == "and" else (acc | nxt)
             ok = ok & acc
+    oneof = s.get("oneOf")
+    if isinstance(oneof, list) and oneof:
+        cnt = F.coalesce(object_schema_valid(cc, oneof[0], fields),
+                         F.lit(False)).cast("int")
+        for x in oneof[1:]:
+            cnt = cnt + F.coalesce(object_schema_valid(cc, x, fields),
+                                   F.lit(False)).cast("int")
+        ok = ok & (cnt == 1)
     if "not" in s:
         ok = ok & ~object_schema_valid(cc, s["not"], fields)
+    if "if" in s:
+        cond = F.coalesce(object_schema_valid(cc, s["if"], fields), F.lit(False))
+        then_v = object_schema_valid(cc, s["then"], fields) if "then" in s else F.lit(True)
+        else_v = object_schema_valid(cc, s["else"], fields) if "else" in s else F.lit(True)
+        ok = ok & F.when(cond, then_v).otherwise(else_v)
     return ok
 
 

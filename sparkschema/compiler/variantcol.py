@@ -197,8 +197,8 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
         ok = ok & ~(isstr & (grapheme_length_col(s) > mx))
     pat = schema.get("pattern")
     if isinstance(pat, str):
-        from sparkschema.spec.ecma_pattern import translate_ecma
-        ok = ok & ~(isstr & ~s.rlike(translate_ecma(pat, "java")[0]))
+        from sparkschema.spec.ecma_pattern import translate_ecma_checked
+        ok = ok & ~(isstr & ~s.rlike(translate_ecma_checked(pat, "java")))
     fmt = schema.get("format")
     if isinstance(fmt, str):
         if fmt in ("int32", "int64"):

@@ -5,8 +5,9 @@ ECMAScript RegExpFactory (StringValidators.scala:16-50), while this engine
 evaluates patterns with Python ``re`` (kernel) and Java ``java.util.regex``
 (Catalyst ``rlike``). The three dialects agree on the whole golden fixture
 corpus, but diverge on documented constructs. :func:`translate_ecma`
-rewrites the common divergent constructs at compile time and reports the
-ones it cannot bridge as warnings (the divergence-detection path).
+rewrites the common divergent constructs at compile time;
+:func:`translate_ecma_checked` additionally surfaces what it cannot bridge
+as ``UserWarning``s (the divergence-detection path).
 
 Dialect table (construct → ECMA meaning → untranslated engine behavior):
 
@@ -15,12 +16,15 @@ construct             ECMA-262                        Python / Java if untransla
 ====================  ==============================  =========================
 ``\\d \\w`` (no u-flag)  ASCII ``[0-9]``/``[A-Za-z0-9_]``  Python: Unicode digits/words
 ``\\s``                 Unicode WhiteSpace + BOM        Java: ASCII-only ``[ \\t\\n\\x0B\\f\\r]``
-``$`` (no m-flag)     end of input ONLY               Python/Java: also before a
-                                                      trailing newline
+``$`` (no m-flag)     end of input ONLY, anywhere     Python/Java: also before a
+                      in the pattern                  trailing newline
 ``\\cX``               control char (X mod 32)         Python: error
 ``[]``                never matches                   Python: unterminated class
 ``[^]``               matches anything                Python: unterminated class
 lone ``{``            literal brace                   Java: dangling-metachar error
+``[\\s-a]`` (dash      literal '-' (shorthands are     Python AND Java: bad
+next to a shorthand)  not range endpoints)            character range — the dash
+                                                      is escaped ``\\-``
 ``\\b`` in a class     backspace (\\x08)               same (no action needed)
 ``\\b`` boundary       ASCII-word boundary             Python: Unicode boundary —
                                                       WARNED, not translated
@@ -37,6 +41,23 @@ from __future__ import annotations
 _ECMA_WS = (" \\t\\n\\x0b\\f\\r\\u00a0\\u1680\\u2000-\\u200a"
             "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff")
 
+_WARNED: set[tuple[str, str]] = set()
+
+
+def translate_ecma_checked(pattern: str, target: str = "python") -> str:
+    """:func:`translate_ecma` + the divergence-detection path: any
+    unbridgeable construct is surfaced once per (pattern, target) as a
+    Python ``UserWarning`` at compile time, so silently-divergent
+    validation is visible in logs/test output instead of being dropped."""
+    out, warns = translate_ecma(pattern, target)
+    if warns and (pattern, target) not in _WARNED:
+        _WARNED.add((pattern, target))
+        import warnings as _warnings
+        _warnings.warn(
+            f"ECMA-262 pattern {pattern!r} ({target}): " + "; ".join(warns),
+            UserWarning, stacklevel=3)
+    return out
+
 
 def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]]:
     """Rewrite an ECMA-262 pattern for ``target`` (``python`` | ``java``).
@@ -48,6 +69,12 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
     warnings: list[str] = []
     i, n = 0, len(pattern)
     in_class = False
+    # In ECMA a '-' adjacent to a class shorthand inside a character class
+    # is a LITERAL dash ('[\s-a]' = whitespace, '-', 'a'); after expanding
+    # the shorthand the dash would fuse into a (possibly reversed) range
+    # that Python AND Java reject — so any dash touching a shorthand is
+    # escaped. Tracked via this flag (set after an in-class shorthand).
+    prev_class_shorthand = False
 
     def peek(k: int = 0) -> str:
         return pattern[i + k] if i + k < n else ""
@@ -71,6 +98,7 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
                     out.append(ch + nxt)
                 else:
                     out.append("[0-9]" if nxt == "d" else "[^0-9]")
+                prev_class_shorthand = in_class
                 i += 2
                 continue
             if nxt in "wW" and target == "python":
@@ -82,6 +110,7 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
                     out.append(ch + nxt)
                 else:
                     out.append("[A-Za-z0-9_]" if nxt == "w" else "[^A-Za-z0-9_]")
+                prev_class_shorthand = in_class
                 i += 2
                 continue
             if nxt in "sS":
@@ -94,12 +123,21 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
                     out.append(_ECMA_WS)
                 else:
                     out.append(("[%s]" if nxt == "s" else "[^%s]") % _ECMA_WS)
+                prev_class_shorthand = in_class
+                i += 2
+                continue
+            if nxt in "dDwW" and in_class:
+                # java target keeps \d/\w (already ASCII there) but the
+                # dash-adjacency rule still applies
+                out.append(ch + nxt)
+                prev_class_shorthand = True
                 i += 2
                 continue
             if nxt in "bB" and not in_class and target == "python":
                 warnings.append("\\b word boundary stays Unicode-aware in "
                                 "Python (ECMA uses the ASCII word set)")
             out.append(ch + nxt)
+            prev_class_shorthand = False
             i += 2
             continue
 
@@ -114,12 +152,15 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
                     i += 3
                     continue
                 in_class = True
+                prev_class_shorthand = False
                 out.append(ch)
                 i += 1
                 continue
-            if ch == "$" and i == n - 1:
-                # ECMA $ (no m-flag) anchors END OF INPUT; Python $ and
-                # Java $ also match before one trailing newline
+            if ch == "$":
+                # ECMA $ (no m-flag) asserts END OF INPUT wherever it
+                # appears (incl. per-alternative, '^a$|^b$'); Python/Java $
+                # also match before one trailing newline, so every
+                # unescaped outside-class $ becomes \Z / \z
                 out.append("\\Z" if target == "python" else "\\z")
                 i += 1
                 continue
@@ -138,6 +179,18 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
         # inside a character class
         if ch == "]":
             in_class = False
+            prev_class_shorthand = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "-" and (prev_class_shorthand
+                          or (peek(1) == "\\" and peek(2) in "dDsSwW")):
+            # literal dash in ECMA (shorthands can't be range endpoints);
+            # escape it so the expanded set cannot fuse into a range
+            out.append("\\-")
+            i += 1
+            continue
+        prev_class_shorthand = False
         out.append(ch)
         i += 1
 

@@ -487,8 +487,8 @@ class Validator:
 
     def _compile_pattern(self, pat: str) -> re.Pattern | None:
         if pat not in self._pattern_cache:
-            from sparkschema.spec.ecma_pattern import translate_ecma
-            translated, _ = translate_ecma(pat, "python")
+            from sparkschema.spec.ecma_pattern import translate_ecma_checked
+            translated = translate_ecma_checked(pat, "python")
             try:
                 self._pattern_cache[pat] = re.compile(translated)
             except re.error:

@@ -244,3 +244,34 @@ def test_multipleof_randomized_wide_range_parity(spark):
             if bool(got[i][f"s{j}"]) != expected:
                 problems.append(f"mo={sp['multipleOf']} v={v!r}")
     assert not problems, f"{len(problems)} mismatches, first: {problems[:5]}"
+
+
+def test_wide_literals_compile_and_validate(spark):
+    """Self-review r2: multipleOf/const/enum whose exact decimal form
+    exceeds 38 digits (e.g. the binary integer of the double 1e40) must
+    compile — F.lit of such a Decimal throws at plan-build time — and the
+    double column must not 'equal' non-representable neighbors via
+    decimal→double literal promotion."""
+    cc = ColumnCompiler()
+    kernel = Validator()
+    df = spark.createDataFrame(
+        [(1, 1e40), (2, 5e39), (3, 9007199254740992.0)], "i int, x double")
+    dt = df.schema["x"].dataType
+    got = {r.i: (r.mo, r.c1, r.c2) for r in df.select(
+        "i",
+        cc.compile_valid({"multipleOf": 1e40}, F.col("x"), dt).alias("mo"),
+        # 2^53+1 is not a double: NO double value may equal it
+        cc.compile_valid({"const": 9007199254740993}, F.col("x"), dt).alias("c1"),
+        cc.compile_valid({"const": 1e40}, F.col("x"), dt).alias("c2"),
+    ).collect()}
+    assert got[1] == (True, False, True)     # 1e40 is a multiple of itself
+    assert got[2][0] is False                # 5e39 is not
+    assert got[3][1] is False                # 2^53 ≠ 2^53+1 (kernel parity)
+    assert not kernel.validate({"multipleOf": 1e40}, 1e40)
+    assert kernel.validate({"const": 9007199254740993}, 9007199254740992.0)
+    # nested (struct) literal path takes the same guarded builder
+    sdf = spark.createDataFrame([(1, {"a": 1e40})], "i int, s struct<a: double>")
+    ok = sdf.select(cc.compile_valid({"const": {"a": 1e40}}, F.col("s"),
+                                     sdf.schema["s"].dataType).alias("ok")) \
+            .collect()[0].ok
+    assert ok is True

@@ -69,3 +69,47 @@ def test_translation_preserves_classes_and_escapes():
     out, _ = translate_ecma(r"[a\]b]\$x$", "python")
     # escaped ] stays in class; escaped $ stays literal; final $ anchors input end
     assert out == r"[a\]b]\$x\Z"
+
+
+def test_in_class_shorthand_adjacent_to_dash_passthrough(spark):
+    """Self-review r2: expanding \\s/\\d inside a class next to '-' would
+    fabricate an out-of-order range ('[...\\ufeff-a]') that Java rejects at
+    runtime — such patterns must pass through (with a warning) and still
+    evaluate with ECMA-compatible membership for ASCII inputs."""
+    pat = r"^[\s-a]+$"
+    jpat, warns = translate_ecma(pat, "java")
+    assert "\\-" in jpat and not warns      # dash escaped; fully bridged
+    import re as _re
+    out, _ = translate_ecma(pat, "python")
+    rx = _re.compile(out)                   # must COMPILE, not crash
+    assert rx.search(" -a")
+    cc = ColumnCompiler()
+    df = spark.createDataFrame([(1, " -a"), (2, "zz")], "i int, s string")
+    got = {r.i: r.ok for r in df.select(
+        "i", cc.compile_valid({"pattern": pat}, F.col("s"),
+                              df.schema["s"].dataType).alias("ok")).collect()}
+    assert got == {1: True, 2: False}
+    jpat2, _ = translate_ecma(r"[x-\d]", "python")
+    _re.compile(jpat2)                      # adjacency guard on the right side
+
+
+def test_dollar_anchors_every_alternative():
+    """Self-review r2: '$' must be ECMA end-of-input in EVERY position,
+    not only pattern-final — '^a$|^b$' previously left the first
+    alternative with trailing-newline grace."""
+    assert not kernel_matches(r"^a$|^b$", "a\n")
+    assert kernel_matches(r"^a$|^b$", "a")
+    assert kernel_matches(r"^a$|^b$", "b")
+    out, _ = translate_ecma(r"^a$|^b$", "java")
+    assert out == r"^a\z|^b\z"
+
+
+def test_divergent_patterns_emit_userwarning(spark):
+    import warnings as w
+
+    from sparkschema.spec.ecma_pattern import translate_ecma_checked
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        translate_ecma_checked(r"\bunique-probe-xyzzy\b", "python")
+    assert any("word boundary" in str(x.message) for x in rec)

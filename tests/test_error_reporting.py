@@ -212,3 +212,26 @@ def test_kernel_columnar_identical_branch_keywords(spark):
     for i, v in enumerate([11, 12, 7, 3]):
         expected = {e.keyword for e in kernel.validate(spec, v)}
         assert got[i] == expected, f"value={v}: columnar={got[i]} kernel={expected}"
+
+
+def test_dependencies_schema_form_oneof_and_missing_column(spark):
+    """Self-review r2: the dependent object schema's oneOf / if-then-else
+    and required-on-missing-column must not silently pass at table level."""
+    spec = {
+        "type": "object",
+        "properties": {"a": {"type": "integer"}},
+        "dependencies": {
+            "a": {"oneOf": [{"properties": {"b": {"maximum": 5}}},
+                            {"properties": {"b": {"minimum": 1}}}],
+                  "required": ["c_missing"]},
+        },
+    }
+    df = spark.createDataFrame([(1, 1, 3), (2, 1, 9), (3, None, 3)],
+                               "id int, a int, b int")
+    cts = compile_table_spec(spec, df, key_cols=["id"])
+    got = {int(r.id) for r in cts.violations(df)
+           .where(F.col("keyword") == "dependencies").collect()}
+    # row 1: b=3 matches BOTH oneOf branches (count 2) AND c_missing absent
+    # row 2: b=9 matches exactly one branch but c_missing is absent
+    # row 3: a absent ⇒ dependency vacuous
+    assert got == {1, 2}
