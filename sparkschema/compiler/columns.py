@@ -117,8 +117,14 @@ def _num_eq_lit(col: Column, dt: T.DataType, v: Any) -> Column:
     from sparkschema.spec.jsonvalue import as_decimal
     d = as_decimal(v)
     if isinstance(dt, FRACTIONAL):
+        # Representable = the kernel's json_equal view of the nearest double:
+        # as_decimal uses shortest repr below 2^53 (0.1 stays "0.1", not its
+        # 55-digit binary expansion) and the exact binary integer above. A
+        # double x json-equals d iff x == float(d) AND float(d)'s decimal
+        # view is d — Decimal(float(d)) here would wrongly reject every
+        # non-dyadic literal (0.1, 3.14) and flag all rows.
         try:
-            representable = Decimal(float(d)) == d
+            representable = as_decimal(float(d)) == d
         except (OverflowError, ValueError):
             representable = False
         return (col == F.lit(float(d))) if representable else F.lit(False)
@@ -347,8 +353,13 @@ class ColumnCompiler:
                     cond = col == F.floor(col)
                     runtime_ok = cond if runtime_ok is None else (runtime_ok | cond)
             elif n == "null":
-                # NULL models absence and vacuously passes; nothing to do
-                ok_static = True
+                # "null" contributes nothing: SQL NULL already passes
+                # vacuously via the caller's `present` gate, and a PRESENT
+                # value is never JSON null — setting ok_static here would
+                # make a lone {"type":"null"} compile to no check at all
+                # (every present value passing), diverging from the kernel
+                # (internal/package.scala:105-110 fires err.expected.type).
+                pass
         if ok_static:
             return None
         if runtime_ok is not None:
@@ -757,36 +768,49 @@ class ColumnCompiler:
             matched = F.array_compact(F.array(*[
                 F.when(v, F.lit(f"/oneOf/{i}")) for i, v in enumerate(valids)]))
             err = F.when(cnt > 1, F.to_json(F.struct(matched.alias("matched"))))
+            # >1 match renders any.one.of.many, 0 matches any.one.of.none —
+            # kernel parity (interpreter oneOf branch; reference
+            # AnyConstraintValidators.scala:170-186)
+            msg = F.when(cnt > 1,
+                         _render_template("any.one.of.many", [], self.catalog)) \
+                   .otherwise(_render_template("any.one.of.none", [], self.catalog))
             out.append(self._chk("oneOf", f"{spath}/oneOf", ipath,
                                  present & (cnt != 1), col,
-                                 "any.one.of.none", errors=err))
+                                 msg, errors=err))
         if "not" in schema:
             out.append(self._chk("not", f"{spath}/not", ipath,
                                  present & sub_valid(schema["not"]), col, "any.not"))
         if "if" in schema:
-            # the violated BRANCH is the keyword (kernel/reference parity)
+            # Reference reporting (AnyConstraintValidators.scala:14-67): one
+            # violation whose keyword is "else" whenever an else branch
+            # exists, "then" only when else is absent; schemaPath is the
+            # CONTAINING schema's path, not #/then / #/else.
             cond = F.coalesce(sub_valid(schema["if"]), F.lit(False))
+            fail = F.lit(False)
             if "then" in schema:
-                out.append(self._chk("then", f"{spath}/then", ipath,
-                                     present & cond & ~sub_valid(schema["then"]),
-                                     col, "err.if.then.else"))
+                fail = fail | (cond & ~sub_valid(schema["then"]))
             if "else" in schema:
-                out.append(self._chk("else", f"{spath}/else", ipath,
-                                     present & ~cond & ~sub_valid(schema["else"]),
-                                     col, "err.if.then.else"))
+                fail = fail | (~cond & ~sub_valid(schema["else"]))
+            if "then" in schema or "else" in schema:
+                keyword = "else" if "else" in schema else "then"
+                out.append(self._chk(keyword, spath or "#", ipath,
+                                     present & fail, col, "err.if.then.else"))
         return out
 
     # ---- helpers --------------------------------------------------------
 
     def _chk(self, keyword: str, spath: str, ipath: str, fail: Column,
-             value: Column, msg_key: str, *msg_args: Column,
+             value: Column, msg_key: str | Column, *msg_args: Column,
              errors: Column | None = None) -> Check:
+        # msg_key may be a pre-built Column for row-dependent messages
+        # (oneOf none-vs-many)
         return Check(
             keyword=keyword,
             schema_path=spath,
             instance_path=ipath or "/",
             fail=F.coalesce(fail, F.lit(False)),
             value=F.coalesce(value.cast("string"), F.lit("null")),
-            msg=_render_template(msg_key, list(msg_args), self.catalog),
+            msg=(_render_template(msg_key, list(msg_args), self.catalog)
+                 if isinstance(msg_key, str) else msg_key),
             errors=errors,
         )

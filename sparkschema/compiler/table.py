@@ -374,17 +374,18 @@ def _row_combinators(cc: ColumnCompiler, schema: dict,
     value_col = F.lit("<row>")
 
     if "if" in schema:
-        # violated branch is the keyword (kernel/reference parity)
+        # Reference reporting (AnyConstraintValidators.scala:14-67): one
+        # violation, keyword "else" whenever an else branch exists ("then"
+        # only when it doesn't), schemaPath = the containing schema ("#").
         cond = F.coalesce(obj_valid(schema["if"]), F.lit(False))
+        fail = F.lit(False)
         if "then" in schema:
-            out.append(Check("then", "#/then", "/",
-                             F.coalesce(cond & ~obj_valid(schema["then"]), F.lit(False)),
-                             value_col,
-                             F.lit(msg_catalog.render("err.if.then.else", catalog=catalog))))
+            fail = fail | F.coalesce(cond & ~obj_valid(schema["then"]), F.lit(False))
         if "else" in schema:
-            out.append(Check("else", "#/else", "/",
-                             F.coalesce(~cond & ~obj_valid(schema["else"]), F.lit(False)),
-                             value_col,
+            fail = fail | F.coalesce(~cond & ~obj_valid(schema["else"]), F.lit(False))
+        if "then" in schema or "else" in schema:
+            keyword = "else" if "else" in schema else "then"
+            out.append(Check(keyword, "#", "/", fail, value_col,
                              F.lit(msg_catalog.render("err.if.then.else", catalog=catalog))))
     for comb, key in (("allOf", "any.all"), ("anyOf", "any.any")):
         subs = schema.get(comb)
@@ -404,10 +405,13 @@ def _row_combinators(cc: ColumnCompiler, schema: dict,
         matched = F.array_compact(F.array(*[
             F.when(v, F.lit(f"/oneOf/{i}")) for i, v in enumerate(valids)]))
         err = F.when(cnt > 1, F.to_json(F.struct(matched.alias("matched"))))
+        # kernel parity: >1 match is any.one.of.many, 0 matches .none
+        msg = F.when(
+            cnt > 1,
+            F.lit(msg_catalog.render("any.one.of.many", catalog=catalog))
+        ).otherwise(F.lit(msg_catalog.render("any.one.of.none", catalog=catalog)))
         out.append(Check("oneOf", "#/oneOf", "/", F.coalesce(cnt != 1, F.lit(True)),
-                         value_col,
-                         F.lit(msg_catalog.render("any.one.of.none", catalog=catalog)),
-                         errors=err))
+                         value_col, msg, errors=err))
     if "not" in schema:
         out.append(Check("not", "#/not", "/",
                          F.coalesce(obj_valid(schema["not"]), F.lit(False)),

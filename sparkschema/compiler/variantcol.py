@@ -114,6 +114,53 @@ def _type_ok(v: Column, name: str) -> Column:
     raise VariantUnsupported(f"unknown type {name!r}")
 
 
+def _multiple_of_fail_variant(v: Column, mo: Any) -> Column:
+    """Decimal-exact ``multipleOf`` with the columnar path's overflow tiers
+    (reference semantics NumberValidators.scala:89-109).
+
+    The old ``(n % mo_dec) == 0`` on the decimal(38,12) extraction silently
+    NULLed every value outside that window (|v| ≥ 1e26 or >12 fractional
+    digits) and callers coalesced the NULL to "invalid" — e.g. a JSON 1e26
+    with multipleOf 0.25 was flagged here, passed by the kernel.
+
+    Dispatch on the variant's STORED type (VARIANT keeps JSON integer and
+    plain-decimal literals exactly as BIGINT/DECIMAL; e-notation parses as
+    DOUBLE — probed on Spark 4.1):
+
+    - exact (BIGINT / DECIMAL) value fitting decimal(38,18): exact decimal
+      remainder — this covers 2⁵³+1-style integers bit-for-bit;
+    - exact scale-0 DECIMAL wider than 20 integer digits (e.g. a 27-digit
+      literal): decimal(38,0) remainder, still exact;
+    - DOUBLE/FLOAT (and the residual exact-but-unrepresentable tail):
+      :meth:`ColumnCompiler._multiple_of_fail` on the double view, whose
+      tiers match the kernel's as_decimal semantics (shortest repr < 2⁵³,
+      exact binary integer ≥ 2⁵³).
+
+    Known parse-level divergence (not fixable post-parse, documented): JSON
+    e-notation like ``1e26`` is a DOUBLE in VARIANT but an exact Decimal in
+    the kernel's ``parse_json``, so residues mod an mo that distinguishes
+    10²⁶ from double(1e26) can differ.
+    """
+    from pyspark.sql import types as T
+
+    from sparkschema.compiler.columns import ColumnCompiler
+
+    t = _vtype(v)
+    exact = (t == "BIGINT") | t.startswith("DECIMAL")
+    nd18 = F.try_variant_get(v, "$", "decimal(38,18)")
+    d0 = F.try_variant_get(v, "$", "decimal(38,0)")
+    dbl = F.try_variant_get(v, "$", "double")
+    fail18 = ColumnCompiler._multiple_of_fail(nd18, T.DecimalType(38, 18), mo)
+    fail0 = ColumnCompiler._multiple_of_fail(d0, T.DecimalType(38, 0), mo)
+    dbl_fail = F.coalesce(
+        ColumnCompiler._multiple_of_fail(dbl, T.DoubleType(), mo), F.lit(True))
+    return F.coalesce(
+        F.when(exact & nd18.isNotNull(), fail18)
+         .when(exact & t.endswith(",0)") & d0.isNotNull(), fail0)
+         .otherwise(dbl_fail),
+        F.lit(True))
+
+
 def _const_ok(v: Column, c: Any) -> Column:
     if c is None:
         return F.is_variant_null(v)
@@ -183,7 +230,7 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
         ok = ok & ~(isnum & ~(n < F.lit(emx).cast(_DEC)))
     mo = schema.get("multipleOf")
     if is_number(mo):
-        ok = ok & ~(isnum & ~((n % F.lit(mo).cast(_DEC)) == 0))
+        ok = ok & ~(isnum & _multiple_of_fail_variant(v, mo))
 
     s = _str(v)
     isstr = present & _is_string(v)

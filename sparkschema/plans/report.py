@@ -53,18 +53,28 @@ def to_reference_json(violations: DataFrame, limit: int = 1000) -> str:
     out = []
     for r in rows:
         d = r.asDict()
+        # "value" embeds the actual JSON value (createErrorObject puts the
+        # JsValue itself, not a string rendering); the stored field is
+        # compact JSON for kernel-path rows, a plain rendering for columnar
+        # ones — parse when parseable, fall back to the raw string.
+        raw = d.get("value")
+        try:
+            value = json.loads(raw) if raw is not None else None
+        except (json.JSONDecodeError, TypeError):
+            value = raw
+        # "errors" is always present (empty object when no sub-errors)
+        try:
+            errors = json.loads(d["errors"]) if d.get("errors") else {}
+        except (json.JSONDecodeError, TypeError):
+            errors = {"raw": d["errors"]}
         obj = {
             "keyword": d.get("keyword"),
             "schemaPath": d.get("schema_path"),
             "instancePath": d.get("instance_path"),
-            "value": d.get("value"),
+            "value": value,
             "msgs": [d.get("msg")],
+            "errors": errors,
         }
-        if d.get("errors"):
-            try:
-                obj["errors"] = json.loads(d["errors"])
-            except (json.JSONDecodeError, TypeError):
-                obj["errors"] = d["errors"]
         if d.get("resolution_scope"):
             obj["resolutionScope"] = d["resolution_scope"]
         if d.get("referrer"):

@@ -227,17 +227,21 @@ class Validator:
             if not self._validate(schema["not"], value, scope, spath + "/not", ipath, depth + 1):
                 out.append(self._v("not", spath + "/not", ipath, value, "any.not"))
 
-        # if/then/else (AnyConstraintValidators.scala:14-67): lone `if` passes;
-        # the violated BRANCH is the keyword, as in the reference
+        # if/then/else (AnyConstraintValidators.scala:14-67): lone `if`
+        # passes. Reference reporting, exactly: the keyword is "else"
+        # whenever an else branch exists (even when the then branch is the
+        # one violated), "then" only when else is absent; schemaPath is the
+        # CONTAINING schema's path (not #/then or #/else) and no nested
+        # errors object is attached (SchemaUtil.failure with bare args).
         if "if" in schema:
             cond_ok = not self._validate(schema["if"], value, scope, spath + "/if", ipath, depth + 1)
             branch = "then" if cond_ok else "else"
             if branch in schema:
                 sub = self._validate(schema[branch], value, scope, f"{spath}/{branch}", ipath, depth + 1)
                 if sub:
-                    out.append(self._v(
-                        branch, f"{spath}/{branch}", ipath, value, "err.if.then.else",
-                        errors_info={f"/{branch}": [self._sub_obj(v) for v in sub]}))
+                    keyword = "else" if "else" in schema else "then"
+                    out.append(self._v(keyword, spath or "#", ipath, value,
+                                       "err.if.then.else"))
         return out
 
     # -- numeric keywords (NumberValidators.scala) ---------------------------

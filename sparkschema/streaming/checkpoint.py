@@ -101,13 +101,28 @@ def run_resumable(
     manifest = Manifest(manifest_path)
     done = manifest.completed()
 
+    prior_all = {r.get("snapshot_id") for r in done.values()}
+    prior = prior_all - {None}
     if snapshot_id is not None:
-        prior = {r.get("snapshot_id") for r in done.values()} - {None}
         if prior and prior != {snapshot_id}:
             raise ValueError(
                 f"manifest {manifest_path} is pinned to snapshot(s) "
                 f"{sorted(prior)} but this run reads {snapshot_id}; "
                 f"use a fresh manifest to validate a different snapshot")
+        if None in prior_all:
+            # pre-pinning units have no lineage to compare — resuming a
+            # pinned run on top of them would silently mix lineages
+            raise ValueError(
+                f"manifest {manifest_path} contains units committed without "
+                f"a snapshot_id; a pinned run (snapshot {snapshot_id}) cannot "
+                f"prove they read the same data — use a fresh manifest")
+    elif prior:
+        # the manifest is pinned but this restart carries no snapshot_id:
+        # skipping the check would silently bypass snapshot isolation
+        raise ValueError(
+            f"manifest {manifest_path} is pinned to snapshot(s) "
+            f"{sorted(prior)}; pass snapshot_id= to resume it (or use a "
+            f"fresh manifest for unpinned runs)")
 
     processed = skipped = 0
     unit_metrics: list[dict] = []

@@ -122,13 +122,20 @@ def test_enum_const_carry_allowed_values():
 
 
 def test_if_then_else_branch_keyword():
-    # the violated branch is the keyword, as in AnyConstraintValidators
+    # AnyConstraintValidators.scala:14-67: keyword is "else" whenever an
+    # else branch exists, "then" only when it doesn't; the schemaPath is the
+    # CONTAINING schema's path and no nested errors object is attached.
     then_err = validate({"if": {"minimum": 10}, "then": {"multipleOf": 2}}, 11)
     assert then_err[0].keyword == "then"
+    assert then_err[0].schema_path == "#"
     else_err = validate({"if": {"minimum": 10}, "else": {"maximum": 5}}, 7)
     assert else_err[0].keyword == "else"
-    sub = json.loads(else_err[0].errors)["/else"]
-    assert sub[0]["keyword"] == "maximum"
+    assert else_err[0].errors is None or else_err[0].errors == ""
+    # all three branches present + then violated ⇒ still keyword "else"
+    all3 = validate({"if": {"minimum": 10}, "then": {"multipleOf": 2},
+                     "else": {"maximum": 5}}, 11)
+    assert all3[0].keyword == "else"
+    assert all3[0].schema_path == "#"
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +167,8 @@ def test_columnar_violation_rows_carry_error_metadata(spark):
     assert e.referrer == "#/properties/fmt"
     assert e.schema_path == "#/definitions/fmt/enum"
 
-    assert ("a", "then") in rows          # 11 ≥ 10 and odd
+    # else branch present ⇒ keyword is always "else" (reference parity)
+    assert ("a", "else") in rows          # 11 ≥ 10 and odd (then violated)
     assert ("b", "else") in rows          # 7 < 10 and > 5
     assert ("c", "then") not in rows and ("c", "else") not in rows
 

@@ -102,7 +102,8 @@ def test_to_reference_json_shape(spark):
 
     df = spark.createDataFrame([(1, "gif", 3)], "id int, fmt string, w int")
     spec = {"type": "object",
-            "properties": {"fmt": {"enum": ["png", "jpg"]}},
+            "properties": {"fmt": {"enum": ["png", "jpg"]},
+                           "w": {"maximum": 2}},
             "oneOf": [{"properties": {"w": {"maximum": 5}}},
                       {"properties": {"w": {"minimum": 1}}}]}
     cts = compile_table_spec(spec, df, key_cols=["id"])
@@ -113,3 +114,7 @@ def test_to_reference_json_shape(spark):
     assert e["errors"] == {"enum": ["png", "jpg"]}
     assert isinstance(e["msgs"], list) and e["msgs"]
     assert by_kw["oneOf"]["errors"] == {"matched": ["/oneOf/0", "/oneOf/1"]}
+    # createErrorObject embeds the actual JSON value and ALWAYS includes
+    # "errors" (empty object when there are no sub-errors)
+    m = by_kw["maximum"]
+    assert m["value"] == 3 and m["errors"] == {}

@@ -128,6 +128,21 @@ def test_resumable_snapshot_pinning(spark, tmp_path, images):
         run_resumable(spark, data_dir, manifest_dir,
                       lambda df, files: {"rows": df.count()},
                       files_per_unit=2, snapshot_id="snap-200")
+    # ADVICE r2: an UNPINNED restart of a pinned manifest is also rejected
+    # (silently skipping the check would bypass snapshot isolation)
+    with pytest.raises(ValueError, match="pass snapshot_id"):
+        run_resumable(spark, data_dir, manifest_dir,
+                      lambda df, files: {"rows": df.count()}, files_per_unit=2)
+    # ADVICE r2: pinned run over pre-pinning (snapshot-less) units refuses
+    data3 = str(tmp_path / "imgs3")
+    images.repartition(2).write.parquet(data3)
+    manifest3 = str(tmp_path / "manifest3")
+    run_resumable(spark, data3, manifest3,
+                  lambda df, files: {"rows": df.count()}, files_per_unit=1)
+    with pytest.raises(ValueError, match="without\\s+a snapshot_id|without a"):
+        run_resumable(spark, data3, manifest3,
+                      lambda df, files: {"rows": df.count()},
+                      files_per_unit=1, snapshot_id="snap-300")
     # no Iceberg runtime in this sandbox: accessor degrades to None
     assert table_snapshot_id(spark, "nosuch.catalog.table") is None
 
