@@ -27,7 +27,12 @@ next to a shorthand)  not range endpoints)            character range — the da
                                                       is escaped ``\\-``
 ``\\b`` in a class     backspace (\\x08)               same (no action needed)
 ``\\b`` boundary       ASCII-word boundary             Python: Unicode boundary —
-                                                      WARNED, not translated
+                                                      translated to lookarounds
+                                                      over ``[0-9A-Za-z_]``
+``[\\D] [\\S] [\\W]``    complement-set members          expanded to explicit
+                                                      complement codepoint
+                                                      ranges (compose correctly
+                                                      under class negation)
 ====================  ==============================  =========================
 
 Escapes inside character classes and quantifier braces are scanned
@@ -40,6 +45,48 @@ from __future__ import annotations
 # ECMA WhiteSpace ∪ LineTerminator (incl. NBSP + BOM), for translating \s/\S
 _ECMA_WS = (" \\t\\n\\x0b\\f\\r\\u00a0\\u1680\\u2000-\\u200a"
             "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff")
+
+# codepoint-range views of the ECMA shorthand sets, for expanding the
+# NEGATED shorthands (\D \S \W) inside character classes as explicit
+# complement ranges — plain set members, so they compose correctly in both
+# positive and negated classes on both targets
+_DIGIT_RANGES = [(0x30, 0x39)]
+_WORD_RANGES = [(0x30, 0x39), (0x41, 0x5A), (0x5F, 0x5F), (0x61, 0x7A)]
+_WS_RANGES = [(0x09, 0x0D), (0x20, 0x20), (0xA0, 0xA0), (0x1680, 0x1680),
+              (0x2000, 0x200A), (0x2028, 0x2029), (0x202F, 0x202F),
+              (0x205F, 0x205F), (0x3000, 0x3000), (0xFEFF, 0xFEFF)]
+_MAX_CP = 0x10FFFF
+# ECMA word set as a class body, for translating the ASCII \b boundary
+_WORD_CLASS = "0-9A-Za-z_"
+
+
+def _complement(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out, pos = [], 0
+    for lo, hi in ranges:
+        if pos < lo:
+            out.append((pos, lo - 1))
+        pos = hi + 1
+    if pos <= _MAX_CP:
+        out.append((pos, _MAX_CP))
+    return out
+
+
+def _cp_escape(cp: int, target: str) -> str:
+    if cp <= 0xFF:
+        return "\\x%02x" % cp
+    if cp <= 0xFFFF:
+        return "\\u%04x" % cp
+    return ("\\U%08x" % cp) if target == "python" else ("\\x{%x}" % cp)
+
+
+def _class_ranges(ranges: list[tuple[int, int]], target: str) -> str:
+    parts = []
+    for lo, hi in ranges:
+        parts.append(_cp_escape(lo, target))
+        if hi > lo:
+            parts.append("-" + _cp_escape(hi, target))
+    return "".join(parts)
+
 
 _WARNED: set[tuple[str, str]] = set()
 
@@ -89,13 +136,14 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
                 i += 3
                 continue
             if nxt in "dD" and target == "python":
-                # ECMA \d is ASCII; Python str patterns are Unicode
+                # ECMA \d is ASCII; Python str patterns are Unicode. In a
+                # class, \D expands to the explicit complement ranges of
+                # [0-9] — a plain set of members, correct in positive AND
+                # negated classes.
                 if in_class and nxt == "d":
                     out.append("0-9")
                 elif in_class:
-                    warnings.append("\\D inside a character class is passed "
-                                    "through (not expressible as a set)")
-                    out.append(ch + nxt)
+                    out.append(_class_ranges(_complement(_DIGIT_RANGES), target))
                 else:
                     out.append("[0-9]" if nxt == "d" else "[^0-9]")
                 prev_class_shorthand = in_class
@@ -105,9 +153,7 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
                 if in_class and nxt == "w":
                     out.append("A-Za-z0-9_")
                 elif in_class:
-                    warnings.append("\\W inside a character class is passed "
-                                    "through (not expressible as a set)")
-                    out.append(ch + nxt)
+                    out.append(_class_ranges(_complement(_WORD_RANGES), target))
                 else:
                     out.append("[A-Za-z0-9_]" if nxt == "w" else "[^A-Za-z0-9_]")
                 prev_class_shorthand = in_class
@@ -116,9 +162,7 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
             if nxt in "sS":
                 # pin the exact ECMA whitespace set on both targets
                 if in_class and nxt == "S":
-                    warnings.append("\\S inside a character class is passed "
-                                    "through (not expressible as a set)")
-                    out.append(ch + nxt)
+                    out.append(_class_ranges(_complement(_WS_RANGES), target))
                 elif in_class:
                     out.append(_ECMA_WS)
                 else:
@@ -133,9 +177,19 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
                 prev_class_shorthand = True
                 i += 2
                 continue
-            if nxt in "bB" and not in_class and target == "python":
-                warnings.append("\\b word boundary stays Unicode-aware in "
-                                "Python (ECMA uses the ASCII word set)")
+            if nxt in "bB" and not in_class:
+                # ECMA \b is an ASCII-word boundary; Python's is Unicode and
+                # Java's is TOO (\b ignores \w's ASCII-ness — a Java quirk).
+                # Express it exactly with lookarounds over the ECMA word set
+                # on both targets.
+                w = f"[{_WORD_CLASS}]"
+                if nxt == "b":
+                    out.append(f"(?:(?<={w})(?!{w})|(?<!{w})(?={w}))")
+                else:
+                    out.append(f"(?:(?<={w})(?={w})|(?<!{w})(?!{w}))")
+                prev_class_shorthand = False
+                i += 2
+                continue
             out.append(ch + nxt)
             prev_class_shorthand = False
             i += 2

@@ -22,6 +22,20 @@ DIVERGENT_CASES = [
     ("[^]", "anything", True),       # ECMA [^] matches any char
     ("x[]y", "xy", False),           # ECMA [] never matches
     (r"^[\d]+$", "42", True),
+    # r3: negated shorthands INSIDE classes expand to complement ranges
+    (r"^[\D]+$", "١٢٣", True),       # Arabic-Indic digits are not ASCII \d
+    (r"^[\D]+$", "42", False),
+    (r"^[\W]+$", "ï", True),         # ECMA \W = non-ASCII-word
+    (r"^[\S]+$", " ", False),   # NBSP is ECMA whitespace
+    (r"^[\S]+$", "xy", True),
+    (r"^[\Dx]+$", "x!", True),       # expansion composes with other members
+    (r"^[^\D]+$", "42", True),       # ...and under class negation
+    (r"^[^\D]+$", "١٢٣", False),
+    # r3: \b boundary uses the ECMA ASCII word set
+    (r"\bfoo\b", "caféfoo", True),   # é is non-word in ECMA → boundary
+    (r"\bfoo\b", "afoo", False),
+    (r"\Bfoo", "afoo", True),
+    (r"\Bfoo", "éfoo", False),       # é non-word ⇒ position IS a boundary
 ]
 
 
@@ -56,11 +70,22 @@ def test_java_lone_brace_escaped():
     assert jpat2 == "a{2,3}"  # real quantifiers untouched
 
 
-def test_divergence_warnings_reported():
-    _, warns = translate_ecma(r"\bfoo\b", "python")
-    assert any("word boundary" in w for w in warns)
-    _, warns2 = translate_ecma(r"[\D]", "python")
-    assert any("character class" in w for w in warns2)
+def test_formerly_warned_constructs_now_translate():
+    # r3 (VERDICT r2 #7): in-class \D/\S/\W and the ASCII \b boundary are
+    # fully bridged — no warnings remain for them
+    import re as _re
+
+    out, warns = translate_ecma(r"\bfoo\b", "python")
+    assert warns == [] and "(?<" in out
+    _re.compile(out)
+    out2, warns2 = translate_ecma(r"[\D]", "python")
+    assert warns2 == []
+    # ECMA \D = non-ASCII-digit: é AND the Arabic-Indic digit ٣ are in it
+    # (raw Python \D would exclude ٣ — the bridged divergence), 5 is not
+    rx = _re.compile(out2)
+    assert rx.match("é") and rx.match("٣") and not rx.match("5")
+    out3, warns3 = translate_ecma(r"[\S]", "java")
+    assert warns3 == [] and "\\x{" in out3   # full-codepoint-range endpoint
     _, none = translate_ecma(r"^[a-z]+$", "python")
     assert none == []
 
@@ -104,7 +129,7 @@ def test_dollar_anchors_every_alternative():
     assert out == r"^a\z|^b\z"
 
 
-def test_divergent_patterns_emit_userwarning(spark):
+def test_bridged_patterns_emit_no_userwarning(spark):
     import warnings as w
 
     from sparkschema.spec.ecma_pattern import translate_ecma_checked
@@ -112,4 +137,7 @@ def test_divergent_patterns_emit_userwarning(spark):
     with w.catch_warnings(record=True) as rec:
         w.simplefilter("always")
         translate_ecma_checked(r"\bunique-probe-xyzzy\b", "python")
-    assert any("word boundary" in str(x.message) for x in rec)
+        translate_ecma_checked(r"[\D\S\W]", "python")
+        translate_ecma_checked(r"[\S]", "java")
+    assert not [x for x in rec if issubclass(x.category, UserWarning)], \
+        [str(x.message) for x in rec]
