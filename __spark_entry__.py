@@ -1081,8 +1081,8 @@ def oracle_sql() -> dict[str, str]:
             with x as (select cast(count(distinct l_orderkey) as bigint) as d
                        from lineitem)
             select d as exact_distinct,
-                   d * 0.95 as lo_bound,
-                   d * 1.05 as hi_bound,
+                   cast(d as double) * cast(0.95 as double) as lo_bound,
+                   cast(d as double) * cast(1.05 as double) as hi_bound,
                    true as within_tol
             from x
         """,

@@ -12,11 +12,13 @@ like the reference's ``JsUndefined`` vs ``JsNull``.
 
 Coverage: all scalar keywords, scalar enum/const, nested ``properties`` /
 ``required``, single-schema ``items`` + size bounds + ``uniqueItems`` +
-``contains``, all combinators, boolean schemas. Unsupported constructs
-($ref, patternProperties, propertyNames, additionalProperties,
-dependencies, tuple items, complex enum/const) raise
-:class:`VariantUnsupported`; callers fall back to the Arrow kernel —
-``json_valid_auto`` does exactly that.
+``contains``, all combinators, boolean schemas, and the key-only object
+keywords (``propertyNames`` / ``min``/``maxProperties`` /
+``additionalProperties: false`` / ``dependencies``) via
+``json_object_keys(to_json(v))``. Unsupported constructs ($ref,
+patternProperties, additionalProperties schema-form, tuple items, complex
+enum/const) raise :class:`VariantUnsupported`; callers fall back to the
+Arrow kernel — ``json_valid_auto`` does exactly that.
 """
 
 from __future__ import annotations
@@ -33,9 +35,7 @@ from sparkschema.spec.jsonvalue import is_number
 _DEC = "decimal(38,12)"
 _SIMPLE_KEY = re.compile(r"^[A-Za-z0-9_\-]+$")
 
-_UNSUPPORTED = ("$ref", "patternProperties", "propertyNames",
-                "additionalProperties", "dependencies", "additionalItems",
-                "minProperties", "maxProperties")
+_UNSUPPORTED = ("$ref", "patternProperties", "additionalItems")
 
 
 class VariantUnsupported(Exception):
@@ -161,16 +161,109 @@ def _multiple_of_fail_variant(v: Column, mo: Any) -> Column:
         F.lit(True))
 
 
+def _num_eq_variant(v: Column, c: Any) -> Column:
+    """JSON-equality of a variant number against a literal, tiered like
+    ``columns._num_eq_lit``: the old ``_num(v) == F.lit(c).cast(decimal(38,
+    12))`` CRASHED at plan time for literals outside that window (ANSI
+    decimal overflow on constant folding) and NULLed out-of-range values.
+
+    Exact-stored variants (BIGINT/DECIMAL) compare decimal-exactly when the
+    literal fits decimal(38,18) (or scale-0 decimal(38,0) for wide whole
+    literals); doubles compare through the kernel's shortest-repr
+    representability view (< 2⁵³) / exact-binary identity (≥ 2⁵³)."""
+    from sparkschema.compiler.columns import _dec_precision
+    from sparkschema.spec.jsonvalue import as_decimal
+
+    d = as_decimal(c).normalize()
+    scale = max(-d.as_tuple().exponent, 0)
+    int_digits = _dec_precision(d) - scale
+
+    t = _vtype(v)
+    exact = (t == "BIGINT") | t.startswith("DECIMAL")
+    nd18 = F.try_variant_get(v, "$", "decimal(38,18)")
+    d0 = F.try_variant_get(v, "$", "decimal(38,0)")
+    dbl = F.try_variant_get(v, "$", "double")
+
+    if scale <= 18 and int_digits <= 20:
+        exact_eq = F.coalesce(nd18 == F.lit(d), F.lit(False))
+    elif scale == 0 and _dec_precision(d) <= 38:
+        exact_eq = F.coalesce(t.endswith(",0)") & (d0 == F.lit(d)), F.lit(False))
+    else:
+        # >38-digit or hyper-fine literal: no exactly-stored JSON number in
+        # the engine's windows can equal it
+        exact_eq = F.lit(False)
+
+    try:
+        representable = as_decimal(float(d)) == d
+    except (OverflowError, ValueError):
+        representable = False
+    dbl_eq = F.coalesce(dbl == F.lit(float(d)), F.lit(False)) \
+        if representable else F.lit(False)
+    return F.coalesce(F.when(exact, exact_eq).otherwise(dbl_eq), F.lit(False))
+
+
 def _const_ok(v: Column, c: Any) -> Column:
     if c is None:
         return F.is_variant_null(v)
     if isinstance(c, bool):
         return _is_bool(v) & (F.try_variant_get(v, "$", "boolean") == c)
     if is_number(c):
-        return _is_numberv(v) & (_num(v) == F.lit(c).cast(_DEC))
+        return _is_numberv(v) & _num_eq_variant(v, c)
     if isinstance(c, str):
         return _is_string(v) & (_str(v) == c)
     raise VariantUnsupported("complex const/enum values")
+
+
+def _object_keys(v: Column) -> Column:
+    """Keys of a variant object as ``array<string>`` (NULL for non-objects)
+    — ``json_object_keys`` over the variant's JSON text. Stays Catalyst-
+    native (one serialization, zero Python); unlocks the key-only object
+    keywords that previously fell back to the Arrow kernel (VERDICT r2 #8)."""
+    return F.json_object_keys(F.to_json(v))
+
+
+def _propname_ok(k: Column, schema: Any) -> Column:
+    """Validity of one property NAME (a string instance) against the
+    ``propertyNames`` schema — string keywords only (ObjectValidators
+    .scala:16-35 validates each key as a JsString)."""
+    if schema is True:
+        return F.lit(True)
+    if schema is False:
+        return F.lit(False)
+    if not isinstance(schema, dict):
+        return F.lit(True)
+    supported = {"type", "minLength", "maxLength", "pattern", "enum",
+                 "const", "format"}
+    unknown = set(schema) - supported
+    if unknown:
+        raise VariantUnsupported(f"propertyNames keywords {sorted(unknown)}")
+    from sparkschema.compiler.columns import grapheme_length_col
+
+    ok = F.lit(True)
+    t = schema.get("type")
+    if t is not None:
+        names = t if isinstance(t, list) else [t]
+        ok = ok & F.lit("string" in names)
+    mn = schema.get("minLength")
+    if isinstance(mn, int) and not isinstance(mn, bool):
+        ok = ok & (grapheme_length_col(k) >= mn)
+    mx = schema.get("maxLength")
+    if isinstance(mx, int) and not isinstance(mx, bool):
+        ok = ok & (grapheme_length_col(k) <= mx)
+    pat = schema.get("pattern")
+    if isinstance(pat, str):
+        from sparkschema.spec.ecma_pattern import translate_ecma_checked
+        ok = ok & k.rlike(translate_ecma_checked(pat, "java"))
+    if "enum" in schema:
+        lits = [e for e in schema["enum"] if isinstance(e, str)]
+        ok = ok & (k.isin(lits) if lits else F.lit(False))
+    if "const" in schema:
+        c = schema["const"]
+        ok = ok & ((k == F.lit(c)) if isinstance(c, str) else F.lit(False))
+    fmt = schema.get("format")
+    if isinstance(fmt, str):
+        ok = ok & format_predicate(fmt, k)
+    return ok
 
 
 def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
@@ -286,6 +379,47 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
     if isinstance(req, list):
         for k in req:
             ok = ok & ~(isobj & _get(v, k).isNull())
+
+    # key-only object keywords over json_object_keys(to_json(v)) — all
+    # Catalyst-native (ObjectValidators.scala:16-35,128-171,173-258)
+    needs_keys = any(kw in schema for kw in
+                     ("propertyNames", "minProperties", "maxProperties",
+                      "dependencies")) or schema.get("additionalProperties") is False
+    if needs_keys:
+        keys = _object_keys(v)
+        if "propertyNames" in schema:
+            pn = schema["propertyNames"]
+            ok = ok & ~(isobj & ~F.forall(keys, lambda k: _propname_ok(k, pn)))
+        mnp = schema.get("minProperties")
+        if isinstance(mnp, int) and not isinstance(mnp, bool):
+            ok = ok & ~(isobj & (F.size(keys) < mnp))
+        mxp = schema.get("maxProperties")
+        if isinstance(mxp, int) and not isinstance(mxp, bool):
+            ok = ok & ~(isobj & (F.size(keys) > mxp))
+        if schema.get("additionalProperties") is False:
+            # patternProperties is VariantUnsupported (raised above), so
+            # the allowed key set is exactly the declared properties
+            declared = list((props or {}).keys())
+            allowed = (lambda k: k.isin(declared)) if declared \
+                else (lambda k: F.lit(False))
+            ok = ok & ~(isobj & ~F.forall(keys, allowed))
+        deps = schema.get("dependencies")
+        if isinstance(deps, dict):
+            for dk, dv in deps.items():
+                has = F.coalesce(F.array_contains(keys, F.lit(dk)), F.lit(False))
+                if isinstance(dv, list):
+                    dep_ok = F.lit(True)
+                    for r in dv:
+                        dep_ok = dep_ok & F.array_contains(keys, F.lit(r))
+                elif isinstance(dv, (dict, bool)):
+                    dep_ok = variant_valid(v, dv, depth + 1)
+                else:
+                    raise VariantUnsupported("dependencies value form")
+                ok = ok & ~(isobj & has & ~F.coalesce(dep_ok, F.lit(False)))
+    ap = schema.get("additionalProperties")
+    if not (ap is None or ap is True or ap is False):
+        # schema-form needs dynamic per-key value access — kernel fallback
+        raise VariantUnsupported("additionalProperties schema form")
 
     for comb in ("allOf", "anyOf", "oneOf"):
         subs = schema.get(comb)

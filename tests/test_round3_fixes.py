@@ -194,6 +194,67 @@ def test_variant_multipleof_randomized_double_parity(spark):
     assert not problems, f"{len(problems)} mismatches, first: {problems[:5]}"
 
 
+def test_variant_const_enum_extreme_literals(spark):
+    """r3 self-find: const/enum literals outside decimal(38,12) used to
+    CRASH at plan time (ANSI overflow in constant folding) and out-of-range
+    values NULLed instead of comparing. Tiered equality now mirrors
+    _num_eq_lit, split by the variant's stored type."""
+    from sparkschema.compiler.variantcol import variant_valid_column
+
+    df = spark.createDataFrame(
+        [(1, "1e26"), (2, "0.1"), (3, "100000000000000000000000000"),
+         (4, "9007199254740993"), (5, "9007199254740992"), (6, "true")],
+        "i int, j string")
+    cols = [
+        variant_valid_column("j", {"const": 1e26}).alias("c_big"),
+        variant_valid_column("j", {"const": 0.1}).alias("c_01"),
+        variant_valid_column("j", {"const": 9007199254740993}).alias("c_53"),
+        variant_valid_column("j", {"enum": [0.1, 9007199254740993]}).alias("e"),
+    ]
+    got = {r.i: (r.c_big, r.c_01, r.c_53, r.e)
+           for r in df.select("i", *cols).collect()}
+    assert got[1] == (True, False, False, False)   # double 1e26 ≡ 1e26
+    assert got[2] == (False, True, False, True)
+    # the 27-digit exact decimal is NOT the double 1e26 (≠ exact binary)
+    assert got[3] == (False, False, False, False)
+    assert got[4] == (False, False, True, True)    # 2^53+1 exact BIGINT
+    assert got[5] == (False, False, False, False)  # 2^53 ≠ 2^53+1
+    assert got[6] == (False, False, False, False)  # true ≢ any number
+
+
+def test_variant_object_keywords_native(spark):
+    """r3 (VERDICT r2 #8): key-only object keywords compile VARIANT-native.
+    The plan must contain no Python UDF node."""
+    from sparkschema.compiler.variantcol import variant_valid_column
+
+    spec = {"type": "object",
+            "propertyNames": {"pattern": "^[a-z]+$", "maxLength": 4},
+            "minProperties": 1, "maxProperties": 3,
+            "dependencies": {"b": ["c"]}}
+    df = spark.createDataFrame(
+        [(1, '{"ab": 1}'), (2, '{}'), (3, '{"Toolong": 1}'),
+         (4, '{"b": 1, "c": 2}'), (5, '{"b": 1}'),
+         (6, '{"a":1,"b":2,"c":3,"d":4}'), (7, '{"BAD": 1}')],
+        "i int, j string")
+    col = variant_valid_column("j", spec)
+    got = {r.i: r.ok for r in df.select("i", col.alias("ok")).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: False,
+                   6: False, 7: False}
+    plan = df.select(col.alias("ok"))._jdf.queryExecution() \
+             .executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+    # additionalProperties=false over declared properties
+    spec2 = {"properties": {"x": {"type": "integer"}},
+             "additionalProperties": False}
+    df2 = spark.createDataFrame(
+        [(1, '{"x": 1}'), (2, '{"x": 1, "y": 2}'), (3, '{}')],
+        "i int, j string")
+    got2 = {r.i: r.ok for r in df2.select(
+        "i", variant_valid_column("j", spec2).alias("ok")).collect()}
+    assert got2 == {1: True, 2: False, 3: True}
+
+
 # ---------------------------------------------------------------------------
 # 4. oneOf none-vs-many message parity
 

@@ -20,10 +20,13 @@ FIXTURE_FILES = [
     "required.json", "properties.json", "items.json", "minItems.json",
     "maxItems.json", "uniqueItems.json", "allOf.json", "anyOf.json",
     "oneOf.json", "not.json",
+    # r3: key-only object keywords compile natively now
+    "minProperties.json", "maxProperties.json", "dependencies.json",
+    "additionalProperties.json",
 ]
 D7_EXTRA = ["const.json", "contains.json", "if-then-else.json",
             "boolean_schema.json", "exclusiveMinimum.json",
-            "exclusiveMaximum.json"]
+            "exclusiveMaximum.json", "propertyNames.json"]
 
 
 def _cases():
