@@ -573,6 +573,55 @@ def _q_hll_distinct_lineitem(spark, sf):
         .alias("within_tol"))
 
 
+def _q_quantiles_extendedprice(spark, sf):
+    """Exact continuous-interpolation quantiles (hash-matched against
+    DuckDB quantile_cont) plus a derived check that the mergeable
+    percentile_approx sketch — the 100-TB path — lands inside a ±1% band
+    whose bounds the oracle recomputes (same pattern as hll)."""
+    from sparkschema.operators.stats import numeric_quantiles
+
+    li = spark.read.parquet(_t(sf, "lineitem"))
+    probs = [0.1, 0.5, 0.9, 0.99]
+    exact = numeric_quantiles(li, "l_extendedprice", probs, exact=True) \
+        .select("prob", F.round("quantile", 4).alias("q_exact_r"))
+    approx = numeric_quantiles(li, "l_extendedprice", probs, exact=False) \
+        .select(F.col("prob").alias("__p"), F.col("quantile").alias("__qa"))
+    j = exact.join(approx, exact["prob"] == approx["__p"])
+    lo = F.col("q_exact_r") * F.lit(0.99)
+    hi = F.col("q_exact_r") * F.lit(1.01)
+    return j.select(
+        "prob", "q_exact_r",
+        lo.alias("lo_band"), hi.alias("hi_band"),
+        ((F.col("__qa") >= lo) & (F.col("__qa") <= hi)).alias("approx_ok"),
+    )
+
+
+def _q_image_phash_neardup(spark, sf):
+    """Image perceptual-hash near-dup (rows-only: DuckDB cannot decode the
+    engine codec). Deterministic planted twins: every base image appears
+    raw AND 6-bit-quantized under distinct ids; the pigeonhole-bucketed
+    pHash pairs must recover each twin with a small Hamming distance.
+    Output is one summary row, stable across runs (seeded codec)."""
+    from sparkschema.functions.imagecodec import encode, synth_pixels
+    from sparkschema.operators.imagedup import image_phash_pairs
+
+    rows = []
+    for i in range(40):
+        px = synth_pixels(f"pd-{i}", 64, 64)
+        rows.append((f"a-{i:03d}", bytearray(encode(px, "raw"))))
+        rows.append((f"b-{i:03d}", bytearray(encode(px, "jpg"))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary") \
+              .repartition(8)
+    pairs = image_phash_pairs(df, hamming_max=10)
+    planted_hit = (F.substring("id_a", 3, 3) == F.substring("id_b", 3, 3))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("pairs_found"),
+        F.sum(planted_hit.cast("long")).alias("planted_found"),
+        F.sum((~planted_hit).cast("long")).alias("false_pairs"),
+        F.max("hamming").alias("max_hamming"),
+    )
+
+
 def _q_ann_lsh_embeddings(spark, sf):
     """LSH ANN with a deterministic derived check: recall of the LSH top-5
     against the exact brute-force top-5 (the already-oracled
@@ -639,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash_documents,
         "hll_distinct_lineitem": _q_hll_distinct_lineitem,
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
+        "quantiles_extendedprice": _q_quantiles_extendedprice,
+        "image_phash_neardup": _q_image_phash_neardup,
     }
 
 
@@ -1105,6 +1156,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(13 as bigint) as hits,
                    (13 / cast(count(*) as double)) >= 0.8 as recall_ok
             from brute
+        """,
+        "quantiles_extendedprice": """
+            -- exact side hash-matched; approx_ok is the engine's sketch
+            -- asserted against the band this query recomputes (DuckDB
+            -- quantile_cont takes only constant probs, hence the union)
+            with q as (
+              select cast(0.1 as double) as prob,
+                     round(quantile_cont(l_extendedprice, 0.1), 4) as q_exact_r
+              from lineitem
+              union all select cast(0.5 as double),
+                     round(quantile_cont(l_extendedprice, 0.5), 4) from lineitem
+              union all select cast(0.9 as double),
+                     round(quantile_cont(l_extendedprice, 0.9), 4) from lineitem
+              union all select cast(0.99 as double),
+                     round(quantile_cont(l_extendedprice, 0.99), 4) from lineitem)
+            select prob, q_exact_r,
+                   q_exact_r * cast(0.99 as double) as lo_band,
+                   q_exact_r * cast(1.01 as double) as hi_band,
+                   true as approx_ok
+            from q
         """,
         "drift_ks_lineitem": """
             with h as (

@@ -96,6 +96,65 @@ def psnr_bytes(buf_a: bytes, buf_b: bytes) -> float:
     return psnr(a, b)
 
 
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (numpy-only; no scipy here)."""
+    k = np.arange(n)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)) \
+        * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def dct_phash(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an image (classic pHash shape):
+    grayscale → 32×32 area-mean downsample → 2-D DCT-II → top-left 8×8
+    low-frequency block → each bit = coefficient > median (DC excluded
+    from the median so flat images don't degenerate).
+
+    Deterministic pure numpy; robust to the engine codec's 6-bit
+    quantization (lossy fmts flip at most a few of the 64 bits), so
+    re-encodes of the same picture land within a small Hamming radius
+    while independent pictures differ in ~32 bits."""
+    global _DCT32
+    if _DCT32 is None:
+        _DCT32 = _dct_matrix(32)
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # area-mean resize to 32×32 via reduceat block sums (exact for any
+    # h, w ≥ 1; degenerate dims sample the nearest row/col)
+    yb = np.minimum((np.arange(32) * h) // 32, h - 1).astype(np.intp)
+    xb = np.minimum((np.arange(32) * w) // 32, w - 1).astype(np.intp)
+    if h >= 32 and w >= 32:
+        ys = np.add.reduceat(gray, yb, axis=0)
+        small = np.add.reduceat(ys, xb, axis=1)
+        ycnt = np.diff(np.append(yb, h))
+        xcnt = np.diff(np.append(xb, w))
+        small = small / (ycnt[:, None] * xcnt[None, :])
+    else:
+        small = gray[np.ix_(yb, xb)]
+    coef = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
+    med = np.median(coef[1:])
+    bits = coef > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # two's-complement into int64 range (Spark LongType)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_bytes(buf: bytes) -> int | None:
+    """pHash of an encoded container; None for corrupt buffers."""
+    try:
+        pixels, _ = decode(buf)
+    except CorruptImage:
+        return None
+    return dct_phash(pixels)
+
+
 def stable_seed(image_id: str, seed: int = 42) -> int:
     """Process-independent seed for an id (Python's ``hash`` is salted per
     process and would differ between driver and executors)."""

@@ -1,0 +1,87 @@
+"""Image near-duplicate detection — perceptual-hash analog of the text
+SimHash path (dedup.simhash_candidates), completing the dedup family on the
+image axis of the input table (BASELINE.json input_hint).
+
+Pipeline shape (scale-first):
+
+1. **signature pass** — one Arrow-batched pandas UDF decodes each image
+   and emits a 64-bit DCT pHash (functions.imagecodec.dct_phash). This is
+   the only Python stage; batches are bounded by
+   ``spark.sql.execution.arrow.maxRecordsPerBatch`` (bench sets 512 for
+   ~120 KB payloads). The signature table persists — at real scale you
+   would write it out next to the corpus, hashes are 8 bytes/image.
+2. **chunk-pigeonhole buckets** — identical to the text SimHash path: two
+   hashes within Hamming distance < ``chunks`` are GUARANTEED to share a
+   64/chunks-bit chunk, so only same-chunk-value pairs are candidates;
+   O(Σ bucket²), never all-pairs.
+3. **exact verify** — ``bit_count(xor)`` ≤ ``hamming_max`` on the 8-byte
+   hashes; no image bytes are ever joined or shuffled.
+
+The heavy ``bytes`` column is touched exactly once (stage 1 scan) and
+never crosses an exchange — the property that survives at 10^12 images.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@F.pandas_udf(T.LongType())
+def _phash_udf(bufs):
+    import pandas as pd
+
+    from sparkschema.functions.imagecodec import phash_bytes
+
+    return pd.Series(
+        [None if b is None else phash_bytes(bytes(b)) for b in bufs],
+        dtype="Int64")
+
+
+def image_phash_frame(df: DataFrame, bytes_col: str = "bytes",
+                      id_col: str = "image_id") -> DataFrame:
+    """``(id, phash)`` per image; NULL phash = corrupt/undecodable buffer
+    (callers route those to the corrupt-bytes violation instead)."""
+    spread = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("__b")) \
+               .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+    return spread.select("id", _phash_udf(F.col("__b")).alias("phash"))
+
+
+def image_phash_pairs(df: DataFrame, bytes_col: str = "bytes",
+                      id_col: str = "image_id", chunks: int = 8,
+                      hamming_max: int = 10) -> DataFrame:
+    """Near-duplicate image pairs ``(id_a, id_b, hamming)`` with pHash
+    Hamming distance ≤ ``hamming_max``."""
+    sigs = image_phash_frame(df, bytes_col, id_col) \
+        .where(F.col("phash").isNotNull()).persist()
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_arr = F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(F.col("phash"), c * width)
+                  .bitwiseAND(F.lit(mask)).alias("cv"))
+        for c in range(chunks)
+    ])
+    buckets = sigs.select("id", F.col("phash").alias("ph"),
+                          F.explode(chunk_arr).alias("cc")) \
+                  .select("id", "ph", "cc.chunk", "cc.cv")
+    a = buckets.select("chunk", "cv", F.col("id").alias("id_a"),
+                       F.col("ph").alias("ph_a"))
+    b = buckets.select("chunk", "cv", F.col("id").alias("id_b"),
+                       F.col("ph").alias("ph_b"))
+    pairs = (a.join(b, ["chunk", "cv"]).where(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "ph_a", "ph_b")
+              .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
+                 .where(F.col("hamming") <= hamming_max))
+
+
+def image_phash_dedup(df: DataFrame, bytes_col: str = "bytes",
+                      id_col: str = "image_id", **pair_kwargs) -> DataFrame:
+    """Drop perceptual near-duplicates, keeping the smaller id of each
+    pair (single-link approximation, same policy as minhash_dedup)."""
+    pairs = image_phash_pairs(df, bytes_col, id_col, **pair_kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")

@@ -82,7 +82,18 @@ def roundtrip_frame(images: DataFrame, ref: DataFrame,
         F.col("caption").alias("__rcaption"),
     ).dropDuplicates(["__rid"])
     j = images.join(r, images["image_id"] == r["__rid"], "left")
-    psnr_db = F.when(j["__rid"].isNotNull(), _psnr_udf(j["bytes"], j["__rbytes"]))
+    # JVM-side memcmp gate: byte-identical containers decode to identical
+    # pixels, so their PSNR is inf by definition — NULL their UDF inputs so
+    # the bytes never cross the Arrow boundary (pandas UDFs are hoisted out
+    # of CASE WHEN and run on every row, but a NULLed ARGUMENT transfers
+    # nothing). On a pristine corpus this removes ~all of the Python-stage
+    # byte traffic — the dominant cost at scale.
+    differ = ~j["bytes"].eqNullSafe(j["__rbytes"])
+    udf_psnr = _psnr_udf(F.when(differ, j["bytes"]),
+                         F.when(differ, j["__rbytes"]))
+    psnr_db = F.when(j["__rid"].isNull(), F.lit(None).cast("double")) \
+               .when(j["bytes"].isNotNull() & ~differ, F.lit(float("inf"))) \
+               .otherwise(udf_psnr)
     return j.select(
         images["image_id"],
         psnr_db.alias("psnr_db"),

@@ -114,6 +114,27 @@ def histogram(df: DataFrame, column: str, lo: float, hi: float, buckets: int,
               .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def numeric_quantiles(df: DataFrame, column: str, probs: list[float],
+                      exact: bool = False,
+                      accuracy: int = 10000) -> DataFrame:
+    """Quantiles as long-format rows ``(prob, quantile)``.
+
+    ``exact=False`` (the 100-TB default) uses ``percentile_approx`` — a
+    mergeable KLL-style sketch, one partial-agg pass, error ≤ 1/accuracy
+    of the rank. ``exact=True`` uses ``percentile`` (full sort of the
+    column within the aggregation) — the small-data/oracle path; both
+    interpolate continuously, matching DuckDB's ``quantile_cont``."""
+    fn = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, F.lit(accuracy)))
+    col = F.col(column).cast("double")
+    agg = df.agg(*[fn(col, F.lit(p)).alias(f"__q{i}")
+                   for i, p in enumerate(probs)])
+    arr = F.array(*[
+        F.struct(F.lit(p).alias("prob"), F.col(f"__q{i}").alias("quantile"))
+        for i, p in enumerate(probs)])
+    return agg.select(F.explode(arr).alias("s")).select("s.prob", "s.quantile")
+
+
 def null_fractions(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """One-row wide null-count/fraction summary (driver-friendly)."""
     cols = columns or df.columns

@@ -1,0 +1,98 @@
+"""Image perceptual-hash near-dup: the dedup family on the image axis.
+
+The engine codec's lossy fmts quantize to 6 bits/channel, so a re-encode of
+the same picture must land within a small pHash Hamming radius while
+independent random pictures differ in ~32 of 64 bits.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkschema.functions.imagecodec import (dct_phash, encode, phash_bytes,
+                                              synth_pixels)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dct_phash_robust_to_lossy_quantization():
+    for i in range(20):
+        px = synth_pixels(f"img-{i}", 64, 64)
+        raw = phash_bytes(encode(px, "raw"))
+        lossy = phash_bytes(encode(px, "jpg"))  # 6-bit quantized twin
+        assert _hamming(raw, lossy) <= 8, (i, _hamming(raw, lossy))
+
+
+def test_dct_phash_separates_distinct_images():
+    hashes = [dct_phash(synth_pixels(f"img-{i}", 64, 64)) for i in range(20)]
+    ds = [_hamming(hashes[i], hashes[j])
+          for i in range(20) for j in range(i + 1, 20)]
+    assert min(ds) >= 16, min(ds)  # 63 coin flips: P(<16) ≈ 2e-5 per pair
+
+
+def test_dct_phash_small_and_rect_images():
+    # degenerate dims fall back to nearest sampling; rectangles area-pool
+    for w, h in ((8, 8), (16, 64), (100, 40), (33, 31)):
+        px = synth_pixels(f"r-{w}x{h}", w, h)
+        assert isinstance(dct_phash(px), int)
+    assert phash_bytes(b"garbage") is None
+
+
+def test_image_phash_pairs_finds_planted_twins(spark):
+    rows = []
+    for i in range(25):
+        px = synth_pixels(f"p-{i}", 64, 64)
+        rows.append((f"a-{i}", bytearray(encode(px, "raw"))))
+        rows.append((f"b-{i}", bytearray(encode(px, "jpg"))))
+    rows.append(("corrupt", bytearray(b"not an image")))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    from sparkschema.operators.imagedup import (image_phash_dedup,
+                                                image_phash_pairs)
+    pairs = {(r.id_a, r.id_b) for r in
+             image_phash_pairs(df, hamming_max=10).collect()}
+    planted = {(f"a-{i}", f"b-{i}") for i in range(25)}
+    assert planted <= pairs, planted - pairs
+    extras = pairs - planted
+    assert not extras, extras  # independent images must not collide
+
+    kept = image_phash_dedup(df, hamming_max=10)
+    ids = {r.image_id for r in kept.select("image_id").collect()}
+    assert all(f"a-{i}" in ids and f"b-{i}" not in ids for i in range(25))
+    assert "corrupt" in ids  # undecodable rows are never dropped here
+
+
+def test_image_phash_bytes_never_shuffle(spark):
+    """The 10^12-scale property: the binary column is read once and never
+    crosses an exchange — only 8-byte hashes shuffle."""
+    rows = [(f"x-{i}", bytearray(encode(synth_pixels(f"x-{i}", 16, 16), "raw")))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    from sparkschema.operators.imagedup import image_phash_pairs
+    plan = image_phash_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    # bytes may appear in the initial scan/arrow stage; every Exchange
+    # below the UDF must move only (id, phash)-shaped rows
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.splitlines()[0]
+        assert "bytes" not in first_line, first_line
+
+
+def test_numeric_quantiles_exact_and_approx(spark):
+    import random
+    rng = random.Random(7)
+    vals = [round(rng.uniform(0, 1000), 2) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    from sparkschema.operators.stats import numeric_quantiles
+    probs = [0.1, 0.5, 0.9, 0.99]
+    exact = {r.prob: r.quantile for r in
+             numeric_quantiles(df, "x", probs, exact=True).collect()}
+    approx = {r.prob: r.quantile for r in
+              numeric_quantiles(df, "x", probs, exact=False).collect()}
+    s = sorted(vals)
+    for p in probs:
+        # continuous-interpolation reference (numpy 'linear' = quantile_cont)
+        ref = float(np.quantile(np.array(s), p, method="linear"))
+        assert exact[p] == pytest.approx(ref, abs=1e-9), p
+        assert approx[p] == pytest.approx(ref, rel=0.02), p
