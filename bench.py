@@ -246,6 +246,12 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         lambda: minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=48,
                                   bands=12, jaccard_min=0.6,
                                   signature_impl="numpy").count(), runs=2)
+
+    # image perceptual near-dup over the 20 k-image byte corpus: one Arrow
+    # decode+DCT pass, then 8-byte hashes only (bytes never shuffle)
+    from sparkschema.operators.imagedup import image_phash_pairs
+    out["image_phash_pairs"] = timed(
+        lambda: image_phash_pairs(bimgs).count(), runs=2)
     return out
 
 

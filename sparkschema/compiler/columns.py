@@ -141,20 +141,19 @@ def _num_eq_lit(col: Column, dt: T.DataType, v: Any) -> Column:
 def grapheme_length_col(col: Column) -> Column:
     """String length in grapheme clusters — the Catalyst twin of
     jsonvalue.grapheme_length (reference counts BreakIterator clusters,
-    StringValidators.scala:126-132). ASCII fast path: when codepoint count
-    equals byte count the string is pure ASCII and F.length is already the
-    cluster count (no regex runs — CASE branches evaluate lazily in
-    codegen). Otherwise fold ZWJ-glued chars and non-leading combining
-    marks (Mn/Me/Mc) before counting, matching the kernel's approximation
-    exactly on its documented cases."""
-    zwj = "‍"
-    no_zwj = F.regexp_replace(col, f"(?s){zwj}+.?", "")
+    StringValidators.scala:126-132; Java-probed rules: fold non-leading
+    Mn/Me/Mc, CRLF is one cluster, ZWJ does NOT glue). ASCII fast path:
+    when codepoint count equals byte count and no CRLF is present,
+    F.length is already the cluster count (no regex runs — CASE branches
+    evaluate lazily in codegen)."""
+    crlf_one = F.regexp_replace(col, "\r\n", "\r")
     folded = F.concat(
-        F.substring(no_zwj, 1, 1),
-        F.regexp_replace(F.substring(no_zwj, 2, 2147483646),
+        F.substring(crlf_one, 1, 1),
+        F.regexp_replace(F.substring(crlf_one, 2, 2147483646),
                          r"[\p{Mn}\p{Me}\p{Mc}]", ""))
-    return F.when(F.length(col) == F.octet_length(col), F.length(col)) \
-            .otherwise(F.length(folded))
+    ascii_no_crlf = (F.length(col) == F.octet_length(col)) \
+        & ~col.contains(F.lit("\r\n"))
+    return F.when(ascii_no_crlf, F.length(col)).otherwise(F.length(folded))
 
 
 def json_eq_col(col: Column, v: Any, dt: T.DataType) -> Column:

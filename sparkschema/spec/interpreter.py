@@ -23,10 +23,11 @@ Semantics follow the reference validator observable behavior (SURVEY.md §2.2,
 
 Known, documented deviations (SURVEY.md §7 watch list):
 - ``minLength``/``maxLength`` count grapheme clusters via an ICU-free
-  approximation (jsonvalue.grapheme_length: combining marks and ZWJ-glued
-  chars fold into the previous cluster) — matches the reference's
-  BreakIterator (StringValidators.scala:126-132) on ASCII, astral chars
-  and combining sequences; emoji ZWJ families may still differ. The
+  rule matching the reference's BreakIterator
+  (StringValidators.scala:126-132) on every Java-probed case: fold
+  non-leading combining marks (Mn/Me/Mc), CRLF is one cluster, ZWJ does
+  NOT glue (legacy clusters: emoji families/flags count per codepoint —
+  Java-verified). Residual: decomposed conjoining Hangul jamo. The
   columnar and VARIANT paths use the same fold in SQL
   (compiler.columns.grapheme_length_col).
 - ``pattern`` evaluates with Python ``re`` (unanchored ``search``) after a
@@ -314,9 +315,11 @@ class Validator:
 
     def _string_keywords(self, schema, value: str, spath, ipath) -> list[Violation]:
         out: list[Violation] = []
-        if ("minLength" in schema or "maxLength" in schema) and not value.isascii():
+        if ("minLength" in schema or "maxLength" in schema) and (
+                not value.isascii() or "\r\n" in value):
             # grapheme-cluster counting like the reference's BreakIterator
-            # (StringValidators.scala:126-132); ASCII short-circuits to len
+            # (StringValidators.scala:126-132); pure ASCII short-circuits
+            # to len EXCEPT when CRLF is present (one cluster in ICU)
             from sparkschema.spec.jsonvalue import grapheme_length
             n = grapheme_length(value)
         else:

@@ -108,29 +108,37 @@ def as_decimal(v: Any) -> Decimal:
 # string length (grapheme-cluster approximation)
 
 def grapheme_length(s: str) -> int:
-    """Length in grapheme clusters, approximated without ICU.
+    """Length in grapheme clusters, matching the reference's
+    ``java.text.BreakIterator.getCharacterInstance`` exactly on its
+    observed rules (StringValidators.scala:126-132; probed on the same
+    Java 17 this sandbox ships):
 
-    The reference counts BreakIterator grapheme clusters
-    (StringValidators.scala:126-132). Python has no ICU here, so we fold
-    the dominant cases: combining marks (Mn/Me/Mc) and zero-width joiners
-    attach to the previous cluster; everything else (including astral
-    codepoints, which Python already counts as 1) starts a new cluster.
-    Exact for ASCII, astral chars, and combining sequences; emoji ZWJ
-    family sequences still count their visible parts."""
+    - non-leading combining marks (Mn/Me/Mc, incl. variation selectors)
+      fold into the previous cluster;
+    - ``\\r\\n`` is ONE cluster;
+    - ZWJ does NOT glue: legacy (not extended) grapheme clustering, so an
+      emoji family sequence counts every emoji AND every joiner
+      (man+ZWJ+woman+ZWJ+girl = 5 — Java-verified), regional-indicator
+      flags count per codepoint, skin-tone modifiers count separately;
+    - astral codepoints are one cluster (Python strings are already
+      codepoint-indexed).
+
+    Known residual: decomposed conjoining Hangul jamo (L+V+T) count per
+    jamo here, one cluster in ICU — precomposed Hangul (the normal form)
+    is unaffected."""
     import unicodedata
 
     n = 0
-    prev_joiner = False
+    prev = ""
     for ch in s:
-        if ch == "‍":
-            prev_joiner = True
+        if prev == "\r" and ch == "\n":
+            prev = ch
             continue
-        if prev_joiner:
-            prev_joiner = False
-            continue  # ZWJ glues this char to the previous cluster
         if n > 0 and unicodedata.category(ch) in ("Mn", "Me", "Mc"):
+            prev = ch
             continue
         n += 1
+        prev = ch
     return n
 
 

@@ -173,14 +173,39 @@ def test_multipleof_decimal_column_no_cast_overflow(spark):
 
 GRAPHEME_SAMPLES = [
     "", "abc", "hello world",                    # ASCII fast path
-    "café",                                # combining acute: 4 clusters
-    "á̂b",                            # stacked marks: 2 clusters
-    "́x",                                   # leading mark counts: 2
-    "e‍x",                                  # ZWJ glue: 1 cluster
-    "a‍",                                   # trailing ZWJ: 1
-    "‍a b",                                 # leading ZWJ eats 'a': 3→" b"+1
-    "naïve", "日本語", "𝔘𝔫𝔦", "👍👍",
+    "cafe\u0301",                                # combining acute: 4 clusters
+    "a\u0301\u0302b",                            # stacked marks: 2 clusters
+    "\u0301x",                                   # leading mark counts: 2
+    "e\u200dx",                                  # ZWJ does NOT glue: 3 (Java)
+    "a\u200d",                                   # trailing ZWJ: 2 (Java)
+    "\u200da b",                                 # ZWJ + "a b": 4 (Java)
+    "a\r\nb",                                    # CRLF is ONE cluster: 3
+    "\r\n",                                      # 1
+    "x\ry\n",                                    # bare CR/LF count: 4
+    "na\u00efve", "\u65e5\u672c\u8a9e", "\U0001d518\U0001d52b\U0001d526",
+    "\U0001f44d\U0001f44d",
+    "\U0001f44d\U0001f3fb",                      # skin tone separate: 2 (Java)
+    "\u2764\ufe0f",                              # VS16 is Mn, folds: 1 (Java)
 ]
+
+
+# counts verified against java.text.BreakIterator.getCharacterInstance on
+# this sandbox's Java 17 — the reference's lengthOf
+# (StringValidators.scala:126-132)
+JAVA_BREAKITERATOR_TRUTH = {
+    "cafe\u0301": 4, "a\u0301\u0302b": 2, "\u0301x": 2, "e\u200dx": 3,
+    "a\u200d": 2, "a\r\nb": 3, "\r\n": 1,
+    "\U0001f44d\U0001f3fb": 2, "\u2764\ufe0f": 1,
+    "\U0001f468\u200d\U0001f469\u200d\U0001f467": 5,
+    "\U0001f1fa\U0001f1f8\U0001f1e9\U0001f1ea": 4,
+    "x\u20e0": 1, "\U0001d518\u0301": 1,
+}
+
+
+def test_grapheme_length_matches_java_breakiterator():
+    from sparkschema.spec.jsonvalue import grapheme_length as gl
+    for s, expected in JAVA_BREAKITERATOR_TRUTH.items():
+        assert gl(s) == expected, (repr(s), gl(s), expected)
 
 
 def test_grapheme_length_col_matches_kernel(spark):
