@@ -95,26 +95,7 @@ def _canon_elem(e: Column) -> Column:
             .otherwise(F.coalesce(F.to_json(e), F.lit("null")))
 
 
-def _type_ok(v: Column, name: str) -> Column:
-    if name == "string":
-        return _is_string(v)
-    if name == "boolean":
-        return _is_bool(v)
-    if name == "number":
-        return _is_numberv(v)
-    if name == "integer":
-        n = _num(v)
-        return _is_numberv(v) & n.isNotNull() & (n == F.floor(n).cast(_DEC))
-    if name == "array":
-        return _is_array(v)
-    if name == "object":
-        return _is_object(v)
-    if name == "null":
-        return F.is_variant_null(v)
-    raise VariantUnsupported(f"unknown type {name!r}")
-
-
-def _multiple_of_fail_variant(v: Column, mo: Any) -> Column:
+def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
     """Decimal-exact ``multipleOf`` with the columnar path's overflow tiers
     (reference semantics NumberValidators.scala:89-109).
 
@@ -145,7 +126,6 @@ def _multiple_of_fail_variant(v: Column, mo: Any) -> Column:
 
     from sparkschema.compiler.columns import ColumnCompiler
 
-    t = _vtype(v)
     exact = (t == "BIGINT") | t.startswith("DECIMAL")
     nd18 = F.try_variant_get(v, "$", "decimal(38,18)")
     d0 = F.try_variant_get(v, "$", "decimal(38,0)")
@@ -161,7 +141,7 @@ def _multiple_of_fail_variant(v: Column, mo: Any) -> Column:
         F.lit(True))
 
 
-def _num_eq_variant(v: Column, c: Any) -> Column:
+def _num_eq_variant(v: Column, c: Any, t: Column) -> Column:
     """JSON-equality of a variant number against a literal, tiered like
     ``columns._num_eq_lit``: the old ``_num(v) == F.lit(c).cast(decimal(38,
     12))`` CRASHED at plan time for literals outside that window (ANSI
@@ -178,7 +158,6 @@ def _num_eq_variant(v: Column, c: Any) -> Column:
     scale = max(-d.as_tuple().exponent, 0)
     int_digits = _dec_precision(d) - scale
 
-    t = _vtype(v)
     exact = (t == "BIGINT") | t.startswith("DECIMAL")
     nd18 = F.try_variant_get(v, "$", "decimal(38,18)")
     d0 = F.try_variant_get(v, "$", "decimal(38,0)")
@@ -200,18 +179,6 @@ def _num_eq_variant(v: Column, c: Any) -> Column:
     dbl_eq = F.coalesce(dbl == F.lit(float(d)), F.lit(False)) \
         if representable else F.lit(False)
     return F.coalesce(F.when(exact, exact_eq).otherwise(dbl_eq), F.lit(False))
-
-
-def _const_ok(v: Column, c: Any) -> Column:
-    if c is None:
-        return F.is_variant_null(v)
-    if isinstance(c, bool):
-        return _is_bool(v) & (F.try_variant_get(v, "$", "boolean") == c)
-    if is_number(c):
-        return _is_numberv(v) & _num_eq_variant(v, c)
-    if isinstance(c, str):
-        return _is_string(v) & (_str(v) == c)
-    raise VariantUnsupported("complex const/enum values")
 
 
 def _object_keys(v: Column) -> Column:
@@ -266,10 +233,50 @@ def _propname_ok(k: Column, schema: Any) -> Column:
     return ok
 
 
+def _needs(schema: dict) -> dict:
+    """Which bound slots this node's own keywords read (driver-side scan;
+    same-``v`` recursion rebinds, so only THIS node's keywords count)."""
+    from sparkschema.spec.jsonvalue import is_number as _isn
+
+    consts = list(schema.get("enum") or [])
+    if "const" in schema:
+        consts.append(schema["const"])
+    tnames = schema.get("type")
+    tnames = (tnames if isinstance(tnames, list) else [tnames]) if tnames else []
+    fmt = schema.get("format")
+    return {
+        "n": (any(_isn(schema.get(k)) for k in
+                  ("minimum", "maximum", "exclusiveMinimum",
+                   "exclusiveMaximum", "multipleOf"))
+              or "integer" in tnames
+              or fmt in ("int32", "int64")
+              or any(_isn(c) for c in consts)),
+        "s": (any(isinstance(schema.get(k), int)
+                  and not isinstance(schema.get(k), bool)
+                  for k in ("minLength", "maxLength"))
+              or isinstance(schema.get("pattern"), str)
+              or (isinstance(fmt, str) and fmt not in ("int32", "int64"))
+              or any(isinstance(c, str) for c in consts)),
+        "a": any(k in schema for k in
+                 ("minItems", "maxItems", "uniqueItems", "items", "contains")),
+        "k": (any(k in schema for k in
+                  ("propertyNames", "minProperties", "maxProperties",
+                   "dependencies"))
+              or schema.get("additionalProperties") is False),
+    }
+
+
 def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
     """True iff the variant value at ``v`` satisfies ``schema``.
     SQL-NULL ``v`` (absent property) passes vacuously — ``required`` is the
-    parent's business, exactly like the kernel."""
+    parent's business, exactly like the kernel.
+
+    The node's shared sub-expressions — ``schema_of_variant``, the numeric
+    / string / array extractions, ``json_object_keys(to_json(v))`` — are
+    BOUND through a 1-element-array HOF lambda so each evaluates once per
+    row instead of once per keyword reference (interpreted expressions get
+    no CSE; the same lambda-binding trick as dedup.char_shingles). Only
+    the slots this node's keywords actually read are materialized."""
     if depth > 32:
         raise VariantUnsupported("spec nesting too deep")
     if schema is True:
@@ -281,96 +288,150 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
     for kw in _UNSUPPORTED:
         if kw in schema:
             raise VariantUnsupported(kw)
+    ap = schema.get("additionalProperties")
+    if not (ap is None or ap is True or ap is False):
+        # schema-form needs dynamic per-key value access — kernel fallback
+        raise VariantUnsupported("additionalProperties schema form")
+    if isinstance(schema.get("items"), list):
+        raise VariantUnsupported("tuple items")
 
+    needs = _needs(schema)
+    fields = [_vtype(v).alias("t")]
+    if needs["n"]:
+        fields.append(_num(v).alias("n"))
+    if needs["s"]:
+        fields.append(_str(v).alias("s"))
+    if needs["a"]:
+        fields.append(_arr(v).alias("a"))
+    if needs["k"]:
+        fields.append(_object_keys(v).alias("k"))
+    return F.get(F.transform(
+        F.array(F.struct(*fields)),
+        lambda b: _node_valid(v, b, schema, depth)), 0)
+
+
+def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
     present = v.isNotNull()
+    needs = _needs(schema)
+    t = b["t"]
+    is_num = t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
     ok = F.lit(True)
 
-    t = schema.get("type")
-    if t is not None:
-        names = t if isinstance(t, list) else [t]
-        cond = _type_ok(v, names[0])
-        for n in names[1:]:
-            cond = cond | _type_ok(v, n)
+    def type_ok(name: str) -> Column:
+        if name == "string":
+            return t == "STRING"
+        if name == "boolean":
+            return t == "BOOLEAN"
+        if name == "number":
+            return is_num
+        if name == "integer":
+            nn = b["n"]
+            return is_num & nn.isNotNull() & (nn == F.floor(nn).cast(_DEC))
+        if name == "array":
+            return t.startswith("ARRAY")
+        if name == "object":
+            return t.startswith("OBJECT") | t.startswith("STRUCT")
+        if name == "null":
+            return F.is_variant_null(v)
+        raise VariantUnsupported(f"unknown type {name!r}")
+
+    tn = schema.get("type")
+    if tn is not None:
+        names = tn if isinstance(tn, list) else [tn]
+        cond = type_ok(names[0])
+        for name in names[1:]:
+            cond = cond | type_ok(name)
         ok = ok & ~(present & ~cond)
+
+    def const_ok(c: Any) -> Column:
+        if c is None:
+            return F.is_variant_null(v)
+        if isinstance(c, bool):
+            return (t == "BOOLEAN") & (F.try_variant_get(v, "$", "boolean") == c)
+        if is_number(c):
+            return is_num & _num_eq_variant(v, c, t)
+        if isinstance(c, str):
+            return (t == "STRING") & (b["s"] == c)
+        raise VariantUnsupported("complex const/enum values")
 
     if "enum" in schema:
         cond = F.lit(False)
         for e in schema["enum"]:
-            cond = cond | _const_ok(v, e)
+            cond = cond | const_ok(e)
         ok = ok & ~(present & ~cond)
     if "const" in schema:
-        ok = ok & ~(present & ~_const_ok(v, schema["const"]))
+        ok = ok & ~(present & ~const_ok(schema["const"]))
 
     # numeric keywords gate on the value being a number (vacuous otherwise)
-    n = _num(v)
-    isnum = present & _is_numberv(v)
-    for kw, op in (("minimum", "ge"), ("maximum", "le")):
-        bound = schema.get(kw)
-        if is_number(bound):
-            excl = schema.get("exclusiveMinimum" if kw == "minimum"
-                              else "exclusiveMaximum") is True
-            b = F.lit(bound).cast(_DEC)
-            if kw == "minimum":
-                cond = (n > b) if excl else (n >= b)
-            else:
-                cond = (n < b) if excl else (n <= b)
-            ok = ok & ~(isnum & ~cond)
-    emn = schema.get("exclusiveMinimum")
-    if is_number(emn):
-        ok = ok & ~(isnum & ~(n > F.lit(emn).cast(_DEC)))
-    emx = schema.get("exclusiveMaximum")
-    if is_number(emx):
-        ok = ok & ~(isnum & ~(n < F.lit(emx).cast(_DEC)))
-    mo = schema.get("multipleOf")
-    if is_number(mo):
-        ok = ok & ~(isnum & _multiple_of_fail_variant(v, mo))
+    if needs["n"]:
+        n = b["n"]
+        isnum = present & is_num
+        for kw in ("minimum", "maximum"):
+            bound = schema.get(kw)
+            if is_number(bound):
+                excl = schema.get("exclusiveMinimum" if kw == "minimum"
+                                  else "exclusiveMaximum") is True
+                bb = F.lit(bound).cast(_DEC)
+                if kw == "minimum":
+                    cond = (n > bb) if excl else (n >= bb)
+                else:
+                    cond = (n < bb) if excl else (n <= bb)
+                ok = ok & ~(isnum & ~cond)
+        emn = schema.get("exclusiveMinimum")
+        if is_number(emn):
+            ok = ok & ~(isnum & ~(n > F.lit(emn).cast(_DEC)))
+        emx = schema.get("exclusiveMaximum")
+        if is_number(emx):
+            ok = ok & ~(isnum & ~(n < F.lit(emx).cast(_DEC)))
+        mo = schema.get("multipleOf")
+        if is_number(mo):
+            ok = ok & ~(isnum & _multiple_of_fail_variant(v, mo, t))
+        if schema.get("format") in ("int32", "int64"):
+            ok = ok & ~(isnum & ~format_predicate(schema["format"], n))
 
-    s = _str(v)
-    isstr = present & _is_string(v)
-    mn = schema.get("minLength")
-    if isinstance(mn, int) and not isinstance(mn, bool):
-        from sparkschema.compiler.columns import grapheme_length_col
-        ok = ok & ~(isstr & (grapheme_length_col(s) < mn))
-    mx = schema.get("maxLength")
-    if isinstance(mx, int) and not isinstance(mx, bool):
-        from sparkschema.compiler.columns import grapheme_length_col
-        ok = ok & ~(isstr & (grapheme_length_col(s) > mx))
-    pat = schema.get("pattern")
-    if isinstance(pat, str):
-        from sparkschema.spec.ecma_pattern import translate_ecma_checked
-        ok = ok & ~(isstr & ~s.rlike(translate_ecma_checked(pat, "java")))
-    fmt = schema.get("format")
-    if isinstance(fmt, str):
-        if fmt in ("int32", "int64"):
-            ok = ok & ~(isnum & ~format_predicate(fmt, n))
-        else:
+    if needs["s"]:
+        s = b["s"]
+        isstr = present & (t == "STRING")
+        mn = schema.get("minLength")
+        if isinstance(mn, int) and not isinstance(mn, bool):
+            from sparkschema.compiler.columns import grapheme_length_col
+            ok = ok & ~(isstr & (grapheme_length_col(s) < mn))
+        mx = schema.get("maxLength")
+        if isinstance(mx, int) and not isinstance(mx, bool):
+            from sparkschema.compiler.columns import grapheme_length_col
+            ok = ok & ~(isstr & (grapheme_length_col(s) > mx))
+        pat = schema.get("pattern")
+        if isinstance(pat, str):
+            from sparkschema.spec.ecma_pattern import translate_ecma_checked
+            ok = ok & ~(isstr & ~s.rlike(translate_ecma_checked(pat, "java")))
+        fmt = schema.get("format")
+        if isinstance(fmt, str) and fmt not in ("int32", "int64"):
             ok = ok & ~(isstr & ~format_predicate(fmt, s))
 
-    arr = _arr(v)
-    isarr = present & _is_array(v)
-    mn = schema.get("minItems")
-    if isinstance(mn, int) and not isinstance(mn, bool):
-        ok = ok & ~(isarr & (F.size(arr) < mn))
-    mx = schema.get("maxItems")
-    if isinstance(mx, int) and not isinstance(mx, bool):
-        ok = ok & ~(isarr & (F.size(arr) > mx))
-    if schema.get("uniqueItems") is True:
-        canon = F.transform(arr, _canon_elem)
-        ok = ok & ~(isarr & (F.size(F.array_distinct(canon)) != F.size(canon)))
-    items = schema.get("items")
-    if isinstance(items, list):
-        raise VariantUnsupported("tuple items")
-    if isinstance(items, (dict, bool)) and items is not True:
-        elem_ok = F.forall(arr, lambda e: variant_valid(e, items, depth + 1))
-        ok = ok & ~(isarr & ~elem_ok)
-    if "contains" in schema:
-        has = F.exists(arr, lambda e: variant_valid(e, schema["contains"],
-                                                    depth + 1)
-                       & e.isNotNull())
-        ok = ok & ~(isarr & ~has)
+    if needs["a"]:
+        arr = b["a"]
+        isarr = present & t.startswith("ARRAY")
+        mn = schema.get("minItems")
+        if isinstance(mn, int) and not isinstance(mn, bool):
+            ok = ok & ~(isarr & (F.size(arr) < mn))
+        mx = schema.get("maxItems")
+        if isinstance(mx, int) and not isinstance(mx, bool):
+            ok = ok & ~(isarr & (F.size(arr) > mx))
+        if schema.get("uniqueItems") is True:
+            canon = F.transform(arr, _canon_elem)
+            ok = ok & ~(isarr & (F.size(F.array_distinct(canon)) != F.size(canon)))
+        items = schema.get("items")
+        if isinstance(items, (dict, bool)) and items is not True:
+            elem_ok = F.forall(arr, lambda e: variant_valid(e, items, depth + 1))
+            ok = ok & ~(isarr & ~elem_ok)
+        if "contains" in schema:
+            has = F.exists(arr, lambda e: variant_valid(e, schema["contains"],
+                                                        depth + 1)
+                           & e.isNotNull())
+            ok = ok & ~(isarr & ~has)
 
     props = schema.get("properties")
-    isobj = present & _is_object(v)
+    isobj = present & (t.startswith("OBJECT") | t.startswith("STRUCT"))
     if isinstance(props, dict):
         for k, sub in props.items():
             child_ok = variant_valid(_get(v, k), sub, depth + 1)
@@ -382,11 +443,8 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
 
     # key-only object keywords over json_object_keys(to_json(v)) — all
     # Catalyst-native (ObjectValidators.scala:16-35,128-171,173-258)
-    needs_keys = any(kw in schema for kw in
-                     ("propertyNames", "minProperties", "maxProperties",
-                      "dependencies")) or schema.get("additionalProperties") is False
-    if needs_keys:
-        keys = _object_keys(v)
+    if needs["k"]:
+        keys = b["k"]
         if "propertyNames" in schema:
             pn = schema["propertyNames"]
             ok = ok & ~(isobj & ~F.forall(keys, lambda k: _propname_ok(k, pn)))
@@ -416,10 +474,6 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
                 else:
                     raise VariantUnsupported("dependencies value form")
                 ok = ok & ~(isobj & has & ~F.coalesce(dep_ok, F.lit(False)))
-    ap = schema.get("additionalProperties")
-    if not (ap is None or ap is True or ap is False):
-        # schema-form needs dynamic per-key value access — kernel fallback
-        raise VariantUnsupported("additionalProperties schema form")
 
     for comb in ("allOf", "anyOf", "oneOf"):
         subs = schema.get(comb)
