@@ -40,21 +40,36 @@ def _phash_udf(bufs):
 
 
 def image_phash_frame(df: DataFrame, bytes_col: str = "bytes",
-                      id_col: str = "image_id") -> DataFrame:
+                      id_col: str = "image_id",
+                      spread_partitions: int | None = None) -> DataFrame:
     """``(id, phash)`` per image; NULL phash = corrupt/undecodable buffer
-    (callers route those to the corrupt-bytes violation instead)."""
-    spread = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("__b")) \
-               .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
-    return spread.select("id", _phash_udf(F.col("__b")).alias("phash"))
+    (callers route those to the corrupt-bytes violation instead).
+
+    The decode UDF runs directly on the scan partitions — repartitioning
+    here would shuffle the ENTIRE byte corpus, the one thing this operator
+    must never do. ``spread_partitions`` is the explicit escape hatch for
+    tiny single-file inputs (the pandas-UDF-on-one-scan-task trap); real
+    corpora get their parallelism from the scan split size."""
+    base = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("__b"))
+    if spread_partitions:
+        base = base.repartition(spread_partitions, "id")
+    return base.select("id", _phash_udf(F.col("__b")).alias("phash"))
 
 
 def image_phash_pairs(df: DataFrame, bytes_col: str = "bytes",
                       id_col: str = "image_id", chunks: int = 8,
-                      hamming_max: int = 10) -> DataFrame:
+                      hamming_max: int = 10,
+                      spread_partitions: int | None = None) -> DataFrame:
     """Near-duplicate image pairs ``(id_a, id_b, hamming)`` with pHash
     Hamming distance ≤ ``hamming_max``."""
-    sigs = image_phash_frame(df, bytes_col, id_col) \
-        .where(F.col("phash").isNotNull()).persist()
+    # persist the RAW signature frame and materialize it eagerly: the
+    # decode UDF must run exactly once per image. Filtering before the
+    # persist (or relying on lazy cache matching) left one join branch
+    # re-decoding the corpus with the UDF evaluated twice (filter +
+    # project) — caught by the plan test below.
+    raw = image_phash_frame(df, bytes_col, id_col, spread_partitions).persist()
+    raw.count()
+    sigs = raw.where(F.col("phash").isNotNull())
     width = 64 // chunks
     mask = (1 << width) - 1
     chunk_arr = F.array(*[
