@@ -255,12 +255,16 @@ def _q_events_json_invalid(spark, sf):
     # VARIANT numeric tier (VERDICT r2 #2 done-criterion): k (BIGINT),
     # k·10²⁴ (27-digit exact DECIMAL — outside the old decimal(38,12)
     # window), and a double-rendered decimal checked against 0.25
-    kstr = F.get_json_object("props", "$.k")
     # k·10²⁴ via decimal arithmetic (string-padding zeros would render
-    # k=0 as an invalid leading-zero JSON literal)
+    # k=0 as an invalid leading-zero JSON literal). try_cast + the
+    # explicit __armed gate keep engine and oracle aligned on degenerate
+    # rows (missing/non-integer k, NULL value) instead of one side
+    # counting an unparsable derived document as invalid.
     from decimal import Decimal as _Dec
-    big = (kstr.cast("decimal(14,0)") * F.lit(_Dec(10 ** 24))) \
-        .cast("decimal(38,0)").cast("string")
+    kstr = F.get_json_object("props", "$.k")
+    knum = kstr.try_cast("decimal(14,0)")
+    armed = knum.isNotNull() & F.col("value").isNotNull()
+    big = (knum * F.lit(_Dec(10 ** 24))).cast("decimal(38,0)").cast("string")
     big_json = F.concat(
         F.lit('{"k": '), kstr,
         F.lit(', "big": '), big,
@@ -269,9 +273,11 @@ def _q_events_json_invalid(spark, sf):
     mo3 = json_valid_auto(big_json, {"properties": {"big": {"multipleOf": 3}}})
     mo25 = json_valid_auto(big_json,
                            {"properties": {"q": {"multipleOf": 0.25}}})
-    inv = lambda c: F.sum((~F.coalesce(c, F.lit(False))).cast("long"))  # noqa: E731
+    inv = lambda c: F.sum(  # noqa: E731
+        (armed & ~F.coalesce(c, F.lit(False))).cast("long"))
     return e.agg(F.count(F.lit(1)).alias("total_rows"),
-                 inv(ok).alias("invalid_rows"),
+                 F.sum((~F.coalesce(ok, F.lit(False))).cast("long"))
+                  .alias("invalid_rows"),
                  inv(mo7).alias("inv_k_mo7"),
                  inv(mo3).alias("inv_big_mo3"),
                  inv(mo25).alias("inv_q_mo25"))
@@ -981,22 +987,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_invalid": """
             -- multipleOf twins: k mod 7 direct; big = k*10^24 needs
-            -- HUGEINT; q = the double rendered at 2 decimals vs 0.25 via
-            -- an exact decimal view
+            -- HUGEINT; q = the double's shortest-repr decimal view vs
+            -- 0.25 (matching how the engine renders the double into the
+            -- derived JSON). Arms count only rows where k parses and
+            -- value is non-null — the engine gates identically.
             select cast(count(*) as bigint) as total_rows,
                    cast(sum(case when k is null or k < 0 or k > 50
                             then 1 else 0 end) as bigint) as invalid_rows,
-                   cast(sum(case when k % 7 != 0 then 1 else 0 end)
-                        as bigint) as inv_k_mo7,
-                   cast(sum(case when (cast(k as hugeint)
+                   cast(sum(case when armed and k % 7 != 0
+                            then 1 else 0 end) as bigint) as inv_k_mo7,
+                   cast(sum(case when armed and (cast(k as hugeint)
                               * cast('1000000000000000000000000' as hugeint))
                               % 3 != 0 then 1 else 0 end)
                         as bigint) as inv_big_mo3,
-                   cast(sum(case when cast(value as decimal(18,2)) % 0.25
-                              != 0 then 1 else 0 end)
+                   cast(sum(case when armed and
+                              try_cast(cast(value as varchar)
+                                       as decimal(38,18)) % 0.25 != 0
+                            then 1 else 0 end)
                         as bigint) as inv_q_mo25
             from (select try_cast(json_extract_string(props, '$.k') as bigint) as k,
-                         value
+                         value,
+                         (try_cast(json_extract_string(props, '$.k') as bigint)
+                            is not null and value is not null) as armed
                   from events)
         """,
         "embedding_topk": """

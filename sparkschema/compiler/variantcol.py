@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from sparkschema.compiler.formats_sql import format_predicate
 from sparkschema.spec.jsonvalue import is_number
 
-_DEC = "decimal(38,12)"
+_DEC = "decimal(38,18)"
 _SIMPLE_KEY = re.compile(r"^[A-Za-z0-9_\-]+$")
 
 _UNSUPPORTED = ("$ref", "patternProperties", "additionalItems")
@@ -162,11 +162,24 @@ def _num_eq_variant(v: Column, c: Any, t: Column) -> Column:
     nd18 = F.try_variant_get(v, "$", "decimal(38,18)")
     d0 = F.try_variant_get(v, "$", "decimal(38,0)")
     dbl = F.try_variant_get(v, "$", "double")
+    # the value's STORED scale, parsed from schema_of_variant — extraction
+    # at a smaller scale ROUNDS (try_variant_get, HALF_UP), so every
+    # decimal-equality tier must require stored_scale ≤ extraction scale
+    # or a rounded near-miss would compare equal (0.54 == 0.5 at scale 1)
+    vscale = F.coalesce(
+        F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1).try_cast("int"),
+        F.lit(0))  # BIGINT stores scale 0
 
     if scale <= 18 and int_digits <= 20:
-        exact_eq = F.coalesce(nd18 == F.lit(d), F.lit(False))
+        exact_eq = F.coalesce((vscale <= 18) & (nd18 == F.lit(d)), F.lit(False))
     elif scale == 0 and _dec_precision(d) <= 38:
-        exact_eq = F.coalesce(t.endswith(",0)") & (d0 == F.lit(d)), F.lit(False))
+        exact_eq = F.coalesce((vscale == 0) & (d0 == F.lit(d)), F.lit(False))
+    elif scale <= 18 and int_digits + scale <= 38:
+        # 21-38 integer digits WITH a fraction: extract at the literal's
+        # own scale; exact when the stored scale is no finer
+        ds = F.try_variant_get(v, "$", f"decimal(38,{scale})")
+        exact_eq = F.coalesce((vscale <= scale) & (ds == F.lit(d)),
+                              F.lit(False))
     else:
         # >38-digit or hyper-fine literal: no exactly-stored JSON number in
         # the engine's windows can equal it
@@ -299,6 +312,7 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
     fields = [_vtype(v).alias("t")]
     if needs["n"]:
         fields.append(_num(v).alias("n"))
+        fields.append(F.try_variant_get(v, "$", "double").alias("nd"))
     if needs["s"]:
         fields.append(_str(v).alias("s"))
     if needs["a"]:
@@ -325,8 +339,22 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
         if name == "number":
             return is_num
         if name == "integer":
-            nn = b["n"]
-            return is_num & nn.isNotNull() & (nn == F.floor(nn).cast(_DEC))
+            nn, nd = b["n"], b["nd"]
+            # decimal window -> exact floor compare; wide exact DECIMALs
+            # check their string rendering for a nonzero fraction (the
+            # ">= 2^53 is whole" shortcut only holds for DOUBLE-stored
+            # values); DOUBLE >= 2^53 is always whole; else floor-compare
+            # the double (branch-guarded: floor(double) -> long would
+            # throw under ANSI past 2^53)
+            exact_t = (t == "BIGINT") | t.startswith("DECIMAL")
+            return is_num & (
+                F.when(nn.isNotNull(),
+                       nn == F.floor(nn).cast(_DEC))
+                 .when(exact_t,
+                       ~F.try_variant_get(v, "$", "string")
+                        .rlike(r"\.\d*[1-9]"))
+                 .when(F.abs(nd) >= F.lit(float(2 ** 53)), F.lit(True))
+                 .otherwise(nd == F.floor(nd).cast("double")))
         if name == "array":
             return t.startswith("ARRAY")
         if name == "object":
@@ -364,30 +392,62 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
 
     # numeric keywords gate on the value being a number (vacuous otherwise)
     if needs["n"]:
-        n = b["n"]
+        n, nd = b["n"], b["nd"]
         isnum = present & is_num
+
+        def num_cmp(bound_val, op: str) -> Column:
+            """Bound comparison that never NULL-poisons: decimal-exact in
+            the decimal(38,18) window, double view outside it (values with
+            >20 integer digits / bounds wider than the window compare in
+            double — a documented 1-ulp tail past 1e20; the old
+            decimal(38,12) cast NULLed there and coalesced to invalid)."""
+            from sparkschema.compiler.columns import _dec_precision
+            from sparkschema.spec.jsonvalue import as_decimal
+
+            d = as_decimal(bound_val).normalize()
+            s = max(-d.as_tuple().exponent, 0)
+            fits = (_dec_precision(d) <= 38 and s <= 18
+                    and _dec_precision(d) - s <= 20)
+
+            def apply(c: Column, lit: Column) -> Column:
+                return {"gt": c > lit, "ge": c >= lit,
+                        "lt": c < lit, "le": c <= lit}[op]
+
+            # Decimal -> float never raises: it saturates to +-inf, which
+            # compares correctly against every finite value
+            dbl_cond = apply(nd, F.lit(float(d)))
+            if fits:
+                return F.when(n.isNotNull(), apply(n, F.lit(d))) \
+                        .otherwise(dbl_cond)
+            return F.when(n.isNotNull(), apply(n.cast("double"),
+                                               F.lit(float(d)))) \
+                    .otherwise(dbl_cond)
+
         for kw in ("minimum", "maximum"):
             bound = schema.get(kw)
             if is_number(bound):
                 excl = schema.get("exclusiveMinimum" if kw == "minimum"
                                   else "exclusiveMaximum") is True
-                bb = F.lit(bound).cast(_DEC)
                 if kw == "minimum":
-                    cond = (n > bb) if excl else (n >= bb)
+                    cond = num_cmp(bound, "gt" if excl else "ge")
                 else:
-                    cond = (n < bb) if excl else (n <= bb)
+                    cond = num_cmp(bound, "lt" if excl else "le")
                 ok = ok & ~(isnum & ~cond)
         emn = schema.get("exclusiveMinimum")
         if is_number(emn):
-            ok = ok & ~(isnum & ~(n > F.lit(emn).cast(_DEC)))
+            ok = ok & ~(isnum & ~num_cmp(emn, "gt"))
         emx = schema.get("exclusiveMaximum")
         if is_number(emx):
-            ok = ok & ~(isnum & ~(n < F.lit(emx).cast(_DEC)))
+            ok = ok & ~(isnum & ~num_cmp(emx, "lt"))
         mo = schema.get("multipleOf")
         if is_number(mo):
             ok = ok & ~(isnum & _multiple_of_fail_variant(v, mo, t))
         if schema.get("format") in ("int32", "int64"):
-            ok = ok & ~(isnum & ~format_predicate(schema["format"], n))
+            # values outside the decimal window are far outside int ranges
+            ok = ok & ~(isnum & ~F.coalesce(
+                F.when(n.isNotNull(),
+                       format_predicate(schema["format"], n)),
+                F.lit(False)))
 
     if needs["s"]:
         s = b["s"]

@@ -147,10 +147,14 @@ def dct_phash(pixels: np.ndarray) -> int:
 
 
 def phash_bytes(buf: bytes) -> int | None:
-    """pHash of an encoded container; None for corrupt buffers."""
+    """pHash of an encoded container; None for corrupt buffers — including
+    degenerate w=0/h=0 containers, which pass :func:`decode` (0 == 0·0·3
+    payload) but have no pixels to hash."""
     try:
         pixels, _ = decode(buf)
     except CorruptImage:
+        return None
+    if pixels.size == 0:
         return None
     return dct_phash(pixels)
 

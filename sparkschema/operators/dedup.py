@@ -377,17 +377,23 @@ def simhash_md5_frame(df: DataFrame, text_col: str, id_col: str,
     return hashed.select("id", _simhash_from_hashes(F.col("hs"), bits).alias("simhash"))
 
 
-def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
-                       chunks: int = 8, hamming_max: int = 12,
-                       seed: int = 42) -> DataFrame:
-    """Hamming-near pairs: documents within Hamming distance < ``chunks``
-    are *guaranteed* to share at least one 64/chunks-bit chunk of their
-    SimHash (pigeonhole); near misses above that are still caught with
-    high probability because flips rarely spread across every chunk.
-    Bucket-join on chunks → exact popcount verify ≤ ``hamming_max``."""
-    base = simhash_frame(df, text_col, id_col, seed=seed) \
-        .select("id", F.col("simhash").alias("sh"))
-    width = 64 // chunks
+def hamming_pairs(sigs: DataFrame, hash_col: str = "sh",
+                  id_col: str = "id", chunks: int = 8,
+                  hamming_max: int = 12, bits: int = 64) -> DataFrame:
+    """Hamming-near pairs over a 64-bit signature table ``(id, hash)`` —
+    the shared chunk-pigeonhole machinery behind text SimHash and image
+    pHash near-dup.
+
+    Recall contract: pairs within Hamming distance < ``chunks`` are
+    *guaranteed* to share at least one ``bits/chunks``-bit chunk
+    (pigeonhole) and are always found; pairs at distance ``chunks`` …
+    ``hamming_max`` are found unless their differing bits land in
+    ``chunks`` DISTINCT chunks — a vanishing arrangement for real
+    near-dups, but a probabilistic tail, not a guarantee (same contract
+    as the reference-free SimHash literature). Bucket-join on chunk
+    values → exact popcount verify ≤ ``hamming_max``."""
+    base = sigs.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
+    width = bits // chunks
     mask = (1 << width) - 1
     chunk_arr = F.array(*[
         F.struct(F.lit(c).alias("chunk"),
@@ -404,6 +410,17 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
                  .where(F.col("hamming") <= hamming_max))
+
+
+def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
+                       chunks: int = 8, hamming_max: int = 12,
+                       seed: int = 42) -> DataFrame:
+    """Hamming-near document pairs via SimHash signatures + the shared
+    chunk-pigeonhole bucketing (:func:`hamming_pairs` — see its recall
+    contract)."""
+    base = simhash_frame(df, text_col, id_col, seed=seed) \
+        .select("id", F.col("simhash").alias("sh"))
+    return hamming_pairs(base, "sh", "id", chunks, hamming_max)
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,12 @@ def image_phash_pairs(df: DataFrame, bytes_col: str = "bytes",
                       hamming_max: int = 10,
                       spread_partitions: int | None = None) -> DataFrame:
     """Near-duplicate image pairs ``(id_a, id_b, hamming)`` with pHash
-    Hamming distance ≤ ``hamming_max``."""
+    Hamming distance ≤ ``hamming_max`` — the shared chunk-pigeonhole
+    bucketing (:func:`sparkschema.operators.dedup.hamming_pairs`; see its
+    recall contract: guaranteed below ``chunks``, probabilistic tail up to
+    ``hamming_max``)."""
+    from sparkschema.operators.dedup import hamming_pairs
+
     # persist the RAW signature frame and materialize it eagerly: the
     # decode UDF must run exactly once per image. Filtering before the
     # persist (or relying on lazy cache matching) left one join branch
@@ -70,27 +75,7 @@ def image_phash_pairs(df: DataFrame, bytes_col: str = "bytes",
     raw = image_phash_frame(df, bytes_col, id_col, spread_partitions).persist()
     raw.count()
     sigs = raw.where(F.col("phash").isNotNull())
-    width = 64 // chunks
-    mask = (1 << width) - 1
-    chunk_arr = F.array(*[
-        F.struct(F.lit(c).alias("chunk"),
-                 F.shiftrightunsigned(F.col("phash"), c * width)
-                  .bitwiseAND(F.lit(mask)).alias("cv"))
-        for c in range(chunks)
-    ])
-    buckets = sigs.select("id", F.col("phash").alias("ph"),
-                          F.explode(chunk_arr).alias("cc")) \
-                  .select("id", "ph", "cc.chunk", "cc.cv")
-    a = buckets.select("chunk", "cv", F.col("id").alias("id_a"),
-                       F.col("ph").alias("ph_a"))
-    b = buckets.select("chunk", "cv", F.col("id").alias("id_b"),
-                       F.col("ph").alias("ph_b"))
-    pairs = (a.join(b, ["chunk", "cv"]).where(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "ph_a", "ph_b")
-              .dropDuplicates(["id_a", "id_b"]))
-    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
-                 .where(F.col("hamming") <= hamming_max))
+    return hamming_pairs(sigs, "phash", "id", chunks, hamming_max)
 
 
 def image_phash_dedup(df: DataFrame, bytes_col: str = "bytes",

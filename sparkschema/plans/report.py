@@ -57,6 +57,10 @@ def to_reference_json(violations: DataFrame, limit: int = 1000) -> str:
         # JsValue itself, not a string rendering); the stored field is
         # compact JSON for kernel-path rows, a plain rendering for columnar
         # ones — parse when parseable, fall back to the raw string.
+        # Known ambiguity: a columnar STRING value whose text parses as
+        # JSON ("123", "true") is emitted typed; distinguishing it would
+        # require the columnar path to store JSON-quoted renderings, which
+        # the range_violations oracle pins as plain strings.
         raw = d.get("value")
         try:
             value = json.loads(raw) if raw is not None else None

@@ -222,6 +222,42 @@ def test_variant_const_enum_extreme_literals(spark):
     assert got[6] == (False, False, False, False)  # true ≢ any number
 
 
+def test_variant_numeric_keywords_outside_decimal_window(spark):
+    """r3 review: minimum/maximum/exclusive*/type:integer/format:int64 used
+    the decimal extraction directly, so values outside its window NULLed
+    into 'invalid' (and poisoned oneOf counts) — same class as the
+    multipleOf hole. Now tiered like multipleOf/const."""
+    from sparkschema.compiler.variantcol import variant_valid_column
+
+    df = spark.createDataFrame(
+        [(1, "1e26"), (2, "100000000000000000000000000"),
+         (3, "100000000000000000000000001"), (4, "5"), (5, "-1e26"),
+         (6, "1e30"), (7, "123456789012345678901.5")],
+        "i int, j string")
+    cols = [
+        variant_valid_column("j", {"minimum": 0}).alias("mn0"),
+        variant_valid_column("j", {"maximum": 1e28}).alias("mx"),
+        variant_valid_column("j", {"exclusiveMinimum": 1e27}).alias("emn"),
+        variant_valid_column("j", {"type": "integer"}).alias("ti"),
+        variant_valid_column("j", {"format": "int64"}).alias("i64"),
+        variant_valid_column("j", {"oneOf": [{"minimum": 1e25},
+                                             {"maximum": 0}]}).alias("oo"),
+        variant_valid_column(
+            "j", {"const": Decimal("123456789012345678901.5")}).alias("cw"),
+    ]
+    got = {r.i: r for r in df.select("i", *cols).collect()}
+    #            mn0    mx     emn    ti     i64    oo     cw
+    assert tuple(got[1]) == (1, True, True, False, True, False, True, False)
+    assert tuple(got[2]) == (2, True, True, False, True, False, True, False)
+    assert tuple(got[3]) == (3, True, True, False, True, False, True, False)
+    assert tuple(got[4]) == (4, True, True, False, True, True, False, False)
+    assert tuple(got[5]) == (5, False, True, False, True, False, True, False)
+    assert tuple(got[6]) == (6, True, False, True, True, False, True, False)
+    # 21-int-digit decimal WITH fraction: exactly stored, const-equal,
+    # not an integer (and 1.2e20 < 1e25 matches neither oneOf branch)
+    assert tuple(got[7]) == (7, True, True, False, False, False, False, True)
+
+
 def test_variant_object_keywords_native(spark):
     """r3 (VERDICT r2 #8): key-only object keywords compile VARIANT-native.
     The plan must contain no Python UDF node."""
