@@ -84,10 +84,51 @@ def statically_integer(dt: T.DataType) -> bool:
 
 
 def _num_lit(v: Any) -> Column:
-    # exact decimal literal (BigDecimal parity for bounds like 0.1)
+    # exact decimal literal (BigDecimal parity for bounds like 0.1); ints
+    # beyond int64 must go through Decimal (F.lit of a >2^63 python int is
+    # a Py4J error — fuzz-found r3) and >38-digit magnitudes through
+    # double (the only representation left; 1-ulp tail at that extreme)
     if isinstance(v, Decimal):
+        if _dec_precision(v.normalize()) > 38:
+            return F.lit(float(v))
         return F.lit(v)
+    if isinstance(v, int) and not isinstance(v, bool) \
+            and not -2 ** 63 <= v < 2 ** 63:
+        return _num_lit(Decimal(v))
     return F.lit(v)
+
+
+def _double_cmp(col: Column, v: Any, op: str) -> Column:
+    """Kernel-exact bound comparison for double/float columns.
+
+    The kernel compares ``as_decimal(value) OP d`` (shortest repr < 2^53,
+    exact binary above); a naive ``col OP F.lit(float(d))`` collapses d to
+    its nearest double first and diverges whenever d falls between a
+    double's two decimal views (fuzz-found r3: maximum
+    123456789012345678901.5 vs the double 1.2345678901234568e20). Doubles
+    are totally ordered by their decimal views, so the exact predicate
+    compiles to a plain comparison against the DIRECTION-AWARE boundary
+    double — the largest (le/lt) or smallest (ge/gt) double whose kernel
+    view satisfies the bound."""
+    import math
+
+    from sparkschema.spec.jsonvalue import as_decimal
+
+    d = as_decimal(v)
+    f = float(d)  # round-half-even; saturates to +-inf for huge d
+    if not math.isinf(f):
+        fe = as_decimal(f)  # the kernel's own view of that double
+        if op == "le" and not fe <= d:
+            f = math.nextafter(f, -math.inf)
+        elif op == "lt" and not fe < d:
+            f = math.nextafter(f, -math.inf)
+        elif op == "ge" and not fe >= d:
+            f = math.nextafter(f, math.inf)
+        elif op == "gt" and not fe > d:
+            f = math.nextafter(f, math.inf)
+    lit = F.lit(f)
+    # the boundary double is INCLUDED in the satisfying set by construction
+    return (col <= lit) if op in ("le", "lt") else (col >= lit)
 
 
 def _dec_precision(d: Decimal) -> int:
@@ -349,7 +390,16 @@ class ColumnCompiler:
                 if statically_integer(dt):
                     ok_static = True
                 else:
-                    cond = col == F.floor(col)
+                    if isinstance(dt, FRACTIONAL):
+                        # every double >= 2^53 is whole; below that the
+                        # floor compare is safe (floor(double) -> long
+                        # SATURATES at Long.MaxValue past 2^63 and would
+                        # declare 1e20 "not integer" — fuzz-found r3)
+                        cond = F.when(F.abs(col) >= F.lit(float(2 ** 53)),
+                                      F.lit(True)) \
+                                .otherwise(col == F.floor(col))
+                    else:
+                        cond = col == F.floor(col)
                     runtime_ok = cond if runtime_ok is None else (runtime_ok | cond)
             elif n == "null":
                 # "null" contributes nothing: SQL NULL already passes
@@ -410,29 +460,35 @@ class ColumnCompiler:
         out: list[Check] = []
         vs = col.cast("string")
 
+        def _cmp(val, op: str) -> Column:
+            if isinstance(dt, FRACTIONAL):
+                return _double_cmp(col, val, op)
+            return {"ge": col >= _num_lit(val), "gt": col > _num_lit(val),
+                    "le": col <= _num_lit(val), "lt": col < _num_lit(val)}[op]
+
         mn = schema.get("minimum")
         if is_number(mn):
             excl = schema.get("exclusiveMinimum") is True
-            fail = ~(col > _num_lit(mn)) if excl else ~(col >= _num_lit(mn))
+            fail = ~_cmp(mn, "gt" if excl else "ge")
             key = "num.min.exclusive" if excl else "num.min"
             out.append(self._chk("minimum", f"{spath}/minimum", ipath,
                                  present & fail, col, key, vs, F.lit(str(mn))))
         mx = schema.get("maximum")
         if is_number(mx):
             excl = schema.get("exclusiveMaximum") is True
-            fail = ~(col < _num_lit(mx)) if excl else ~(col <= _num_lit(mx))
+            fail = ~_cmp(mx, "lt" if excl else "le")
             key = "num.max.exclusive" if excl else "num.max"
             out.append(self._chk("maximum", f"{spath}/maximum", ipath,
                                  present & fail, col, key, vs, F.lit(str(mx))))
         emn = schema.get("exclusiveMinimum")
         if is_number(emn):
             out.append(self._chk("exclusiveMinimum", f"{spath}/exclusiveMinimum",
-                                 ipath, present & ~(col > _num_lit(emn)), col,
+                                 ipath, present & ~_cmp(emn, "gt"), col,
                                  "num.min.exclusive", vs, F.lit(str(emn))))
         emx = schema.get("exclusiveMaximum")
         if is_number(emx):
             out.append(self._chk("exclusiveMaximum", f"{spath}/exclusiveMaximum",
-                                 ipath, present & ~(col < _num_lit(emx)), col,
+                                 ipath, present & ~_cmp(emx, "lt"), col,
                                  "num.max.exclusive", vs, F.lit(str(emx))))
 
         mo = schema.get("multipleOf")
@@ -444,8 +500,13 @@ class ColumnCompiler:
 
         fmt = schema.get("format")
         if isinstance(fmt, str) and fmt in ("int32", "int64"):
+            if isinstance(dt, FRACTIONAL) and fmt not in (self.formats or {}):
+                from sparkschema.compiler.formats_sql import int_format_double
+                pred = int_format_double(col, fmt)
+            else:
+                pred = format_predicate(fmt, col, self.formats)
             out.append(self._chk("format", f"{spath}/format", ipath,
-                                 present & ~format_predicate(fmt, col, self.formats),
+                                 present & ~pred,
                                  col, "str.format", vs, F.lit(fmt)))
         return out
 
@@ -516,7 +577,7 @@ class ColumnCompiler:
                          .otherwise(F.lit(True))
 
         M = int(mo_dec.scaleb(s))
-        if 1 <= M < 2 ** 53 and s <= 18:
+        if 1 <= M <= 2 ** 53 and s <= 18:
             # |v| ≥ 2^53: the exact-binary view. v mod M via IEEE fmod is
             # exact (both operands exactly representable); then
             # (v·10^s) mod M = ((v mod M)·(10^s mod M)) mod M, with the

@@ -64,6 +64,30 @@ def _int64(c: Column) -> Column:
     return (d == F.floor(d).cast("decimal(38,9)")) & d.between(INT64_MIN, INT64_MAX)
 
 
+def _whole_double(c: Column) -> Column:
+    """Integer-valued check on a double: every |v| >= 2^53 is whole;
+    below, floor-compare (floor(double) -> long saturates past 2^63)."""
+    return F.when(F.abs(c) >= F.lit(float(2 ** 53)), F.lit(True)) \
+            .otherwise(c == F.floor(c))
+
+
+def int_format_double(c: Column, name: str) -> Column:
+    """int32/int64 on a DOUBLE column, kernel-exact: the decimal(38,9)
+    cast goes through shortest repr, which is lossy >= 2^53 — the double
+    -9.223372036854776e18 IS Long.MIN exactly but reprs to ...776000 and
+    fell outside the range (fuzz-found r3). Compare against the exact
+    boundary doubles instead."""
+    import math
+    if name == "int32":
+        lo, hi = float(INT32_MIN), float(INT32_MAX)   # both exact doubles
+    else:
+        lo = float(INT64_MIN)                          # -2^63: exact double
+        hi = float(INT64_MAX)                          # rounds UP to 2^63
+        if int(hi) > INT64_MAX:
+            hi = math.nextafter(hi, -math.inf)         # largest double <= MAX
+    return _whole_double(c) & (c >= lo) & (c <= hi)
+
+
 SQL_FORMATS: dict[str, Callable[[Column], Column]] = {
     "date-time": _datetime,
     "date": _date,

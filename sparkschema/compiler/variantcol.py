@@ -128,15 +128,25 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
 
     exact = (t == "BIGINT") | t.startswith("DECIMAL")
     nd18 = F.try_variant_get(v, "$", "decimal(38,18)")
+    d6 = F.try_variant_get(v, "$", "decimal(38,6)")
     d0 = F.try_variant_get(v, "$", "decimal(38,0)")
     dbl = F.try_variant_get(v, "$", "double")
+    # stored scale: extraction at a coarser scale ROUNDS, so each decimal
+    # tier requires stored_scale <= extraction scale (fuzz-found r3: a
+    # DECIMAL(22,1) with a .5 fraction slipped to the exact-binary double
+    # path and "became" a multiple of 2)
+    vscale = F.coalesce(
+        F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1).try_cast("int"),
+        F.lit(0))
     fail18 = ColumnCompiler._multiple_of_fail(nd18, T.DecimalType(38, 18), mo)
+    fail6 = ColumnCompiler._multiple_of_fail(d6, T.DecimalType(38, 6), mo)
     fail0 = ColumnCompiler._multiple_of_fail(d0, T.DecimalType(38, 0), mo)
     dbl_fail = F.coalesce(
         ColumnCompiler._multiple_of_fail(dbl, T.DoubleType(), mo), F.lit(True))
     return F.coalesce(
         F.when(exact & nd18.isNotNull(), fail18)
-         .when(exact & t.endswith(",0)") & d0.isNotNull(), fail0)
+         .when(exact & (vscale <= 6) & d6.isNotNull(), fail6)
+         .when(exact & (vscale == 0) & d0.isNotNull(), fail0)
          .otherwise(dbl_fail),
         F.lit(True))
 
@@ -401,7 +411,8 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
             >20 integer digits / bounds wider than the window compare in
             double — a documented 1-ulp tail past 1e20; the old
             decimal(38,12) cast NULLed there and coalesced to invalid)."""
-            from sparkschema.compiler.columns import _dec_precision
+            from sparkschema.compiler.columns import (_dec_precision,
+                                                      _double_cmp)
             from sparkschema.spec.jsonvalue import as_decimal
 
             d = as_decimal(bound_val).normalize()
@@ -413,11 +424,28 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
                 return {"gt": c > lit, "ge": c >= lit,
                         "lt": c < lit, "le": c <= lit}[op]
 
-            # Decimal -> float never raises: it saturates to +-inf, which
-            # compares correctly against every finite value
-            dbl_cond = apply(nd, F.lit(float(d)))
+            # double-typed variants go through the direction-aware
+            # boundary double (kernel-exact even when the bound falls
+            # between a double's decimal views — fuzz-found r3)
+            dbl_cond = _double_cmp(nd, bound_val, op)
             if fits:
                 return F.when(n.isNotNull(), apply(n, F.lit(d))) \
+                        .otherwise(dbl_cond)
+            # wide bound (21-38 integer digits): exactly-stored values
+            # whose scale is no finer than the bound's compare exactly at
+            # the bound's own scale (fuzz-found r3: a wide DECIMAL equal
+            # to the bound diverged through the double view); the rest
+            # fall to the double comparisons
+            exact_t = (t == "BIGINT") | t.startswith("DECIMAL")
+            vscale = F.coalesce(
+                F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1)
+                 .try_cast("int"), F.lit(0))
+            if s <= 18 and _dec_precision(d) <= 38:
+                ds = F.try_variant_get(v, "$", f"decimal(38,{s})")
+                return F.when(exact_t & (vscale <= s) & ds.isNotNull(),
+                              apply(ds, F.lit(d))) \
+                        .when(n.isNotNull(), apply(n.cast("double"),
+                                                   F.lit(float(d)))) \
                         .otherwise(dbl_cond)
             return F.when(n.isNotNull(), apply(n.cast("double"),
                                                F.lit(float(d)))) \

@@ -1,0 +1,143 @@
+"""Seeded three-path differential fuzz: for random scalar specs and random
+JSON values, the kernel (interpreter), the VARIANT compiler, and the
+columnar compiler must agree on the verdict.
+
+Domain notes (documented parse-level divergences excluded by construction):
+- JSON texts use plain int/decimal renderings, never e-notation (VARIANT
+  parses e-notation as double while the kernel keeps the exact decimal —
+  a documented divergence, tested separately in test_round3_fixes);
+- the columnar path sees the value through a typed column, so each value
+  routes to the column of its own JSON type; columnar NULL = absence
+  semantics are asserted separately (type-matrix test).
+"""
+
+import json
+import random
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from sparkschema.compiler.columns import ColumnCompiler
+from sparkschema.spec.interpreter import Validator
+from sparkschema.spec.jsonvalue import parse_json
+
+SEED = 20260816
+
+
+def _gen_values(rng: random.Random) -> list:
+    vals = [0, 1, -1, 7, 50, 2**31, 2**53, 2**53 + 1, -(2**63) + 1,
+            10**20, 10**26, 10**26 + 1,
+            Decimal("0.1"), Decimal("0.25"), Decimal("0.3"),
+            Decimal("123456789012345678901.5"), Decimal("-0.05"),
+            "", "a", "hello world", "Ab9", "café", "x" * 40,
+            True, False, None]
+    for _ in range(15):
+        vals.append(rng.randint(-10**6, 10**6))
+        vals.append(Decimal(str(round(rng.uniform(-1000, 1000), 3))))
+    for _ in range(5):
+        vals.append("".join(rng.choice("abcXYZ019 .-") for _ in range(rng.randint(0, 12))))
+    return vals
+
+
+def _gen_specs(rng: random.Random) -> list[dict]:
+    specs = []
+    nums = [0, 1, 3, 7, -5, 0.5, 0.25, 0.1, 2**53, 10**20, 10**26,
+            Decimal("0.05"), Decimal("123456789012345678901.5")]
+    for _ in range(25):
+        kw = rng.choice(["minimum", "maximum", "exclusiveMinimum",
+                         "exclusiveMaximum", "multipleOf"])
+        n = rng.choice(nums)
+        if kw == "multipleOf" and (not n or (isinstance(n, (int, Decimal)) and n <= 0)):
+            n = abs(n) or 1
+        specs.append({kw: n})
+    for _ in range(10):
+        specs.append({"const": rng.choice(nums + ["a", "café", True, None])})
+        pool = rng.sample(nums + ["a", "hello world", True, False], 3)
+        specs.append({"enum": pool})
+    for _ in range(8):
+        specs.append({rng.choice(["minLength", "maxLength"]): rng.randint(0, 8)})
+    for t in ("integer", "number", "string", "boolean", "null",
+              ["integer", "null"], ["string", "boolean"]):
+        specs.append({"type": t})
+    specs += [{"format": "int32"}, {"format": "int64"},
+              {"pattern": "^[a-z]+$"}, {"pattern": "9"},
+              {"minimum": 0, "maximum": 100, "multipleOf": 7},
+              {"anyOf": [{"minimum": 100}, {"maximum": 0}]},
+              {"oneOf": [{"minimum": 0}, {"maximum": 10}]},
+              {"not": {"type": "string"}},
+              {"if": {"minimum": 0}, "then": {"multipleOf": 2},
+               "else": {"maximum": -5}},
+              {"allOf": [{"minimum": 0}, {"maximum": 10**21}]}]
+    return specs
+
+
+def _plain_json(v) -> str:
+    """Plain (never e-notation) JSON text so VARIANT and the kernel parse
+    the same exact value."""
+    if isinstance(v, Decimal):
+        return format(v, "f")
+    return json.dumps(v)
+
+
+def test_three_path_differential_fuzz(spark):
+    rng = random.Random(SEED)
+    values = _gen_values(rng)
+    specs = _gen_specs(rng)
+    kernel = Validator()
+    cc = ColumnCompiler()
+
+    texts = [_plain_json(v) for v in values]
+    rows = []
+    for i, v in enumerate(values):
+        num = None
+        if isinstance(v, (int, Decimal)) and not isinstance(v, bool):
+            num = float(v)
+        rows.append((i, texts[i],
+                     num,
+                     v if isinstance(v, str) else None,
+                     v if isinstance(v, bool) else None))
+    df = spark.createDataFrame(
+        rows, "i int, js string, d double, s string, b boolean")
+
+    from sparkschema.compiler.variantcol import VariantUnsupported, variant_valid_column
+    vcols, ccols, vspecs = [], [], []
+    for j, spec in enumerate(specs):
+        try:
+            vcols.append(variant_valid_column("js", spec).alias(f"v{j}"))
+            vspecs.append(j)
+        except VariantUnsupported:
+            pass
+        ccols.append(cc.compile_valid(spec, F.col("d"),
+                                      df.schema["d"].dataType).alias(f"cd{j}"))
+        ccols.append(cc.compile_valid(spec, F.col("s"),
+                                      df.schema["s"].dataType).alias(f"cs{j}"))
+    got = {r.i: r for r in df.select("i", *vcols, *ccols).collect()}
+
+    problems = []
+    for j, spec in enumerate(specs):
+        for i, v in enumerate(values):
+            expected = not kernel.validate(spec, v)
+            # VARIANT path sees the full JSON value
+            if j in vspecs:
+                gv = got[i][f"v{j}"]
+                if bool(gv) != expected:
+                    problems.append(f"VARIANT spec={spec} v={v!r}: "
+                                    f"got={gv} kernel={expected}")
+            # columnar: route the value to the column of its JSON type.
+            # The double column's view of a number is float(v) — compare
+            # the kernel on THAT value (the typed-column model collapses
+            # wide decimals to doubles by construction).
+            if isinstance(v, (int, Decimal)) and not isinstance(v, bool):
+                dv = float(v)
+                exp_d = not kernel.validate(spec, dv)
+                gd = got[i][f"cd{j}"]
+                if bool(gd) != exp_d:
+                    problems.append(f"COLUMNAR(double) spec={spec} v={dv!r}: "
+                                    f"got={gd} kernel={exp_d}")
+            elif isinstance(v, str):
+                gs = got[i][f"cs{j}"]
+                if bool(gs) != expected:
+                    problems.append(f"COLUMNAR(string) spec={spec} v={v!r}: "
+                                    f"got={gs} kernel={expected}")
+    assert not problems, (f"{len(problems)} divergences, first 10:\n"
+                          + "\n".join(problems[:10]))
