@@ -101,10 +101,32 @@ def test_simhash_candidates(spark):
          (2, "the quick brown fox jumps over the lazy cat"),
          (3, "completely different words entirely unrelated text")],
         "doc_id long, text string")
-    cand = {(r.id_a, r.id_b): r.hamming
-            for r in dedup.simhash_candidates(df, "text", "doc_id").collect()}
-    assert (1, 2) in cand and cand[(1, 2)] <= 12
-    assert (1, 3) not in cand  # unrelated text exceeds hamming_max
+    for impl in ("expr", "numpy"):
+        cand = {(r.id_a, r.id_b): r.hamming
+                for r in dedup.simhash_candidates(df, "text", "doc_id",
+                                                  impl=impl).collect()}
+        assert (1, 2) in cand and cand[(1, 2)] <= 12, impl
+        assert (1, 3) not in cand, impl  # unrelated text exceeds hamming_max
+
+
+def test_simhash_numpy_kernel_separates_and_is_deterministic(spark):
+    import random
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    rows = [(i, "".join(rng.choice(alphabet) for _ in range(200)))
+            for i in range(20)]
+    rows += [(100 + i, rows[i][1] + "!") for i in range(5)]  # near-dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.id: r.simhash for r in
+         dedup.simhash_frame(df, "text", "doc_id", impl="numpy").collect()}
+    b = {r.id: r.simhash for r in
+         dedup.simhash_frame(df, "text", "doc_id", impl="numpy").collect()}
+    assert a == b  # seeded, deterministic across runs
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    for i in range(5):
+        assert ham(a[i], a[100 + i]) <= 12, i        # planted near-dup
+    far = [ham(a[i], a[j]) for i in range(8) for j in range(i + 1, 8)]
+    assert min(far) >= 16, far  # unrelated random docs stay apart
 
 
 def test_ngram_jaccard_expression(spark):
