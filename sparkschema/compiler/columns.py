@@ -98,6 +98,41 @@ def _num_lit(v: Any) -> Column:
     return F.lit(v)
 
 
+def _as_decimal_mod_fail_udf(mo_dec: Decimal):
+    """Arrow-batched twin of the kernel's ``as_decimal(v) % mo != 0`` for
+    the pathological-multipleOf tier (≥16 significant digits or scale >18)
+    — the only tier where no pure-Catalyst expression can reproduce the
+    exact view of a double. NULL/non-finite inputs return True (the caller
+    guards them out; hoisted evaluation must not crash)."""
+    import math
+
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("boolean")
+    def fn(vals):
+        import pandas as pd
+
+        from sparkschema.spec.jsonvalue import as_decimal
+
+        import decimal as _dec
+
+        out = []
+        for x in vals:
+            if x is None or math.isnan(x) or math.isinf(x):
+                out.append(True)
+            else:
+                d = as_decimal(float(x))
+                # widen the context like the kernel (interpreter
+                # multipleOf): the default 28-digit precision cannot hold
+                # e.g. 1e300 % 1e-19
+                with _dec.localcontext() as ctx:
+                    ctx.prec = max(28, abs(d.adjusted() - mo_dec.adjusted()) + 30)
+                    out.append(d % mo_dec != 0)
+        return pd.Series(out, dtype="boolean")
+
+    return fn
+
+
 def _double_cmp(col: Column, v: Any, op: str) -> Column:
     """Kernel-exact bound comparison for double/float columns.
 
@@ -535,8 +570,10 @@ class ColumnCompiler:
           repr is lossy as an integer there, and Java 17's Double.toString
           even disagrees with Python's repr in the last digit, so the
           binary integer is the only engine-independent definition.
-        Known approximation (documented): mo with scale > 18 or ≥ 16
-        significant digits clips to the decimal path."""
+        Pathological mo (scale > 18 or ≥ 16 significant digits) has no
+        Catalyst-expressible exact view of a ≥2⁵³ double; that one tier
+        drops to an Arrow-batched kernel twin (compile-time scoped: only
+        specs carrying such an mo pay it)."""
         from sparkschema.spec.jsonvalue import as_decimal
         mo_dec = as_decimal(mo).normalize()
         is_whole_mo = mo_dec == mo_dec.to_integral_value()
@@ -566,15 +603,20 @@ class ColumnCompiler:
         binary_mo = Decimal(float(mo_dec)) == mo_dec
 
         if binary_mo:
-            # IEEE fmod is exact for every finite double; below 2^53 its
-            # verdict provably equals the kernel's shortest-repr view.
-            base_fail = (col % F.lit(float(mo_dec))) != 0
-        else:
-            scale = min(max(s, 12), 18)
-            dcol = col.cast(f"decimal(38,{scale})")
-            roundtrips = dcol.isNotNull() & (dcol.cast("double") == dbl)
-            base_fail = F.when(roundtrips, (dcol % F.lit(mo_dec)) != 0) \
-                         .otherwise(F.lit(True))
+            # IEEE fmod is exact for EVERY finite double and every
+            # binary-representable mo (incl. huge ones like 1e20): below
+            # 2^53 its verdict provably equals the kernel's shortest-repr
+            # view, above it the exact-binary view — one expression, no
+            # range split, no UDF tier.
+            nonfinite_ = dbl.isNaN() | (F.abs(dbl) == F.lit(float("inf")))
+            return F.when(nonfinite_, F.lit(True)) \
+                    .otherwise((col % F.lit(float(mo_dec))) != 0)
+
+        scale = min(max(s, 12), 18)
+        dcol = col.cast(f"decimal(38,{scale})")
+        roundtrips = dcol.isNotNull() & (dcol.cast("double") == dbl)
+        base_fail = F.when(roundtrips, (dcol % F.lit(mo_dec)) != 0) \
+                     .otherwise(F.lit(True))
 
         M = int(mo_dec.scaleb(s))
         if 1 <= M <= 2 ** 53 and s <= 18:
@@ -586,10 +628,15 @@ class ColumnCompiler:
             vm = F.pmod(dbl, F.lit(float(M))).cast("decimal(20,0)")
             big_fail = F.pmod(vm * F.lit(t), F.lit(M)) != 0
         else:
-            # pathological mo (≥16 significant digits or scale >18): fall
-            # back to the decimal view; values beyond its range flag
-            big_fail = F.coalesce(
-                (col.cast("decimal(38,0)") % F.lit(mo_dec)) != 0, F.lit(True))
+            # pathological mo (≥16 significant digits or scale >18, e.g.
+            # multipleOf 10^26): no Catalyst-expressible view of the
+            # double's EXACT binary integer exists (the decimal cast goes
+            # through shortest repr, which made 1e26 a "multiple" of 10^26
+            # while the kernel's exact 1000...376832 is not — fuzz-found
+            # r3). The one exact route is the kernel's own view per row:
+            # an Arrow-batched UDF confined to this compile-time tier
+            # (specs with such an mo are the only payers).
+            big_fail = _as_decimal_mod_fail_udf(mo_dec)(dbl)
         # NaN/±Inf are not JSON numbers (the kernel never sees them); on a
         # double column they are never a multiple of anything — and they
         # must not reach the decimal casts, which throw under ANSI mode

@@ -24,6 +24,7 @@ Arrow kernel — ``json_valid_auto`` does exactly that.
 from __future__ import annotations
 
 import re
+from decimal import Decimal
 from typing import Any
 
 from pyspark.sql import Column
@@ -125,6 +126,21 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
     from pyspark.sql import types as T
 
     from sparkschema.compiler.columns import ColumnCompiler
+    from sparkschema.spec.jsonvalue import as_decimal
+
+    # pathological mo (≥16 significant digits or scale >18): the exact
+    # double tier is an Arrow UDF in columns._multiple_of_fail, and Spark
+    # cannot evaluate Python UDFs inside the HOF binding lambda this tree
+    # lives in — hand the whole spec to the Arrow kernel instead
+    mo_dec_ = as_decimal(mo).normalize()
+    s_ = max(-mo_dec_.as_tuple().exponent, 0)
+    try:
+        binary_mo_ = Decimal(float(mo_dec_)) == mo_dec_
+    except (OverflowError, ValueError):
+        binary_mo_ = False
+    if not binary_mo_ and not (1 <= int(mo_dec_.scaleb(s_)) <= 2 ** 53
+                               and s_ <= 18):
+        raise VariantUnsupported("pathological multipleOf (kernel fallback)")
 
     exact = (t == "BIGINT") | t.startswith("DECIMAL")
     nd18 = F.try_variant_get(v, "$", "decimal(38,18)")

@@ -59,7 +59,9 @@ def _gen_specs(rng: random.Random) -> list[dict]:
     for t in ("integer", "number", "string", "boolean", "null",
               ["integer", "null"], ["string", "boolean"]):
         specs.append({"type": t})
-    specs += [{"format": "int32"}, {"format": "int64"},
+    specs += [{"multipleOf": 10**20}, {"multipleOf": 10**26},
+              {"multipleOf": Decimal("0.0000000000000000001")},  # scale 19
+              {"format": "int32"}, {"format": "int64"},
               {"pattern": "^[a-z]+$"}, {"pattern": "9"},
               {"minimum": 0, "maximum": 100, "multipleOf": 7},
               {"anyOf": [{"minimum": 100}, {"maximum": 0}]},
