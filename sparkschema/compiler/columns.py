@@ -782,7 +782,13 @@ class ColumnCompiler:
         add = schema.get("additionalProperties")
         if add is not None and add is not True:
             declared = list(props.keys()) if isinstance(props, dict) else []
-            pats = list(patprops.keys()) if isinstance(patprops, dict) else []
+            # translate like _map_filter_by_key does — the raw ECMA pattern
+            # in rlike could disagree with the patternProperties matching
+            # above on dialect-divergent constructs (review find r3)
+            from sparkschema.spec.ecma_pattern import translate_ecma_checked
+            pats = [translate_ecma_checked(p, "java")
+                    for p in patprops.keys()] if isinstance(patprops, dict) \
+                else []
 
             def is_extra(k: Column) -> Column:
                 cond = ~k.isin(declared) if declared else F.lit(True)

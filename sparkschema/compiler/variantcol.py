@@ -10,15 +10,19 @@ from **JSON null** (``is_variant_null``) — the one semantic the typed-
 column mapping collapses (SURVEY.md §1.4), preserved natively here exactly
 like the reference's ``JsUndefined`` vs ``JsNull``.
 
-Coverage: all scalar keywords, scalar enum/const, nested ``properties`` /
-``required``, single-schema ``items`` + size bounds + ``uniqueItems`` +
-``contains``, all combinators, boolean schemas, and the key-only object
-keywords (``propertyNames`` / ``min``/``maxProperties`` /
+Coverage: all scalar keywords, enum/const (incl. structural array/object
+literals), nested ``properties`` / ``required``, ``items`` (single-schema
+AND positional tuple + ``additionalItems``) + size bounds +
+``uniqueItems`` + ``contains``, all combinators, boolean schemas, the
+key-only object keywords (``propertyNames`` / ``min``/``maxProperties`` /
 ``additionalProperties: false`` / ``dependencies``) via
-``json_object_keys(to_json(v))``. Unsupported constructs ($ref,
-patternProperties, additionalProperties schema-form, tuple items, complex
-enum/const) raise :class:`VariantUnsupported`; callers fall back to the
-Arrow kernel — ``json_valid_auto`` does exactly that.
+``json_object_keys(to_json(v))``, and the value-reading object keywords
+(``patternProperties`` / schema-form ``additionalProperties``) via the
+``map<string,variant>`` view (``try_cast`` preserves absent-vs-JSON-null
+exactly like ``try_variant_get`` — probed on Spark 4.1). Unsupported
+constructs ($ref, pathological multipleOf) raise
+:class:`VariantUnsupported`; callers fall back to the Arrow kernel —
+``json_valid_auto`` does exactly that.
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ from sparkschema.spec.jsonvalue import is_number
 _DEC = "decimal(38,18)"
 _SIMPLE_KEY = re.compile(r"^[A-Za-z0-9_\-]+$")
 
-_UNSUPPORTED = ("$ref", "patternProperties", "additionalItems")
+_UNSUPPORTED = ("$ref",)
 
 
 class VariantUnsupported(Exception):
@@ -44,9 +48,19 @@ class VariantUnsupported(Exception):
 
 
 def _get(v: Column, key: str) -> Column:
-    if not _SIMPLE_KEY.match(key):
-        raise VariantUnsupported(f"non-simple property name {key!r}")
-    return F.try_variant_get(v, f"$.{key}", "variant")
+    if _SIMPLE_KEY.match(key):
+        return F.try_variant_get(v, f"$.{key}", "variant")
+    # non-simple property name: no safe $-path quoting exists, so go
+    # through the map view — try_cast preserves absent (SQL NULL) vs JSON
+    # null (variant null) exactly like try_variant_get (probed, Spark 4.1)
+    return F.try_element_at(v.try_cast("map<string,variant>"), F.lit(key))
+
+
+def _entries(v: Column) -> Column:
+    """Object entries as ``array<struct<key,value:variant>>`` (NULL for
+    non-objects) — unlocks the value-reading object keywords
+    (patternProperties / schema-form additionalProperties)."""
+    return F.map_entries(v.try_cast("map<string,variant>"))
 
 
 def _vtype(v: Column) -> Column:
@@ -220,6 +234,46 @@ def _num_eq_variant(v: Column, c: Any, t: Column) -> Column:
     return F.coalesce(F.when(exact, exact_eq).otherwise(dbl_eq), F.lit(False))
 
 
+def _json_eq_deep(v: Column, c: Any, depth: int = 0) -> Column:
+    """Structural JSON equality of a variant against a LITERAL value,
+    matching the kernel's deep equality (1.0 ≡ 1 numerically, 1 ≢ true,
+    object key SETS equal, array order significant — jsonvalue.json_equal).
+    Compile-time recursion over the literal bounds the predicate size;
+    absent map keys / out-of-range indexes surface as SQL NULL and the
+    coalesce makes them unequal. Never NULL (callers AND it directly)."""
+    if depth > 32:
+        raise VariantUnsupported("const/enum literal nesting too deep")
+    t = _vtype(v)
+    if c is None:
+        return F.coalesce(F.is_variant_null(v), F.lit(False))
+    if isinstance(c, bool):
+        return F.coalesce(
+            (t == "BOOLEAN") & (F.try_variant_get(v, "$", "boolean") == c),
+            F.lit(False))
+    if is_number(c):
+        is_num = t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
+        return F.coalesce(is_num & _num_eq_variant(v, c, t), F.lit(False))
+    if isinstance(c, str):
+        return F.coalesce(
+            (t == "STRING") & (F.try_variant_get(v, "$", "string") == c),
+            F.lit(False))
+    if isinstance(c, list):
+        arr = F.try_variant_get(v, "$", "array<variant>")
+        cond = t.startswith("ARRAY") & (F.size(arr) == len(c))
+        for i, ci in enumerate(c):
+            cond = cond & _json_eq_deep(F.get(arr, i), ci, depth + 1)
+        return F.coalesce(cond, F.lit(False))
+    if isinstance(c, dict):
+        m = v.try_cast("map<string,variant>")
+        cond = (t.startswith("OBJECT") | t.startswith("STRUCT")) \
+            & (F.size(m) == len(c))
+        for k, cv in c.items():
+            cond = cond & _json_eq_deep(F.try_element_at(m, F.lit(k)), cv,
+                                        depth + 1)
+        return F.coalesce(cond, F.lit(False))
+    raise VariantUnsupported(f"const/enum literal {type(c).__name__}")
+
+
 def _object_keys(v: Column) -> Column:
     """Keys of a variant object as ``array<string>`` (NULL for non-objects)
     — ``json_object_keys`` over the variant's JSON text. Stays Catalyst-
@@ -272,6 +326,40 @@ def _propname_ok(k: Column, schema: Any) -> Column:
     return ok
 
 
+def _java_pattern(pat: str) -> str | None:
+    """Java regex for an ECMA patternProperties pattern, mirroring the
+    kernel's skip rule (interpreter._compile_pattern): ``None`` when the
+    kernel would skip the pattern entirely (nothing compiles);
+    :class:`VariantUnsupported` when the kernel's semantics would come
+    from the RAW pattern (translated form uncompilable) — fall back to
+    the kernel rather than diverge on that edge."""
+    from sparkschema.spec.ecma_pattern import translate_ecma_checked
+
+    tp = translate_ecma_checked(pat, "python")
+    try:
+        re.compile(tp)
+    except re.error:
+        try:
+            re.compile(pat)
+        except re.error:
+            return None  # the kernel skips this pattern too
+        raise VariantUnsupported(f"pattern {pat!r} untranslatable")
+    return translate_ecma_checked(pat, "java")
+
+
+def _compiled_patprops(schema: dict) -> list[tuple[str, Any]]:
+    """``(java_pattern, subschema)`` pairs for ``patternProperties``,
+    skipping exactly the patterns the kernel skips."""
+    out: list[tuple[str, Any]] = []
+    pp = schema.get("patternProperties")
+    if isinstance(pp, dict):
+        for pat, sub in pp.items():
+            jp = _java_pattern(pat)
+            if jp is not None:
+                out.append((jp, sub))
+    return out
+
+
 def _needs(schema: dict) -> dict:
     """Which bound slots this node's own keywords read (driver-side scan;
     same-``v`` recursion rebinds, so only THIS node's keywords count)."""
@@ -302,6 +390,8 @@ def _needs(schema: dict) -> dict:
                   ("propertyNames", "minProperties", "maxProperties",
                    "dependencies"))
               or schema.get("additionalProperties") is False),
+        "m": (isinstance(schema.get("patternProperties"), dict)
+              or isinstance(schema.get("additionalProperties"), dict)),
     }
 
 
@@ -327,12 +417,6 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
     for kw in _UNSUPPORTED:
         if kw in schema:
             raise VariantUnsupported(kw)
-    ap = schema.get("additionalProperties")
-    if not (ap is None or ap is True or ap is False):
-        # schema-form needs dynamic per-key value access — kernel fallback
-        raise VariantUnsupported("additionalProperties schema form")
-    if isinstance(schema.get("items"), list):
-        raise VariantUnsupported("tuple items")
 
     needs = _needs(schema)
     fields = [_vtype(v).alias("t")]
@@ -345,6 +429,8 @@ def variant_valid(v: Column, schema: Any, depth: int = 0) -> Column:
         fields.append(_arr(v).alias("a"))
     if needs["k"]:
         fields.append(_object_keys(v).alias("k"))
+    if needs["m"]:
+        fields.append(_entries(v).alias("m"))
     return F.get(F.transform(
         F.array(F.struct(*fields)),
         lambda b: _node_valid(v, b, schema, depth)), 0)
@@ -406,7 +492,9 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
             return is_num & _num_eq_variant(v, c, t)
         if isinstance(c, str):
             return (t == "STRING") & (b["s"] == c)
-        raise VariantUnsupported("complex const/enum values")
+        # structural array/object literals: compile-time recursion over
+        # the literal builds a bounded deep-equality predicate
+        return _json_eq_deep(v, c)
 
     if "enum" in schema:
         cond = F.lit(False)
@@ -528,6 +616,22 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
         if isinstance(items, (dict, bool)) and items is not True:
             elem_ok = F.forall(arr, lambda e: variant_valid(e, items, depth + 1))
             ok = ok & ~(isarr & ~elem_ok)
+        elif isinstance(items, list):
+            # positional tuple schemas + additionalItems
+            # (TupleValidators.scala:44-108; interpreter.py:378-392)
+            for i, sub in enumerate(items):
+                el = F.get(arr, i)  # SQL NULL past the end -> vacuous pass
+                el_ok = variant_valid(el, sub, depth + 1)
+                ok = ok & ~(isarr & (F.size(arr) > i) & ~el_ok)
+            add = schema.get("additionalItems")
+            if add is False:
+                ok = ok & ~(isarr & (F.size(arr) > len(items)))
+            elif isinstance(add, (dict, bool)) and add is not True:
+                tail = F.slice(arr, len(items) + 1,
+                               2147483647 - len(items) - 1)
+                tail_ok = F.forall(
+                    tail, lambda e: variant_valid(e, add, depth + 1))
+                ok = ok & ~(isarr & (F.size(arr) > len(items)) & ~tail_ok)
         if "contains" in schema:
             has = F.exists(arr, lambda e: variant_valid(e, schema["contains"],
                                                         depth + 1)
@@ -559,11 +663,17 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
         if isinstance(mxp, int) and not isinstance(mxp, bool):
             ok = ok & ~(isobj & (F.size(keys) > mxp))
         if schema.get("additionalProperties") is False:
-            # patternProperties is VariantUnsupported (raised above), so
-            # the allowed key set is exactly the declared properties
+            # allowed keys: declared properties ∪ patternProperties matches
+            # (unmatched.intersect(remaining), ObjectConstraints4.scala:53)
             declared = list((props or {}).keys())
-            allowed = (lambda k: k.isin(declared)) if declared \
-                else (lambda k: F.lit(False))
+            pats = [jp for jp, _ in _compiled_patprops(schema)]
+
+            def allowed(k: Column) -> Column:
+                c = k.isin(declared) if declared else F.lit(False)
+                for jp in pats:
+                    c = c | k.rlike(jp)
+                return c
+
             ok = ok & ~(isobj & ~F.forall(keys, allowed))
         deps = schema.get("dependencies")
         if isinstance(deps, dict):
@@ -573,11 +683,40 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
                     dep_ok = F.lit(True)
                     for r in dv:
                         dep_ok = dep_ok & F.array_contains(keys, F.lit(r))
+                elif isinstance(dv, str):  # draft-4 single-string form
+                    dep_ok = F.array_contains(keys, F.lit(dv))
                 elif isinstance(dv, (dict, bool)):
                     dep_ok = variant_valid(v, dv, depth + 1)
                 else:
                     raise VariantUnsupported("dependencies value form")
                 ok = ok & ~(isobj & has & ~F.coalesce(dep_ok, F.lit(False)))
+
+    # value-reading object keywords over the map<string,variant> entries
+    # (ObjectValidators.scala:128-171; interpreter.py:448-475)
+    if needs["m"]:
+        entries = b["m"]
+        pairs = _compiled_patprops(schema)
+        for jp, sub in pairs:
+            def _pat_ok(jp=jp, sub=sub):  # bind per-pattern, 1-arg lambdas
+                return F.forall(
+                    F.filter(entries, lambda e: e["key"].rlike(jp)),
+                    lambda e: variant_valid(e["value"], sub, depth + 1))
+            ok = ok & ~(isobj & ~_pat_ok())
+        ap = schema.get("additionalProperties")
+        if isinstance(ap, dict):
+            declared = list((props or {}).keys())
+            pats = [jp for jp, _ in pairs]
+
+            def _extra(e: Column) -> Column:
+                c = ~e["key"].isin(declared) if declared else F.lit(True)
+                for jp in pats:
+                    c = c & ~e["key"].rlike(jp)
+                return c
+
+            ap_ok = F.forall(
+                F.filter(entries, _extra),
+                lambda e: variant_valid(e["value"], ap, depth + 1))
+            ok = ok & ~(isobj & ~ap_ok)
 
     for comb in ("allOf", "anyOf", "oneOf"):
         subs = schema.get(comb)

@@ -23,6 +23,9 @@ FIXTURE_FILES = [
     # r3: key-only object keywords compile natively now
     "minProperties.json", "maxProperties.json", "dependencies.json",
     "additionalProperties.json",
+    # r3b: value-reading object keywords + tuple items via the
+    # map<string,variant> / array<variant> views
+    "patternProperties.json", "additionalItems.json", "default.json",
 ]
 D7_EXTRA = ["const.json", "contains.json", "if-then-else.json",
             "boolean_schema.json", "exclusiveMinimum.json",
@@ -68,8 +71,9 @@ def test_variant_path_matches_kernel_on_golden_corpus(spark):
 
 def test_json_valid_auto_falls_back(spark):
     df = spark.createDataFrame([(1, '{"a": {"b": 1}}')], "id long, j string")
-    # patternProperties is variant-unsupported → Arrow kernel fallback
-    schema = {"patternProperties": {"^a$": {"type": "object"}}}
+    # $ref is variant-unsupported → Arrow kernel fallback
+    schema = {"definitions": {"obj": {"type": "object"}},
+              "properties": {"a": {"$ref": "#/definitions/obj"}}}
     got = df.select(json_valid_auto("j", schema).alias("ok")).collect()
     assert got[0].ok is True
 
