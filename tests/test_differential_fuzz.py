@@ -143,3 +143,118 @@ def test_three_path_differential_fuzz(spark):
                                     f"got={gs} kernel={expected}")
     assert not problems, (f"{len(problems)} divergences, first 10:\n"
                           + "\n".join(problems[:10]))
+
+
+def _gen_compound_values(rng: random.Random) -> list:
+    """Objects/arrays exercising the value-reading object keywords, tuple
+    items, and structural const/enum: special keys, null values (absent
+    vs JSON-null), nesting, heterogeneous arrays."""
+    scalars = [0, 1, -1, Decimal("0.5"), "a", "Zz", "", True, False, None]
+    vals = [
+        {}, [], [[]], {"a": 1}, {"a": None}, {"A": 1}, {"ab": "x"},
+        {"a": 1, "b": 2, "c": 3}, {"a b": 1}, {"x.y": 2}, {"café": 3},
+        {"foo": {"bar": [1, None]}}, {"1": "one", "12": "two"},
+        [1, "two", True, None], [1, 1], [1, Decimal("1.0")], [1, True],
+        [{"a": 1}, {"a": 1}], ["x", ["y", ["z"]]],
+        {"foot": 1, "foo": "s"}, {"alpha": "x", "beta": 2},
+    ]
+    for _ in range(12):
+        n = rng.randint(0, 4)
+        vals.append([rng.choice(scalars) for _ in range(n)])
+        vals.append({rng.choice("abcdef" + "AB_ -."): rng.choice(scalars)
+                     for _ in range(n)})
+    return vals
+
+
+def _gen_compound_specs(rng: random.Random) -> list[dict]:
+    subs = [{"type": "integer"}, {"type": "string"}, {"minimum": 1},
+            {"maxLength": 1}, True, False, {"type": "null"},
+            {"enum": [1, "a"]}]
+    specs = [
+        {"patternProperties": {"^a": {"type": "integer"}}},
+        {"patternProperties": {"f.o": {"type": "integer"},
+                               "o$": {"type": "string"}}},
+        {"patternProperties": {"\\d+": {"type": "string"}}},
+        {"properties": {"a": {"type": "integer"}},
+         "patternProperties": {"^[ab]$": {"minimum": 0}},
+         "additionalProperties": False},
+        {"properties": {"a": True}, "additionalProperties": {"type": "integer"}},
+        {"additionalProperties": {"type": "string"}},
+        {"additionalProperties": False},
+        {"propertyNames": {"pattern": "^[a-z]+$"}},
+        {"propertyNames": {"maxLength": 2}},
+        {"required": ["a b"], "properties": {"a b": {"type": "integer"}}},
+        {"properties": {"x.y": {"minimum": 3}}},
+        {"dependencies": {"a": "b"}},  # draft-4 single-string form
+        {"dependencies": {"a": ["b", "c"]}},
+        {"dependencies": {"a": {"required": ["b"]}}},
+        {"items": [{"type": "integer"}, {"type": "string"}]},
+        {"items": [{"type": "integer"}], "additionalItems": False},
+        {"items": [{"type": "integer"}], "additionalItems": {"type": "string"}},
+        {"items": [True, False]},
+        {"const": [1, "two", None]}, {"const": {"a": 1, "b": [True]}},
+        {"const": {}}, {"const": []}, {"const": [1, Decimal("0.5")]},
+        {"enum": [[1, 2], {"a": 1}, "x"]},
+        {"enum": [{"a": None}, {}]},
+        {"uniqueItems": True},
+        {"contains": {"type": "string"}},
+        {"not": {"patternProperties": {"^a": False}}},
+        {"anyOf": [{"items": [{"const": 1}]},
+                   {"additionalProperties": {"type": "integer"}}]},
+    ]
+    for _ in range(10):
+        specs.append({"patternProperties":
+                      {rng.choice(["^a", "b$", "[0-9]", "c.d", "^$"]):
+                       rng.choice(subs)}})
+        specs.append({"items": rng.sample(subs, rng.randint(1, 3)),
+                      "additionalItems": rng.choice(subs)})
+    return specs
+
+
+def test_compound_differential_fuzz(spark):
+    """Kernel vs VARIANT on object/array values — the value-reading object
+    keywords, tuple items, and structural const/enum went Catalyst-native
+    in r3; every verdict must match the interpreter's."""
+    rng = random.Random(SEED + 1)
+    values = _gen_compound_values(rng)
+    specs = _gen_compound_specs(rng)
+    kernel = Validator()
+
+    # manual dump: Decimal inside compound values must render as a plain
+    # number (json.dumps(default=str) would quote it)
+    def dump(v):
+        if isinstance(v, Decimal):
+            return format(v, "f")
+        if isinstance(v, dict):
+            return "{" + ", ".join(
+                f"{json.dumps(k, ensure_ascii=False)}: {dump(x)}"
+                for k, x in v.items()) + "}"
+        if isinstance(v, list):
+            return "[" + ", ".join(dump(x) for x in v) + "]"
+        return json.dumps(v, ensure_ascii=False)
+    rows = [(i, dump(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "i int, js string")
+
+    from sparkschema.compiler.variantcol import (VariantUnsupported,
+                                                 variant_valid_column)
+    vcols, vspecs = [], []
+    for j, spec in enumerate(specs):
+        try:
+            vcols.append(variant_valid_column("js", spec).alias(f"v{j}"))
+            vspecs.append(j)
+        except VariantUnsupported:
+            pass
+    assert len(vspecs) == len(specs), "compound specs must all compile now"
+    got = {r.i: r for r in df.select("i", *vcols).collect()}
+
+    problems = []
+    for j in vspecs:
+        spec = specs[j]
+        for i, v in enumerate(values):
+            expected = not kernel.validate(spec, v)
+            gv = got[i][f"v{j}"]
+            if bool(gv) != expected:
+                problems.append(f"VARIANT spec={spec} v={v!r}: "
+                                f"got={gv} kernel={expected}")
+    assert not problems, (f"{len(problems)} divergences, first 10:\n"
+                          + "\n".join(problems[:10]))
