@@ -275,12 +275,39 @@ def _q_events_json_invalid(spark, sf):
                            {"properties": {"q": {"multipleOf": 0.25}}})
     inv = lambda c: F.sum(  # noqa: E731
         (armed & ~F.coalesce(c, F.lit(False))).cast("long"))
+    # r3b arms: the value-reading object keywords / tuple items /
+    # structural const compile VARIANT-native now — exercise each over a
+    # second derived document {"k", "q", "arr": [k, event_type, q],
+    # "pair": [k, "a"]} with a DuckDB twin per arm
+    vstr = F.col("value").cast("string")
+    armed2 = armed & F.col("event_type").isNotNull()
+    doc2 = F.concat(
+        F.lit('{"k": '), kstr, F.lit(', "q": '), vstr,
+        F.lit(', "arr": ['), kstr, F.lit(', "'), F.col("event_type"),
+        F.lit('", '), vstr, F.lit('], "pair": ['), kstr, F.lit(', "a"]}'))
+    patprops = json_valid_auto(
+        doc2, {"patternProperties": {"^[kq]$": {"maximum": 50}}})
+    ap_schema = json_valid_auto(
+        doc2, {"properties": {"arr": True, "pair": True},
+               "additionalProperties": {"type": "number", "minimum": 1}})
+    tuple_items = json_valid_auto(
+        doc2, {"properties": {"arr": {
+            "items": [{"multipleOf": 2}, {"maxLength": 5}],
+            "additionalItems": {"maximum": 100}}}})
+    pair_const = json_valid_auto(
+        doc2, {"properties": {"pair": {"const": [42, "a"]}}})
+    inv2 = lambda c: F.sum(  # noqa: E731
+        (armed2 & ~F.coalesce(c, F.lit(False))).cast("long"))
     return e.agg(F.count(F.lit(1)).alias("total_rows"),
                  F.sum((~F.coalesce(ok, F.lit(False))).cast("long"))
                   .alias("invalid_rows"),
                  inv(mo7).alias("inv_k_mo7"),
                  inv(mo3).alias("inv_big_mo3"),
-                 inv(mo25).alias("inv_q_mo25"))
+                 inv(mo25).alias("inv_q_mo25"),
+                 inv2(patprops).alias("inv_patprops"),
+                 inv2(ap_schema).alias("inv_ap_min"),
+                 inv2(tuple_items).alias("inv_tuple"),
+                 inv2(pair_const).alias("inv_pair_const"))
 
 
 def _q_embedding_topk(spark, sf):
@@ -1004,11 +1031,31 @@ def oracle_sql() -> dict[str, str]:
                               try_cast(cast(value as varchar)
                                        as decimal(38,18)) % 0.25 != 0
                             then 1 else 0 end)
-                        as bigint) as inv_q_mo25
+                        as bigint) as inv_q_mo25,
+                   -- r3b twins over the second derived document
+                   -- {"k","q","arr":[k,event_type,q],"pair":[k,"a"]}:
+                   -- patternProperties ^[kq]$ maximum 50; schema-form
+                   -- additionalProperties (extras = k, q) minimum 1;
+                   -- tuple items [multipleOf 2, maxLength 5] +
+                   -- additionalItems maximum 100; const pair [42,"a"]
+                   cast(sum(case when armed2 and (k > 50 or qd > 50)
+                            then 1 else 0 end) as bigint) as inv_patprops,
+                   cast(sum(case when armed2 and (k < 1 or qd < 1)
+                            then 1 else 0 end) as bigint) as inv_ap_min,
+                   cast(sum(case when armed2 and (k % 2 != 0
+                              or length(event_type) > 5 or qd > 100)
+                            then 1 else 0 end) as bigint) as inv_tuple,
+                   cast(sum(case when armed2 and k != 42
+                            then 1 else 0 end) as bigint) as inv_pair_const
             from (select try_cast(json_extract_string(props, '$.k') as bigint) as k,
-                         value,
+                         value, event_type,
+                         try_cast(cast(value as varchar)
+                                  as decimal(38,18)) as qd,
                          (try_cast(json_extract_string(props, '$.k') as bigint)
-                            is not null and value is not null) as armed
+                            is not null and value is not null) as armed,
+                         (try_cast(json_extract_string(props, '$.k') as bigint)
+                            is not null and value is not null
+                            and event_type is not null) as armed2
                   from events)
         """,
         "embedding_topk": """
