@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ORDERS_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -243,71 +243,89 @@ def _q_events_hourly(spark, sf):
 
 
 def _q_events_json_invalid(spark, sf):
-    # VARIANT-native dynamic-JSON path (Catalyst expressions, no Python);
-    # json_valid_auto falls back to the Arrow kernel for unbounded specs
-    from sparkschema.compiler.variantcol import json_valid_auto
+    # VARIANT-native dynamic-JSON path (Catalyst expressions, no Python).
+    # Nine predicate trees share three parsed documents, so the parses are
+    # materialized ONCE behind an exchange barrier — interpreted VARIANT
+    # expressions get no CSE, and CollapseProject would otherwise inline
+    # each concat+try_parse_json into every consuming tree (measured 96 s
+    # → 2 s at sf0.1). The first hash repartition also spreads the
+    # single-file dev scan across cores; at production scale the input is
+    # already parallel and the barrier shuffle (a few hundred bytes/row)
+    # is far cheaper than re-parsing per arm.
+    from decimal import Decimal as _Dec
 
-    e = spark.read.parquet(_t(sf, "events"))
-    spec = {"type": "object", "required": ["k"],
-            "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}}}
-    ok = json_valid_auto("props", spec)
+    from sparkschema.compiler.variantcol import variant_valid
+
+    e = spark.read.parquet(_t(sf, "events")) \
+        .repartition(max(spark.sparkContext.defaultParallelism, 8),
+                     "event_id")
     # multipleOf arms over a derived JSON document that exercises every
     # VARIANT numeric tier (VERDICT r2 #2 done-criterion): k (BIGINT),
     # k·10²⁴ (27-digit exact DECIMAL — outside the old decimal(38,12)
-    # window), and a double-rendered decimal checked against 0.25
+    # window), and a double-rendered decimal checked against 0.25.
     # k·10²⁴ via decimal arithmetic (string-padding zeros would render
     # k=0 as an invalid leading-zero JSON literal). try_cast + the
-    # explicit __armed gate keep engine and oracle aligned on degenerate
+    # explicit armed gates keep engine and oracle aligned on degenerate
     # rows (missing/non-integer k, NULL value) instead of one side
     # counting an unparsable derived document as invalid.
-    from decimal import Decimal as _Dec
     kstr = F.get_json_object("props", "$.k")
     knum = kstr.try_cast("decimal(14,0)")
     armed = knum.isNotNull() & F.col("value").isNotNull()
+    armed2 = armed & F.col("event_type").isNotNull()
+    vstr = F.col("value").cast("string")
     big = (knum * F.lit(_Dec(10 ** 24))).cast("decimal(38,0)").cast("string")
     big_json = F.concat(
         F.lit('{"k": '), kstr,
         F.lit(', "big": '), big,
-        F.lit(', "q": '), F.col("value").cast("string"), F.lit("}"))
-    mo7 = json_valid_auto(big_json, {"properties": {"k": {"multipleOf": 7}}})
-    mo3 = json_valid_auto(big_json, {"properties": {"big": {"multipleOf": 3}}})
-    mo25 = json_valid_auto(big_json,
-                           {"properties": {"q": {"multipleOf": 0.25}}})
-    inv = lambda c: F.sum(  # noqa: E731
-        (armed & ~F.coalesce(c, F.lit(False))).cast("long"))
-    # r3b arms: the value-reading object keywords / tuple items /
-    # structural const compile VARIANT-native now — exercise each over a
-    # second derived document {"k", "q", "arr": [k, event_type, q],
-    # "pair": [k, "a"]} with a DuckDB twin per arm
-    vstr = F.col("value").cast("string")
-    armed2 = armed & F.col("event_type").isNotNull()
+        F.lit(', "q": '), vstr, F.lit("}"))
+    # second derived document for the value-reading object keywords /
+    # tuple items / structural const (all VARIANT-native since r3)
     doc2 = F.concat(
         F.lit('{"k": '), kstr, F.lit(', "q": '), vstr,
         F.lit(', "arr": ['), kstr, F.lit(', "'), F.col("event_type"),
         F.lit('", '), vstr, F.lit('], "pair": ['), kstr, F.lit(', "a"]}'))
-    patprops = json_valid_auto(
-        doc2, {"patternProperties": {"^[kq]$": {"maximum": 50}}})
-    ap_schema = json_valid_auto(
-        doc2, {"properties": {"arr": True, "pair": True},
-               "additionalProperties": {"type": "number", "minimum": 1}})
-    tuple_items = json_valid_auto(
-        doc2, {"properties": {"arr": {
-            "items": [{"multipleOf": 2}, {"maxLength": 5}],
-            "additionalItems": {"maximum": 100}}}})
-    pair_const = json_valid_auto(
-        doc2, {"properties": {"pair": {"const": [42, "a"]}}})
+    base = e.select(
+        F.try_parse_json("props").alias("vp"),
+        F.try_parse_json(big_json).alias("vb"),
+        F.try_parse_json(doc2).alias("v2"),
+        armed.alias("armed"), armed2.alias("armed2"),
+    ).repartition(max(spark.sparkContext.defaultParallelism, 8))
+
+    def valid(name: str, spec) -> Column:
+        # NULL source / unparsable text → False (err.parse.json), like
+        # variant_valid_column
+        v = F.col(name)
+        return F.when(v.isNull(), F.lit(False)) \
+                .otherwise(variant_valid(v, spec))
+
+    ok = valid("vp", {"type": "object", "required": ["k"],
+                      "properties": {"k": {"type": "integer",
+                                           "minimum": 0, "maximum": 50}}})
+    mo7 = valid("vb", {"properties": {"k": {"multipleOf": 7}}})
+    mo3 = valid("vb", {"properties": {"big": {"multipleOf": 3}}})
+    mo25 = valid("vb", {"properties": {"q": {"multipleOf": 0.25}}})
+    patprops = valid("v2", {"patternProperties": {"^[kq]$": {"maximum": 50}}})
+    ap_schema = valid("v2", {"properties": {"arr": True, "pair": True},
+                             "additionalProperties": {"type": "number",
+                                                      "minimum": 1}})
+    tuple_items = valid("v2", {"properties": {"arr": {
+        "items": [{"multipleOf": 2}, {"maxLength": 5}],
+        "additionalItems": {"maximum": 100}}}})
+    pair_const = valid("v2", {"properties": {"pair": {"const": [42, "a"]}}})
+    inv = lambda c: F.sum(  # noqa: E731
+        (F.col("armed") & ~F.coalesce(c, F.lit(False))).cast("long"))
     inv2 = lambda c: F.sum(  # noqa: E731
-        (armed2 & ~F.coalesce(c, F.lit(False))).cast("long"))
-    return e.agg(F.count(F.lit(1)).alias("total_rows"),
-                 F.sum((~F.coalesce(ok, F.lit(False))).cast("long"))
-                  .alias("invalid_rows"),
-                 inv(mo7).alias("inv_k_mo7"),
-                 inv(mo3).alias("inv_big_mo3"),
-                 inv(mo25).alias("inv_q_mo25"),
-                 inv2(patprops).alias("inv_patprops"),
-                 inv2(ap_schema).alias("inv_ap_min"),
-                 inv2(tuple_items).alias("inv_tuple"),
-                 inv2(pair_const).alias("inv_pair_const"))
+        (F.col("armed2") & ~F.coalesce(c, F.lit(False))).cast("long"))
+    return base.agg(F.count(F.lit(1)).alias("total_rows"),
+                    F.sum((~F.coalesce(ok, F.lit(False))).cast("long"))
+                     .alias("invalid_rows"),
+                    inv(mo7).alias("inv_k_mo7"),
+                    inv(mo3).alias("inv_big_mo3"),
+                    inv(mo25).alias("inv_q_mo25"),
+                    inv2(patprops).alias("inv_patprops"),
+                    inv2(ap_schema).alias("inv_ap_min"),
+                    inv2(tuple_items).alias("inv_tuple"),
+                    inv2(pair_const).alias("inv_pair_const"))
 
 
 def _q_embedding_topk(spark, sf):
