@@ -89,9 +89,14 @@ def _num_lit(v: Any) -> Column:
     # a Py4J error — fuzz-found r3) and >38-digit magnitudes through
     # double (the only representation left; 1-ulp tail at that extreme)
     if isinstance(v, Decimal):
-        if _dec_precision(v.normalize()) > 38:
+        from sparkschema.spec.jsonvalue import normalize_exact
+        nv = normalize_exact(v)
+        if _dec_precision(nv) > 38:
             return F.lit(float(v))
-        return F.lit(v)
+        # lit the exactly-normalized value: a trailing-zero coefficient
+        # wider than 38 digits would fail DecimalType inference even
+        # though the VALUE fits
+        return F.lit(nv)
     if isinstance(v, int) and not isinstance(v, bool) \
             and not -2 ** 63 <= v < 2 ** 63:
         return _num_lit(Decimal(v))
@@ -208,10 +213,17 @@ def _num_eq_lit(col: Column, dt: T.DataType, v: Any) -> Column:
         if d == d.to_integral_value() and -2 ** 63 <= d < 2 ** 63:
             return col == F.lit(int(d))
         return F.lit(False)
-    # DecimalType: representable iff it fits the 38-digit ceiling
-    if _dec_precision(d.normalize()) <= 38:
-        return col == F.lit(d)
-    return F.lit(False)
+    # DecimalType: a value of (p,s) can only equal a literal whose scale
+    # and integer digits fit (p,s); compare at the COLUMN's exact type —
+    # a mixed-scale decimal comparison caps at precision 38 and ROUNDS
+    # (1.000000000000000001 == 1 came back true — fuzz-found r3)
+    from sparkschema.spec.jsonvalue import normalize_exact
+    nd = normalize_exact(d)
+    nd_scale = max(-nd.as_tuple().exponent, 0)
+    nd_int = _dec_precision(nd) - nd_scale
+    if nd_scale > dt.scale or nd_int > dt.precision - dt.scale:
+        return F.lit(False)
+    return col == F.lit(nd).cast(dt)
 
 
 def grapheme_length_col(col: Column) -> Column:
@@ -574,8 +586,8 @@ class ColumnCompiler:
         Catalyst-expressible exact view of a ≥2⁵³ double; that one tier
         drops to an Arrow-batched kernel twin (compile-time scoped: only
         specs carrying such an mo pay it)."""
-        from sparkschema.spec.jsonvalue import as_decimal
-        mo_dec = as_decimal(mo).normalize()
+        from sparkschema.spec.jsonvalue import as_decimal, normalize_exact
+        mo_dec = normalize_exact(as_decimal(mo))
         is_whole_mo = mo_dec == mo_dec.to_integral_value()
         s = max(-mo_dec.as_tuple().exponent, 0)
 
@@ -618,8 +630,9 @@ class ColumnCompiler:
         base_fail = F.when(roundtrips, (dcol % F.lit(mo_dec)) != 0) \
                      .otherwise(F.lit(True))
 
-        M = int(mo_dec.scaleb(s))
-        if 1 <= M <= 2 ** 53 and s <= 18:
+        import decimal as _dec
+        M = int(mo_dec.scaleb(s, _dec.Context(prec=60)))  # scaleb rounds at
+        if 1 <= M <= 2 ** 53 and s <= 18:                 # ambient prec 28
             # |v| ≥ 2^53: the exact-binary view. v mod M via IEEE fmod is
             # exact (both operands exactly representable); then
             # (v·10^s) mod M = ((v mod M)·(10^s mod M)) mod M, with the

@@ -55,13 +55,17 @@ def _date(c: Column) -> Column:
 
 
 def _int32(c: Column) -> Column:
-    d = c.cast("decimal(38,9)")
-    return (d == F.floor(d).cast("decimal(38,9)")) & d.between(INT32_MIN, INT32_MAX)
+    # wholeness at the column's OWN scale — a decimal(38,9) intermediate
+    # rounded finer fractions into "integers", and even `c == floor(c)`
+    # is lossy (the mixed-scale comparison caps at precision 38 and
+    # rounds; 1.000000000000000001 compared equal to 1 — fuzz-found r3).
+    # `c % 1` keeps the input scale exactly. Callers route double columns
+    # through int_format_double; here c is integral or decimal.
+    return (c % 1 == 0) & c.between(INT32_MIN, INT32_MAX)
 
 
 def _int64(c: Column) -> Column:
-    d = c.cast("decimal(38,9)")
-    return (d == F.floor(d).cast("decimal(38,9)")) & d.between(INT64_MIN, INT64_MAX)
+    return (c % 1 == 0) & c.between(INT64_MIN, INT64_MAX)
 
 
 def _whole_double(c: Column) -> Column:

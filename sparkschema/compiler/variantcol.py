@@ -140,20 +140,22 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
     from pyspark.sql import types as T
 
     from sparkschema.compiler.columns import ColumnCompiler
-    from sparkschema.spec.jsonvalue import as_decimal
+    from sparkschema.spec.jsonvalue import as_decimal, normalize_exact
 
     # pathological mo (≥16 significant digits or scale >18): the exact
     # double tier is an Arrow UDF in columns._multiple_of_fail, and Spark
     # cannot evaluate Python UDFs inside the HOF binding lambda this tree
     # lives in — hand the whole spec to the Arrow kernel instead
-    mo_dec_ = as_decimal(mo).normalize()
+    import decimal as _dec
+
+    mo_dec_ = normalize_exact(as_decimal(mo))
     s_ = max(-mo_dec_.as_tuple().exponent, 0)
     try:
         binary_mo_ = Decimal(float(mo_dec_)) == mo_dec_
     except (OverflowError, ValueError):
         binary_mo_ = False
-    if not binary_mo_ and not (1 <= int(mo_dec_.scaleb(s_)) <= 2 ** 53
-                               and s_ <= 18):
+    M_ = int(mo_dec_.scaleb(s_, _dec.Context(prec=60)))
+    if not binary_mo_ and not (1 <= M_ <= 2 ** 53 and s_ <= 18):
         raise VariantUnsupported("pathological multipleOf (kernel fallback)")
 
     exact = (t == "BIGINT") | t.startswith("DECIMAL")
@@ -173,8 +175,11 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
     fail0 = ColumnCompiler._multiple_of_fail(d0, T.DecimalType(38, 0), mo)
     dbl_fail = F.coalesce(
         ColumnCompiler._multiple_of_fail(dbl, T.DoubleType(), mo), F.lit(True))
+    # every decimal tier needs stored_scale <= extraction scale — the
+    # extraction ROUNDS finer values (1E-30 came back 0E-18 from the nd18
+    # tier and "was" a multiple of everything; fuzz-found r3)
     return F.coalesce(
-        F.when(exact & nd18.isNotNull(), fail18)
+        F.when(exact & (vscale <= 18) & nd18.isNotNull(), fail18)
          .when(exact & (vscale <= 6) & d6.isNotNull(), fail6)
          .when(exact & (vscale == 0) & d0.isNotNull(), fail0)
          .otherwise(dbl_fail),
@@ -192,9 +197,9 @@ def _num_eq_variant(v: Column, c: Any, t: Column) -> Column:
     literals); doubles compare through the kernel's shortest-repr
     representability view (< 2⁵³) / exact-binary identity (≥ 2⁵³)."""
     from sparkschema.compiler.columns import _dec_precision
-    from sparkschema.spec.jsonvalue import as_decimal
+    from sparkschema.spec.jsonvalue import as_decimal, normalize_exact
 
-    d = as_decimal(c).normalize()
+    d = normalize_exact(as_decimal(c))
     scale = max(-d.as_tuple().exponent, 0)
     int_digits = _dec_precision(d) - scale
 
@@ -441,6 +446,12 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
     needs = _needs(schema)
     t = b["t"]
     is_num = t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
+    # the value's STORED scale (trailing zeros strip at parse, so this is
+    # the true scale); extractions at a coarser scale ROUND, so every
+    # decimal-window read guards on it
+    vscale = F.coalesce(
+        F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1).try_cast("int"),
+        F.lit(0))
     ok = F.lit(True)
 
     def type_ok(name: str) -> Column:
@@ -460,7 +471,7 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
             # throw under ANSI past 2^53)
             exact_t = (t == "BIGINT") | t.startswith("DECIMAL")
             return is_num & (
-                F.when(nn.isNotNull(),
+                F.when(nn.isNotNull() & (vscale <= 18),
                        nn == F.floor(nn).cast(_DEC))
                  .when(exact_t,
                        ~F.try_variant_get(v, "$", "string")
@@ -517,9 +528,9 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
             decimal(38,12) cast NULLed there and coalesced to invalid)."""
             from sparkschema.compiler.columns import (_dec_precision,
                                                       _double_cmp)
-            from sparkschema.spec.jsonvalue import as_decimal
+            from sparkschema.spec.jsonvalue import as_decimal, normalize_exact
 
-            d = as_decimal(bound_val).normalize()
+            d = normalize_exact(as_decimal(bound_val))
             s = max(-d.as_tuple().exponent, 0)
             fits = (_dec_precision(d) <= 38 and s <= 18
                     and _dec_precision(d) - s <= 20)
@@ -528,31 +539,60 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
                 return {"gt": c > lit, "ge": c >= lit,
                         "lt": c < lit, "le": c <= lit}[op]
 
+            exact_t = (t == "BIGINT") | t.startswith("DECIMAL")
+            vscale = F.coalesce(
+                F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1)
+                 .try_cast("int"), F.lit(0))
             # double-typed variants go through the direction-aware
             # boundary double (kernel-exact even when the bound falls
             # between a double's decimal views — fuzz-found r3)
             dbl_cond = _double_cmp(nd, bound_val, op)
             if fits:
-                return F.when(n.isNotNull(), apply(n, F.lit(d))) \
+                # n is faithful only when the stored scale fits the
+                # extraction scale (rounding could cross the bound); wide
+                # exact values (21+ int digits) compare at the bound's own
+                # scale before falling to the double view
+                ds = F.try_variant_get(v, "$", f"decimal(38,{s})")
+                return F.when(n.isNotNull() & (vscale <= 18),
+                              apply(n, F.lit(d))) \
+                        .when(exact_t & (vscale <= s) & ds.isNotNull(),
+                              apply(ds, F.lit(d))) \
                         .otherwise(dbl_cond)
+            # bound outside the window: an in-window n (scale ≤ 18,
+            # |n| < 10²⁰) still compares EXACTLY — constant when
+            # |d| ≥ 10²⁰ (every window value is smaller in magnitude),
+            # else against d floored/ceiled to scale 18 (n is a multiple
+            # of 10⁻¹⁸, so the strict relation is preserved). The old
+            # n.cast("double") middle tier collapsed B37 onto 1e20 and
+            # declared it ≥ 10²⁰ (fuzz-found r3).
+            import decimal as _dec
+            if abs(d) >= Decimal(10) ** 20:
+                n_cmp = F.lit(op in ("lt", "le") if d > 0
+                              else op in ("gt", "ge"))
+            else:
+                q18 = Decimal(1).scaleb(-18)
+                with _dec.localcontext() as ctx:
+                    ctx.prec = 60
+                    dlo = d.quantize(q18, rounding=_dec.ROUND_FLOOR)
+                    dhi = d.quantize(q18, rounding=_dec.ROUND_CEILING)
+                if dlo == d:
+                    n_cmp = apply(n, F.lit(dlo))
+                elif op in ("le", "lt"):
+                    n_cmp = n <= F.lit(dlo)
+                else:
+                    n_cmp = n >= F.lit(dhi)
             # wide bound (21-38 integer digits): exactly-stored values
             # whose scale is no finer than the bound's compare exactly at
             # the bound's own scale (fuzz-found r3: a wide DECIMAL equal
             # to the bound diverged through the double view); the rest
             # fall to the double comparisons
-            exact_t = (t == "BIGINT") | t.startswith("DECIMAL")
-            vscale = F.coalesce(
-                F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1)
-                 .try_cast("int"), F.lit(0))
             if s <= 18 and _dec_precision(d) <= 38:
                 ds = F.try_variant_get(v, "$", f"decimal(38,{s})")
                 return F.when(exact_t & (vscale <= s) & ds.isNotNull(),
                               apply(ds, F.lit(d))) \
-                        .when(n.isNotNull(), apply(n.cast("double"),
-                                                   F.lit(float(d)))) \
+                        .when(n.isNotNull() & (vscale <= 18), n_cmp) \
                         .otherwise(dbl_cond)
-            return F.when(n.isNotNull(), apply(n.cast("double"),
-                                               F.lit(float(d)))) \
+            return F.when(n.isNotNull() & (vscale <= 18), n_cmp) \
                     .otherwise(dbl_cond)
 
         for kw in ("minimum", "maximum"):
@@ -575,11 +615,20 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
         if is_number(mo):
             ok = ok & ~(isnum & _multiple_of_fail_variant(v, mo, t))
         if schema.get("format") in ("int32", "int64"):
-            # values outside the decimal window are far outside int ranges
-            ok = ok & ~(isnum & ~F.coalesce(
-                F.when(n.isNotNull(),
-                       format_predicate(schema["format"], n)),
-                F.lit(False)))
+            from sparkschema.compiler.formats_sql import int_format_double
+            fmtname = schema["format"]
+            # DOUBLE-stored values need the exact-boundary double check
+            # (nd18 of -9.223372036854776e18 reprs to ...776000, outside
+            # int64 even though the double IS Long.MIN); decimal-window
+            # reads guard on the stored scale (1E-30 rounded to 0 and
+            # "was" an int32 — fuzz-found r3); exact values outside both
+            # windows are wide (>20 int digits) or fine-scaled — never ints
+            pred = F.when(t.isin("DOUBLE", "FLOAT"),
+                          int_format_double(nd, fmtname)) \
+                    .when(n.isNotNull() & (vscale <= 18),
+                          format_predicate(fmtname, n)) \
+                    .otherwise(F.lit(False))
+            ok = ok & ~(isnum & ~F.coalesce(pred, F.lit(False)))
 
     if needs["s"]:
         s = b["s"]

@@ -145,22 +145,34 @@ def grapheme_length(s: str) -> int:
 # ---------------------------------------------------------------------------
 # deep equality & canonical form
 
+def normalize_exact(d: Decimal) -> Decimal:
+    """Trailing-zero-stripping normalize that NEVER rounds.
+
+    ``Decimal.normalize()`` applies the ambient context precision (28
+    digits by default), silently ROUNDING wider literals — e.g. a 37-digit
+    bound became ``1E+20`` and compared equal to the double ``1e20``
+    (fuzz-found r3). The reference's BigDecimal equality/arithmetic never
+    rounds, so every normalize in the engine must be exact."""
+    import decimal as _dec
+
+    if d == 0:
+        return Decimal(0)
+    return d.normalize(_dec.Context(prec=max(1, len(d.as_tuple().digits))))
+
+
 def canonical(v: Any) -> Any:
     """Hashable canonical form implementing JSON deep-equality.
 
     Two JSON values are equal iff their canonical forms are ``==``.
-    Numbers normalize to ``Decimal.normalize()`` so ``1.0 ≡ 1.00 ≡ 1``;
-    booleans are tagged distinctly from numbers so ``1 ≢ true``.
+    Numbers normalize exactly so ``1.0 ≡ 1.00 ≡ 1``; booleans are tagged
+    distinctly from numbers so ``1 ≢ true``.
     """
     if v is None:
         return ("z",)
     if isinstance(v, bool):
         return ("b", v)
     if is_number(v):
-        d = as_decimal(v).normalize()
-        # Decimal('0') vs Decimal('0E+1') normalize differences for zero:
-        if d == 0:
-            d = Decimal(0)
+        d = normalize_exact(as_decimal(v))
         return ("n", d)
     if isinstance(v, str):
         return ("s", v)
@@ -224,7 +236,7 @@ def _canon_value(v: Any) -> Any:
     if isinstance(v, bool) or v is None or isinstance(v, str):
         return v
     if is_number(v):
-        d = as_decimal(v).normalize()
+        d = normalize_exact(as_decimal(v))
         if d == d.to_integral_value() and abs(d.adjusted()) < 18:
             return int(d)
         return float(d)

@@ -29,6 +29,11 @@ def _gen_values(rng: random.Random) -> list:
             10**20, 10**26, 10**26 + 1,
             Decimal("0.1"), Decimal("0.25"), Decimal("0.3"),
             Decimal("123456789012345678901.5"), Decimal("-0.05"),
+            # r3 hostile tail: scale-30 / scale-18 / prec-37 decimals that
+            # exposed the context-normalize and extraction-rounding bugs
+            Decimal("1E-30"), Decimal("1.000000000000000001"),
+            Decimal("-5E-16"),
+            Decimal("99999999999999999999.99999999999999999"),
             "", "a", "hello world", "Ab9", "café", "x" * 40,
             True, False, None]
     for _ in range(15):
@@ -61,6 +66,14 @@ def _gen_specs(rng: random.Random) -> list[dict]:
         specs.append({"type": t})
     specs += [{"multipleOf": 10**20}, {"multipleOf": 10**26},
               {"multipleOf": Decimal("0.0000000000000000001")},  # scale 19
+              # prec-37 bound: Decimal.normalize() context-rounded it to
+              # 1E+20 across six compile paths (fuzz-found r3)
+              {"maximum": Decimal("99999999999999999999.99999999999999999")},
+              {"exclusiveMinimum":
+               Decimal("99999999999999999999.99999999999999999")},
+              {"const": Decimal("99999999999999999999.99999999999999999")},
+              {"multipleOf":
+               Decimal("99999999999999999999.99999999999999999")},
               {"format": "int32"}, {"format": "int64"},
               {"pattern": "^[a-z]+$"}, {"pattern": "9"},
               {"minimum": 0, "maximum": 100, "multipleOf": 7},
