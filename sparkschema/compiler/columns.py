@@ -171,6 +171,48 @@ def _double_cmp(col: Column, v: Any, op: str) -> Column:
     return (col <= lit) if op in ("le", "lt") else (col >= lit)
 
 
+def _exact_cmp_nonfractional(col: Column, dt: T.DataType, val: Any,
+                             op: str) -> Column:
+    """Bound comparison for integral/decimal columns, exact for ANY bound.
+
+    A bare ``col OP F.lit(d)`` is lossy twice over: a mixed-scale decimal
+    comparison caps the common type at precision 38 and ROUNDS the wider
+    side (a 37-digit bound compared as 1E+20 — fuzz-found r3), and a
+    scale>18 bound against a long column rounds to 0. Quantizing the bound
+    to the COLUMN's own scale with direction-aware rounding is exact: no
+    column value lies strictly between the bound and its quantization."""
+    import decimal as _dec
+
+    from sparkschema.spec.jsonvalue import as_decimal
+
+    d = as_decimal(val)
+    s = dt.scale if isinstance(dt, T.DecimalType) else 0
+    q = Decimal(1).scaleb(-s)
+    with _dec.localcontext() as ctx:
+        ctx.prec = 60
+        dlo = d.quantize(q, rounding=_dec.ROUND_FLOOR)
+        dhi = d.quantize(q, rounding=_dec.ROUND_CEILING)
+    b = dlo if op in ("le", "lt") else dhi
+    # a strict op stays strict only when the bound is representable at the
+    # column's scale; otherwise the quantized comparison is non-strict
+    # (col < 0.5 on an integer column ⟺ col <= 0)
+    strict = op in ("lt", "gt") and dlo == dhi
+
+    if isinstance(dt, T.DecimalType):
+        int_digits = _dec_precision(b) - max(-b.as_tuple().exponent, 0)
+        if int_digits > dt.precision - dt.scale:
+            # the bound's magnitude exceeds every representable value
+            return F.lit((b > 0) == (op in ("le", "lt")))
+        lit = F.lit(b).cast(dt)  # b already has scale s from the quantize
+    else:
+        if not -2 ** 63 <= b < 2 ** 63:
+            return F.lit((b > 0) == (op in ("le", "lt")))
+        lit = F.lit(int(b))
+    if op in ("le", "lt"):
+        return (col < lit) if strict else (col <= lit)
+    return (col > lit) if strict else (col >= lit)
+
+
 def _dec_precision(d: Decimal) -> int:
     """Total decimal digits Spark needs to hold ``d`` as a DecimalType
     literal. NOT len(as_tuple().digits): ``Decimal('1E+40')`` has one
@@ -446,7 +488,11 @@ class ColumnCompiler:
                                       F.lit(True)) \
                                 .otherwise(col == F.floor(col))
                     else:
-                        cond = col == F.floor(col)
+                        # decimal column: col == floor(col) is LOSSY (the
+                        # mixed-scale comparison caps at precision 38 and
+                        # rounds — 1.000000000000000001 compared equal to
+                        # 1; fuzz-found r3). `col % 1` keeps the scale.
+                        cond = col % 1 == 0
                     runtime_ok = cond if runtime_ok is None else (runtime_ok | cond)
             elif n == "null":
                 # "null" contributes nothing: SQL NULL already passes
@@ -510,8 +556,7 @@ class ColumnCompiler:
         def _cmp(val, op: str) -> Column:
             if isinstance(dt, FRACTIONAL):
                 return _double_cmp(col, val, op)
-            return {"ge": col >= _num_lit(val), "gt": col > _num_lit(val),
-                    "le": col <= _num_lit(val), "lt": col < _num_lit(val)}[op]
+            return _exact_cmp_nonfractional(col, dt, val, op)
 
         mn = schema.get("minimum")
         if is_number(mn):

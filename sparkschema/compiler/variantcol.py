@@ -219,15 +219,17 @@ def _num_eq_variant(v: Column, c: Any, t: Column) -> Column:
         exact_eq = F.coalesce((vscale <= 18) & (nd18 == F.lit(d)), F.lit(False))
     elif scale == 0 and _dec_precision(d) <= 38:
         exact_eq = F.coalesce((vscale == 0) & (d0 == F.lit(d)), F.lit(False))
-    elif scale <= 18 and int_digits + scale <= 38:
-        # 21-38 integer digits WITH a fraction: extract at the literal's
-        # own scale; exact when the stored scale is no finer
+    elif scale <= 38 and _dec_precision(d) <= 38:
+        # wide (21-38 integer digits) or fine (scale 19-38) literals:
+        # VARIANT stores up to 38 digits exactly — extract at the
+        # literal's own scale; exact when the stored scale is no finer
+        # (a scale-30 const was declared unequal to its own exactly-stored
+        # value; fuzz-found r3)
         ds = F.try_variant_get(v, "$", f"decimal(38,{scale})")
         exact_eq = F.coalesce((vscale <= scale) & (ds == F.lit(d)),
                               F.lit(False))
     else:
-        # >38-digit or hyper-fine literal: no exactly-stored JSON number in
-        # the engine's windows can equal it
+        # >38-digit literal: no exactly-stored JSON number can equal it
         exact_eq = F.lit(False)
 
     try:

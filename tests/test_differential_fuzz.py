@@ -104,15 +104,23 @@ def test_three_path_differential_fuzz(spark):
     texts = [_plain_json(v) for v in values]
     rows = []
     for i, v in enumerate(values):
-        num = None
+        num = ln = dc = None
         if isinstance(v, (int, Decimal)) and not isinstance(v, bool):
             num = float(v)
+            if isinstance(v, int) and -2**63 <= v < 2**63:
+                ln = v
+            dd = Decimal(v)
+            scale = max(-dd.as_tuple().exponent, 0)
+            if scale <= 18 and len(dd.as_tuple().digits) - scale <= 20:
+                dc = dd  # exactly representable at decimal(38,18)
         rows.append((i, texts[i],
-                     num,
+                     num, ln, dc,
                      v if isinstance(v, str) else None,
                      v if isinstance(v, bool) else None))
     df = spark.createDataFrame(
-        rows, "i int, js string, d double, s string, b boolean")
+        rows,
+        "i int, js string, d double, ln long, dc decimal(38,18), "
+        "s string, b boolean")
 
     from sparkschema.compiler.variantcol import VariantUnsupported, variant_valid_column
     vcols, ccols, vspecs = [], [], []
@@ -126,7 +134,11 @@ def test_three_path_differential_fuzz(spark):
                                       df.schema["d"].dataType).alias(f"cd{j}"))
         ccols.append(cc.compile_valid(spec, F.col("s"),
                                       df.schema["s"].dataType).alias(f"cs{j}"))
-    got = {r.i: r for r in df.select("i", *vcols, *ccols).collect()}
+        ccols.append(cc.compile_valid(spec, F.col("ln"),
+                                      df.schema["ln"].dataType).alias(f"cl{j}"))
+        ccols.append(cc.compile_valid(spec, F.col("dc"),
+                                      df.schema["dc"].dataType).alias(f"cc{j}"))
+    got = {r.i: r for r in df.select("i", "ln", "dc", *vcols, *ccols).collect()}
 
     problems = []
     for j, spec in enumerate(specs):
@@ -154,6 +166,20 @@ def test_three_path_differential_fuzz(spark):
                 if bool(gs) != expected:
                     problems.append(f"COLUMNAR(string) spec={spec} v={v!r}: "
                                     f"got={gs} kernel={expected}")
+            # long / decimal(38,18) lanes hold v EXACTLY when populated —
+            # the kernel's verdict on v itself is the expectation
+            if isinstance(v, (int, Decimal)) and not isinstance(v, bool):
+                if got[i]["ln"] is not None:
+                    gl = got[i][f"cl{j}"]
+                    if bool(gl) != expected:
+                        problems.append(f"COLUMNAR(long) spec={spec} v={v!r}: "
+                                        f"got={gl} kernel={expected}")
+                if got[i]["dc"] is not None:
+                    gc = got[i][f"cc{j}"]
+                    if bool(gc) != expected:
+                        problems.append(
+                            f"COLUMNAR(decimal) spec={spec} v={v!r}: "
+                            f"got={gc} kernel={expected}")
     assert not problems, (f"{len(problems)} divergences, first 10:\n"
                           + "\n".join(problems[:10]))
 
@@ -164,6 +190,9 @@ def _gen_compound_values(rng: random.Random) -> list:
     vs JSON-null), nesting, heterogeneous arrays."""
     scalars = [0, 1, -1, Decimal("0.5"), "a", "Zz", "", True, False, None]
     vals = [
+        [Decimal("1E-30")], [10**20, 2**53 + 1],
+        {"x": Decimal("99999999999999999999.99999999999999999")},
+        {"x": Decimal("1E-30")}, [Decimal("99999999999999999999.99999999999999999")],
         {}, [], [[]], {"a": 1}, {"a": None}, {"A": 1}, {"ab": "x"},
         {"a": 1, "b": 2, "c": 3}, {"a b": 1}, {"x.y": 2}, {"café": 3},
         {"foo": {"bar": [1, None]}}, {"1": "one", "12": "two"},
@@ -207,6 +236,16 @@ def _gen_compound_specs(rng: random.Random) -> list[dict]:
         {"items": [True, False]},
         {"const": [1, "two", None]}, {"const": {"a": 1, "b": [True]}},
         {"const": {}}, {"const": []}, {"const": [1, Decimal("0.5")]},
+        # hostile numerics inside structural literals (fuzz-found r3:
+        # scale-30 const was unequal to its own exactly-stored value)
+        {"const": [Decimal("1E-30")]},
+        {"const": {"x": Decimal("99999999999999999999.99999999999999999")}},
+        {"const": [10**20, 2**53 + 1]},
+        {"enum": [[Decimal("99999999999999999999.99999999999999999")],
+                  {"x": Decimal("1E-30")}, [10**20]]},
+        {"items": [{"maximum":
+                    Decimal("99999999999999999999.99999999999999999")}]},
+        {"patternProperties": {"^x$": {"multipleOf": 3}}},
         {"enum": [[1, 2], {"a": 1}, "x"]},
         {"enum": [{"a": None}, {}]},
         {"uniqueItems": True},
