@@ -184,6 +184,93 @@ def test_three_path_differential_fuzz(spark):
                           + "\n".join(problems[:10]))
 
 
+def test_keyword_attribution_parity_fuzz(spark):
+    """Beyond verdicts: the SET of violated keywords per value must match
+    the kernel's attribution (the error-report contract) on every typed
+    lane — multi-keyword specs so several can fire at once."""
+    rng = random.Random(SEED + 2)
+    values = _gen_values(rng)
+    specs = [
+        {"minimum": 10, "maximum": 5, "multipleOf": 3},
+        {"minimum": 0, "multipleOf": 7, "format": "int32"},
+        {"type": "integer", "minimum": 2},
+        {"type": "string", "minLength": 2},
+        {"minLength": 2, "maxLength": 4, "pattern": "^[a-z]+$"},
+        {"pattern": "9", "maxLength": 1, "format": "ipv4"},
+        {"const": 5, "minimum": 3},
+        {"enum": [1, 2], "multipleOf": 2},
+        {"exclusiveMinimum": 3, "exclusiveMaximum": 10},
+        {"format": "int64", "maximum": 2 ** 53},
+        {"minimum": Decimal("0.5"), "multipleOf": Decimal("0.25")},
+        {"type": ["integer", "null"], "maximum": 100},
+    ]
+    kernel = Validator()
+    cc = ColumnCompiler()
+
+    rows = []
+    for i, v in enumerate(values):
+        num = ln = dc = None
+        if isinstance(v, (int, Decimal)) and not isinstance(v, bool):
+            num = float(v)
+            if isinstance(v, int) and -2**63 <= v < 2**63:
+                ln = v
+            dd = Decimal(v)
+            sc = max(-dd.as_tuple().exponent, 0)
+            if sc <= 18 and len(dd.as_tuple().digits) - sc <= 20:
+                dc = dd
+        rows.append((i, num, ln, dc, v if isinstance(v, str) else None))
+    df = spark.createDataFrame(
+        rows, "i int, d double, ln long, dc decimal(38,18), s string")
+
+    sel = []
+    for j, spec in enumerate(specs):
+        for lane in ("d", "ln", "dc", "s"):
+            checks = cc.compile_checks(spec, F.col(lane),
+                                       df.schema[lane].dataType, "#", "")
+            if checks:
+                arr = F.array(*[F.when(F.coalesce(c.fail, F.lit(False)),
+                                       F.lit(c.keyword)) for c in checks])
+                fired = F.array_sort(F.array_distinct(
+                    F.filter(arr, lambda x: x.isNotNull())))
+            else:
+                fired = F.lit([]).cast("array<string>")
+            sel.append(fired.alias(f"k{j}_{lane}"))
+    got = {r.i: r for r in df.select("i", "ln", "dc", *sel).collect()}
+
+    problems = []
+    for j, spec in enumerate(specs):
+        for i, v in enumerate(values):
+            for lane in ("d", "ln", "dc", "s"):
+                if lane == "d":
+                    if not (isinstance(v, (int, Decimal))
+                            and not isinstance(v, bool)):
+                        continue
+                    kv = float(v)
+                elif lane == "ln":
+                    if got[i]["ln"] is None or not isinstance(v, int) \
+                            or isinstance(v, bool):
+                        continue
+                    kv = v
+                elif lane == "dc":
+                    if got[i]["dc"] is None or not (
+                            isinstance(v, (int, Decimal))
+                            and not isinstance(v, bool)):
+                        continue
+                    kv = v
+                else:
+                    if not isinstance(v, str):
+                        continue
+                    kv = v
+                expected = sorted({viol.keyword
+                                   for viol in kernel.validate(spec, kv)})
+                g = sorted(got[i][f"k{j}_{lane}"])
+                if g != expected:
+                    problems.append(f"{lane} spec={spec} v={kv!r}: "
+                                    f"cols={g} kernel={expected}")
+    assert not problems, (f"{len(problems)} attribution mismatches:\n"
+                          + "\n".join(problems[:12]))
+
+
 def _gen_compound_values(rng: random.Random) -> list:
     """Objects/arrays exercising the value-reading object keywords, tuple
     items, and structural const/enum: special keys, null values (absent

@@ -112,3 +112,20 @@ def test_bucketed_roundtrip_join_has_no_exchange(spark, tmp_path):
     assert row["rows"] == 400 and bool(row["pass"])
     spark.sql("drop table if exists pq_bkt_a")
     spark.sql("drop table if exists pq_bkt_b")
+
+
+def test_events_variant_query_materializes_parses_once(spark):
+    """The nine-arm events query must keep its exchange-barrier shape:
+    scan -> hash repartition (spread the single-file scan) -> Project
+    computing the three try_parse_json documents ONCE -> round-robin
+    barrier exchange -> aggregate partial + final exchange. Exactly three
+    Exchanges. Without the barrier, CollapseProject inlines each
+    concat+parse into every consuming predicate tree (interpreted
+    expressions get no CSE) — measured 96 s vs 2 s at sf0.1."""
+    import importlib
+
+    m = importlib.import_module("__spark_entry__")
+    df = m.queries()["events_json_invalid"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Exchange") == 3, plan
+    assert "HashAggregate" in plan
