@@ -46,23 +46,37 @@ def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
                   .where(F.col("rank") <= k))
 
 
-def _hyperplane_sig(v: Column, planes: int, table: int, seed: int) -> Column:
-    """Deterministic random-hyperplane signature (±1 components from
-    xxhash64(plane, dim, table) — no stored model)."""
-    dims = F.size(v)
+def plane_matrix(planes: int, tables: int, dims: int,
+                 seed: int = 42) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplane matrix ``[table][plane][dim]`` from an
+    md5 bit per (seed, table, plane, dim) — engine-independent, so a SQL
+    oracle (DuckDB) can embed the SAME matrix as literals and recompute
+    bucket assignments exactly at any data scale (the old xxhash64-based
+    signs were Spark-only, forcing the oracle to pin a measured hit count
+    valid at one SF)."""
+    import hashlib
 
-    def signed(p: int):
-        # exact 2-arg lambda for zip_with; p captured via factory closure
-        return lambda x, i: x * F.when(
-            F.xxhash64(F.lit(p), i, F.lit(table), F.lit(seed))
-             .bitwiseAND(F.lit(1)) == 1, 1.0).otherwise(-1.0)
+    def sgn(t: int, p: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}:{t}:{p}:{i}".encode()).digest()[0]
+        return 1.0 if h & 1 else -1.0
 
+    return [[[sgn(t, p, i) for i in range(dims)] for p in range(planes)]
+            for t in range(tables)]
+
+
+def _hyperplane_sig(v: Column, planes: int, table: int,
+                    matrix: list[list[list[float]]]) -> Column:
+    """Signature from the precomputed ±1 matrix: one array literal per
+    plane (a single Literal node — never an F.array tree), dot via
+    zip_with+aggregate, sign quantized at 1e-6 so summation-order
+    rounding differences between engines can never flip a bucket bit."""
     sig = F.lit(0).cast("long")
     for p in range(planes):
-        s = F.aggregate(F.zip_with(v, F.sequence(F.lit(0), dims - 1), signed(p)),
+        m = F.lit(matrix[table][p])
+        s = F.aggregate(F.zip_with(v, m, lambda x, w: x * w),
                         F.lit(0.0), lambda acc, x: acc + x)
-        sig = sig + F.when(s >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")) * (2 ** p)
+        sig = sig + F.when(F.round(s, 6) >= 0, F.lit(1).cast("long")) \
+                     .otherwise(F.lit(0).cast("long")) * (2 ** p)
     return sig
 
 
@@ -74,11 +88,19 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame,
 
     Each table hashes every vector to a ``planes``-bit bucket; a query
     scores only corpus vectors sharing a bucket in ≥1 table. Returns
-    ``(query_id, neighbor_id, cosine, rank)`` with rank ≤ k per query."""
+    ``(query_id, neighbor_id, cosine, rank)`` with rank ≤ k per query.
+
+    The plane matrix is seed-derived driver-side (:func:`plane_matrix`);
+    the one bounded collect reads a single row to learn the vector
+    dimensionality."""
+    dims_row = corpus.select(F.size(F.col(c_vec))).limit(1).collect()
+    dims = int(dims_row[0][0]) if dims_row else 0
+    matrix = plane_matrix(planes, tables, dims, seed)
+
     def with_buckets(df, id_alias, vec_alias, idc, vecc):
         arr = F.array(*[
             F.struct(F.lit(t).alias("tbl"),
-                     _hyperplane_sig(F.col(vecc), planes, t, seed).alias("sig"))
+                     _hyperplane_sig(F.col(vecc), planes, t, matrix).alias("sig"))
             for t in range(tables)
         ])
         return (df.select(F.col(idc).alias(id_alias), F.col(vecc).alias(vec_alias),
