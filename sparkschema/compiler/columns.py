@@ -894,6 +894,8 @@ class ColumnCompiler:
         deps = schema.get("dependencies")
         if isinstance(deps, dict):
             for a, dep in deps.items():
+                if isinstance(dep, str):  # draft-4 single-string form
+                    dep = [dep]           # (interpreter.py:423-426)
                 if isinstance(dep, list):
                     for b in dep:
                         out.append(self._chk(

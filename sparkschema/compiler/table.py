@@ -263,18 +263,22 @@ def compile_table_spec(
         for a, dep in deps.items():
             if a not in fields:
                 continue
+            if isinstance(dep, str):  # draft-4 single-string form
+                dep = [dep]           # (interpreter.py:423-426)
             if isinstance(dep, list):
                 for b in dep:
-                    if b in fields:
-                        checks.append(Check(
-                            keyword="dependencies",
-                            schema_path="#/dependencies",
-                            instance_path=f"/{a}",
-                            fail=F.col(a).isNotNull() & F.col(b).isNull(),
-                            value=F.col(a).cast("string"),
-                            msg=F.lit(msg_catalog.render("obj.missing.prop.dep",
-                                                         b, catalog=catalog)),
-                        ))
+                    # a dependency target that is not a column is
+                    # STATICALLY absent: A present ⇒ violation
+                    missing = F.col(b).isNull() if b in fields else F.lit(True)
+                    checks.append(Check(
+                        keyword="dependencies",
+                        schema_path="#/dependencies",
+                        instance_path=f"/{a}",
+                        fail=F.col(a).isNotNull() & missing,
+                        value=F.col(a).cast("string"),
+                        msg=F.lit(msg_catalog.render("obj.missing.prop.dep",
+                                                     b, catalog=catalog)),
+                    ))
             elif isinstance(dep, (dict, bool)):
                 ok = object_schema_valid(cc, dep, fields)
                 checks.append(Check(

@@ -184,6 +184,84 @@ def test_three_path_differential_fuzz(spark):
                           + "\n".join(problems[:10]))
 
 
+def test_map_column_object_keyword_fuzz(spark):
+    """Columnar map<string,T> object keywords vs the kernel over random
+    objects — the typed-column twin of the VARIANT compound fuzz. NULL
+    maps are excluded by construction (columnar NULL models ABSENT, not
+    JSON null — SURVEY §1.4)."""
+    rng = random.Random(SEED + 3)
+    keys = ["a", "b", "c", "ab", "zz_weird", "a b", "é", "", "k9", "x.y"]
+    int_maps, str_maps = [], []
+    for _ in range(28):
+        n = rng.randint(0, 5)
+        int_maps.append({rng.choice(keys): rng.choice(
+            [0, 1, -1, 7, 50, 10**6, -(2**31)]) for _ in range(n)})
+        str_maps.append({rng.choice(keys): rng.choice(
+            ["", "x", "abc", "Zz9", "café", "hello world"])
+            for _ in range(n)})
+    int_maps += [{}, {"a": 0, "b": 1}, {"a b": 5}, {"": 3}]
+    str_maps += [{}, {"a": ""}, {"é": "é"}, {"b": "B"}]
+
+    int_specs = [
+        {"type": "object", "required": ["a", "a b"]},
+        {"properties": {"a": {"minimum": 1}, "b": {"multipleOf": 7}}},
+        {"minProperties": 1, "maxProperties": 3},
+        {"propertyNames": {"pattern": "^[a-z]+$"}},
+        {"propertyNames": {"minLength": 1, "maxLength": 2}},
+        {"patternProperties": {"^[ab]": {"minimum": 0},
+                               "9$": {"maximum": 10}}},
+        {"properties": {"a": {}}, "patternProperties": {"^b": {}},
+         "additionalProperties": False},
+        {"properties": {"a": {}}, "additionalProperties": {"maximum": 5}},
+        {"additionalProperties": {"format": "int32", "minimum": -100}},
+        {"dependencies": {"a": ["b", "c"]}},
+        {"dependencies": {"ab": {"minProperties": 2}}},
+        {"anyOf": [{"required": ["a"]}, {"maxProperties": 1}]},
+        {"not": {"required": ["zz_weird"]}},
+        {"if": {"required": ["a"]}, "then": {"required": ["b"]},
+         "else": {"maxProperties": 2}},
+        {"enum": [{}, {"a": 1}]},
+        {"const": {"a": 0, "b": 1}},
+    ]
+    str_specs = [
+        {"properties": {"a": {"minLength": 1}},
+         "patternProperties": {"^[ab]$": {"pattern": "^[a-z]*$"}}},
+        {"additionalProperties": {"maxLength": 5}},
+        {"propertyNames": {"pattern": "\\w"}},
+        {"patternProperties": {"é": {"const": "é"}}},
+        {"dependencies": {"a": "b"}},
+    ]
+
+    kernel = Validator()
+    cc = ColumnCompiler()
+    rows = [(i, im, sm) for i, (im, sm) in
+            enumerate(zip(int_maps, str_maps))]
+    df = spark.createDataFrame(
+        rows, "i int, im map<string,long>, sm map<string,string>")
+    cols = []
+    for j, s in enumerate(int_specs):
+        cols.append(cc.compile_valid(s, F.col("im"),
+                                     df.schema["im"].dataType).alias(f"i{j}"))
+    for j, s in enumerate(str_specs):
+        cols.append(cc.compile_valid(s, F.col("sm"),
+                                     df.schema["sm"].dataType).alias(f"t{j}"))
+    got = {r.i: r for r in df.select("i", *cols).collect()}
+
+    problems = []
+    for lane, specs, maps in (("i", int_specs, int_maps),
+                              ("t", str_specs, str_maps)):
+        for j, spec in enumerate(specs):
+            for i in range(len(maps)):
+                value = maps[i]
+                expected = not kernel.validate(spec, value)
+                g = got[i][f"{lane}{j}"]
+                if bool(g) != expected:
+                    problems.append(f"map({lane}) spec={spec} v={value!r}: "
+                                    f"got={g} kernel={expected}")
+    assert not problems, (f"{len(problems)} divergences:\n"
+                          + "\n".join(problems[:12]))
+
+
 def test_keyword_attribution_parity_fuzz(spark):
     """Beyond verdicts: the SET of violated keywords per value must match
     the kernel's attribution (the error-report contract) on every typed
