@@ -803,6 +803,115 @@ class ColumnCompiler:
                                          f"{ipath}/{k}", present & fail,
                                          F.lit("null"), "obj.required.prop",
                                          F.lit(k)))
+
+            # the remaining object keywords are statically expressible over
+            # a struct's FIXED field set (NULL field = absent property):
+            # key-dependent decisions evaluate at compile time against the
+            # literal field names, value checks recurse per matching field
+            names = list(fields)
+
+            def present_count() -> Column:
+                c = F.lit(0)
+                for k in names:
+                    c = c + col[k].isNotNull().cast("int")
+                return c
+
+            mnp = schema.get("minProperties")
+            if isinstance(mnp, int) and not isinstance(mnp, bool):
+                out.append(self._chk("minProperties", f"{spath}/minProperties",
+                                     ipath, present & (present_count() < mnp),
+                                     present_count().cast("string"),
+                                     "obj.min.props",
+                                     present_count().cast("string"),
+                                     F.lit(str(mnp))))
+            mxp = schema.get("maxProperties")
+            if isinstance(mxp, int) and not isinstance(mxp, bool):
+                out.append(self._chk("maxProperties", f"{spath}/maxProperties",
+                                     ipath, present & (present_count() > mxp),
+                                     present_count().cast("string"),
+                                     "obj.max.props",
+                                     present_count().cast("string"),
+                                     F.lit(str(mxp))))
+
+            pn = schema.get("propertyNames")
+            if pn is not None and not (pn is True):
+                # name validity of each LITERAL field name is decided at
+                # compile time by the kernel itself — exact parity
+                from sparkschema.spec.interpreter import Validator
+                kv = Validator()
+                for k in names:
+                    if kv.validate(pn, k):
+                        out.append(self._chk(
+                            "propertyNames", f"{spath}/propertyNames",
+                            f"{ipath}/{k}", present & col[k].isNotNull(),
+                            F.lit(k), "comp.no.schema"))
+
+            patprops = schema.get("patternProperties")
+            kernel_rx = None
+            if isinstance(patprops, dict):
+                from sparkschema.spec.interpreter import Validator
+                kernel_rx = Validator()
+                for pat, sub in patprops.items():
+                    rx = kernel_rx._compile_pattern(pat)
+                    if rx is None:
+                        continue
+                    for k in names:
+                        if rx.search(k):
+                            el = col[k]
+                            out += self.compile_checks(
+                                sub, el, fields[k],
+                                f"{spath}/patternProperties/{pat}",
+                                f"{ipath}/{k}")
+
+            ap = schema.get("additionalProperties")
+            if ap is not None and ap is not True:
+                declared = set(props.keys()) if isinstance(props, dict) else set()
+                rxs = []
+                if isinstance(patprops, dict):
+                    from sparkschema.spec.interpreter import Validator
+                    kv2 = kernel_rx or Validator()
+                    rxs = [r for r in (kv2._compile_pattern(p)
+                                       for p in patprops) if r is not None]
+                extras = [k for k in names
+                          if k not in declared
+                          and not any(r.search(k) for r in rxs)]
+                if ap is False:
+                    for k in extras:
+                        out.append(self._chk(
+                            "additionalProperties",
+                            f"{spath}/additionalProperties", ipath,
+                            present & col[k].isNotNull(), F.lit(k),
+                            "obj.additional.props", F.lit(k)))
+                elif isinstance(ap, dict):
+                    for k in extras:
+                        out += self.compile_checks(
+                            ap, col[k], fields[k],
+                            f"{spath}/additionalProperties", f"{ipath}/{k}")
+
+            deps = schema.get("dependencies")
+            if isinstance(deps, dict):
+                for a, dep in deps.items():
+                    if a not in fields:
+                        continue
+                    if isinstance(dep, str):  # draft-4 single-string form
+                        dep = [dep]
+                    if isinstance(dep, list):
+                        for b in dep:
+                            missing = col[b].isNull() if b in fields \
+                                else F.lit(True)
+                            out.append(self._chk(
+                                "dependencies", f"{spath}/dependencies",
+                                f"{ipath}/{a}",
+                                present & col[a].isNotNull() & missing,
+                                F.lit(a), "obj.missing.prop.dep", F.lit(b)))
+                    elif isinstance(dep, (dict, bool)):
+                        ok = self.compile_valid(dep, col, dt)
+                        out.append(self._chk(
+                            "dependencies", f"{spath}/dependencies/{a}",
+                            f"{ipath}/{a}",
+                            present & col[a].isNotNull()
+                            & ~F.coalesce(ok, F.lit(False)),
+                            col[a].cast("string"), "comp.no.schema"))
             return out
 
         if not isinstance(dt, T.MapType):

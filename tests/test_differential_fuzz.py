@@ -262,6 +262,63 @@ def test_map_column_object_keyword_fuzz(spark):
                           + "\n".join(problems[:12]))
 
 
+def test_struct_column_object_keyword_fuzz(spark):
+    """Struct-column object keywords vs the kernel: a NULL field models
+    the absent property, so the kernel sees the dict of NON-NULL fields.
+    min/maxProperties, propertyNames, patternProperties,
+    additionalProperties, and dependencies compile statically over the
+    fixed field set (r3b)."""
+    rng = random.Random(SEED + 4)
+    rows = []
+    for i in range(30):
+        a = rng.choice([None, 0, 1, 7, -5, 50])
+        b = rng.choice([None, 0, 2, 9])
+        zz = rng.choice([None, "x", "abc", "hello world", ""])
+        rows.append((i, (a, b, zz)))
+    df = spark.createDataFrame(
+        rows, "i int, st struct<a:long, b:long, zz_weird:string>")
+
+    specs = [
+        {"minProperties": 1}, {"minProperties": 2, "maxProperties": 2},
+        {"maxProperties": 0},
+        {"propertyNames": {"maxLength": 2}},
+        {"propertyNames": {"pattern": "^[ab]$"}},
+        {"propertyNames": False},
+        {"patternProperties": {"^[ab]$": {"minimum": 1}}},
+        {"patternProperties": {"weird": {"minLength": 2}}},
+        {"properties": {"a": {}}, "additionalProperties": False},
+        {"properties": {"a": {}}, "patternProperties": {"^b": {}},
+         "additionalProperties": False},
+        {"properties": {"a": {}, "b": {}},
+         "additionalProperties": {"minLength": 3}},
+        {"dependencies": {"a": ["b"]}},
+        {"dependencies": {"a": "b"}},
+        {"dependencies": {"b": "nope"}},
+        {"dependencies": {"a": {"minProperties": 2}}},
+        {"required": ["a"], "minProperties": 1},
+        {"anyOf": [{"required": ["a"]}, {"maxProperties": 1}]},
+    ]
+    kernel = Validator()
+    cc = ColumnCompiler()
+    cols = [cc.compile_valid(s, F.col("st"),
+                             df.schema["st"].dataType).alias(f"s{j}")
+            for j, s in enumerate(specs)]
+    got = {r.i: r for r in df.select("i", *cols).collect()}
+
+    problems = []
+    fieldnames = ["a", "b", "zz_weird"]
+    for j, spec in enumerate(specs):
+        for i, tup in rows:
+            value = {k: v for k, v in zip(fieldnames, tup) if v is not None}
+            expected = not kernel.validate(spec, value)
+            g = got[i][f"s{j}"]
+            if bool(g) != expected:
+                problems.append(f"struct spec={spec} v={value!r}: "
+                                f"got={g} kernel={expected}")
+    assert not problems, (f"{len(problems)} divergences:\n"
+                          + "\n".join(problems[:12]))
+
+
 def test_keyword_attribution_parity_fuzz(spark):
     """Beyond verdicts: the SET of violated keywords per value must match
     the kernel's attribution (the error-report contract) on every typed
