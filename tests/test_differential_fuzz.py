@@ -319,6 +319,47 @@ def test_struct_column_object_keyword_fuzz(spark):
                           + "\n".join(problems[:12]))
 
 
+def test_array_of_struct_items_fuzz(spark):
+    """array<struct> columns: the struct object keywords (r3b) must
+    compose with items/tuple/contains/uniqueItems through compile_valid
+    recursion — kernel sees a list of non-null-field dicts."""
+    rng = random.Random(SEED + 5)
+    rows = []
+    for i in range(25):
+        n = rng.randint(0, 4)
+        arr = [(rng.choice([None, 0, 1, 7]), rng.choice([None, "x", "abc"]))
+               for _ in range(n)]
+        rows.append((i, arr))
+    df = spark.createDataFrame(rows, "i int, arr array<struct<a:long, b:string>>")
+    specs = [
+        {"items": {"required": ["a"]}},
+        {"items": {"properties": {"a": {"minimum": 1}}, "minProperties": 1}},
+        {"items": {"dependencies": {"b": ["a"]}}, "minItems": 1},
+        {"contains": {"properties": {"b": {"minLength": 2}},
+                      "required": ["b"]}},
+        {"items": [{"required": ["a"]}, {"maxProperties": 1}],
+         "additionalItems": {"minProperties": 1}},
+        {"items": {"additionalProperties": False, "properties": {"a": {}}}},
+        {"uniqueItems": True},
+    ]
+    kernel = Validator()
+    cc = ColumnCompiler()
+    cols = [cc.compile_valid(s, F.col("arr"),
+                             df.schema["arr"].dataType).alias(f"s{j}")
+            for j, s in enumerate(specs)]
+    got = {r.i: r for r in df.select("i", *cols).collect()}
+    problems = []
+    for j, spec in enumerate(specs):
+        for i, arr in rows:
+            value = [{k: v for k, v in zip(("a", "b"), t) if v is not None}
+                     for t in arr]
+            expected = not kernel.validate(spec, value)
+            if bool(got[i][f"s{j}"]) != expected:
+                problems.append(f"spec={spec} v={value!r}: "
+                                f"got={got[i][f's{j}']} kernel={expected}")
+    assert not problems, "\n".join(problems[:10])
+
+
 def test_keyword_attribution_parity_fuzz(spark):
     """Beyond verdicts: the SET of violated keywords per value must match
     the kernel's attribution (the error-report contract) on every typed
