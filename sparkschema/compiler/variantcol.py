@@ -110,6 +110,16 @@ def _canon_elem(e: Column) -> Column:
             .otherwise(F.coalesce(F.to_json(e), F.lit("null")))
 
 
+def _stored_scale(t: Column) -> Column:
+    """The value's STORED decimal scale parsed from ``schema_of_variant``
+    (0 for BIGINT/others). Trailing zeros strip at parse, so this is the
+    TRUE scale; extractions at a coarser scale ROUND, so every
+    decimal-window read guards on it."""
+    return F.coalesce(
+        F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1).try_cast("int"),
+        F.lit(0))
+
+
 def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
     """Decimal-exact ``multipleOf`` with the columnar path's overflow tiers
     (reference semantics NumberValidators.scala:89-109).
@@ -167,9 +177,7 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
     # tier requires stored_scale <= extraction scale (fuzz-found r3: a
     # DECIMAL(22,1) with a .5 fraction slipped to the exact-binary double
     # path and "became" a multiple of 2)
-    vscale = F.coalesce(
-        F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1).try_cast("int"),
-        F.lit(0))
+    vscale = _stored_scale(t)
     fail18 = ColumnCompiler._multiple_of_fail(nd18, T.DecimalType(38, 18), mo)
     fail6 = ColumnCompiler._multiple_of_fail(d6, T.DecimalType(38, 6), mo)
     fail0 = ColumnCompiler._multiple_of_fail(d0, T.DecimalType(38, 0), mo)
@@ -211,9 +219,7 @@ def _num_eq_variant(v: Column, c: Any, t: Column) -> Column:
     # at a smaller scale ROUNDS (try_variant_get, HALF_UP), so every
     # decimal-equality tier must require stored_scale ≤ extraction scale
     # or a rounded near-miss would compare equal (0.54 == 0.5 at scale 1)
-    vscale = F.coalesce(
-        F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1).try_cast("int"),
-        F.lit(0))  # BIGINT stores scale 0
+    vscale = _stored_scale(t)  # BIGINT stores scale 0
 
     if scale <= 18 and int_digits <= 20:
         exact_eq = F.coalesce((vscale <= 18) & (nd18 == F.lit(d)), F.lit(False))
@@ -451,9 +457,7 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
     # the value's STORED scale (trailing zeros strip at parse, so this is
     # the true scale); extractions at a coarser scale ROUND, so every
     # decimal-window read guards on it
-    vscale = F.coalesce(
-        F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1).try_cast("int"),
-        F.lit(0))
+    vscale = _stored_scale(t)
     ok = F.lit(True)
 
     def type_ok(name: str) -> Column:
@@ -542,9 +546,7 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
                         "lt": c < lit, "le": c <= lit}[op]
 
             exact_t = (t == "BIGINT") | t.startswith("DECIMAL")
-            vscale = F.coalesce(
-                F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1)
-                 .try_cast("int"), F.lit(0))
+            vscale = _stored_scale(t)
             # double-typed variants go through the direction-aware
             # boundary double (kernel-exact even when the bound falls
             # between a double's decimal views — fuzz-found r3)
