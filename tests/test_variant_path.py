@@ -24,8 +24,10 @@ FIXTURE_FILES = [
     "minProperties.json", "maxProperties.json", "dependencies.json",
     "additionalProperties.json",
     # r3b: value-reading object keywords + tuple items via the
-    # map<string,variant> / array<variant> views
+    # map<string,variant> / array<variant> views; $ref-bearing files run
+    # too — those schemas fall back (skipped) via VariantUnsupported
     "patternProperties.json", "additionalItems.json", "default.json",
+    "definitions.json", "ref.json",
 ]
 D7_EXTRA = ["const.json", "contains.json", "if-then-else.json",
             "boolean_schema.json", "exclusiveMinimum.json",
