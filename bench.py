@@ -222,7 +222,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
         spark, BUCKETED_BYTES_TABLE, BUCKETED_REF_TABLE,
         names=("bench_bytes_bkt", "bench_ref_bkt"))
     out["image_roundtrip_psnr"] = timed(
-        lambda: roundtrip_verdict(bkt_imgs, bkt_ref).collect(), runs=2,
+        lambda: roundtrip_verdict(bkt_imgs, bkt_ref).collect(), runs=3,
         prewarm=lambda: warm_page_cache(BUCKETED_BYTES_TABLE,
                                         BUCKETED_REF_TABLE))
 
@@ -231,7 +231,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
     bimgs = spark.read.parquet(IMAGE_BYTES_TABLE)
     bref = spark.read.parquet(REF_BYTES_TABLE)
     out["image_roundtrip_psnr_unbucketed"] = timed(
-        lambda: roundtrip_verdict(bimgs, bref).collect(), runs=2,
+        lambda: roundtrip_verdict(bimgs, bref).collect(), runs=3,
         prewarm=lambda: warm_page_cache(IMAGE_BYTES_TABLE, REF_BYTES_TABLE))
 
     # TPC-ish operator queries on sf_dir
