@@ -29,3 +29,41 @@ def test_windowed_violation_counts(spark, tmp_path):
            for r in spark.sql("select * from winviol").collect()}
     # 300 ids over 3 hourly windows; v = i%10 → 3 violations per 10 ids
     assert got == {(0, "minimum"): 30, (1, "minimum"): 30, (2, "minimum"): 30}
+
+
+def test_variant_native_predicates_in_streaming(spark, tmp_path):
+    """The r3b VARIANT-native constructs (map<string,variant> entries for
+    patternProperties, array<variant> tuple items, structural const) are
+    stateless Catalyst expressions, so they must run unchanged inside a
+    Structured Streaming micro-batch plan."""
+    from sparkschema.compiler.variantcol import variant_valid_column
+
+    src = str(tmp_path / "json_src")
+    rows = [(i, '{"k%d": %d, "arr": [%d, "x"], "pair": [1, "a"]}'
+             % (i % 3, i, i)) for i in range(60)]
+    spark.createDataFrame(rows, "id long, js string").write.parquet(src)
+    stream = spark.readStream.schema("id long, js string").parquet(src)
+    spec = {
+        "patternProperties": {"^k[01]$": {"maximum": 40}},
+        "properties": {"arr": {"items": [{"multipleOf": 2},
+                                         {"maxLength": 1}],
+                               "additionalItems": False},
+                       "pair": {"const": [1, "a"]}},
+    }
+    ok = variant_valid_column("js", spec)
+    agg = (stream.select(ok.alias("ok"))
+                 .groupBy().agg(F.sum(F.col("ok").cast("long")).alias("valid"),
+                                F.count(F.lit(1)).alias("total")))
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("vstream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    row = spark.sql("select * from vstream").collect()[0]
+    # kernel-recomputed expectation
+    from sparkschema.spec.interpreter import Validator
+    import json as _json
+    kernel = Validator()
+    expected = sum(1 for _, js in rows
+                   if not kernel.validate(spec, _json.loads(js)))
+    assert row.total == 60 and row.valid == expected, (row, expected)
