@@ -82,3 +82,28 @@ def test_min_max_consistency(value, bound):
     assert hi_ok == (value <= bound)
     excl = not v.validate({"exclusiveMinimum": bound}, value)
     assert excl == (value > bound)
+
+
+@given(st.decimals(allow_nan=False, allow_infinity=False))
+def test_normalize_exact_preserves_value(d):
+    """normalize_exact must be VALUE-preserving for every decimal — the
+    property plain Decimal.normalize() violates beyond 28 significant
+    digits (context rounding corrupted a 37-digit bound to 1E+20;
+    fuzz-found r3)."""
+    from sparkschema.spec.jsonvalue import normalize_exact
+    n = normalize_exact(d)
+    assert n == d
+    # and idempotent / trailing-zero-free
+    assert normalize_exact(n) == n
+    if n != 0:
+        assert n.as_tuple().digits[-1] != 0
+
+
+@given(st.decimals(allow_nan=False, allow_infinity=False),
+       st.decimals(allow_nan=False, allow_infinity=False))
+def test_canonical_number_equality_is_exact(a, b):
+    """Two decimals are canonical-equal iff numerically equal — at ANY
+    precision (the old normalize()-based canon merged values differing
+    past 28 digits)."""
+    from sparkschema.spec.jsonvalue import canonical
+    assert (canonical(a) == canonical(b)) == (a == b)
