@@ -813,9 +813,27 @@ def variant_valid_column(json_col: Column | str, schema: Any) -> Column:
 
 def json_valid_auto(json_col: Column | str, schema: Any,
                     registry=None, dialect: str = "draft7") -> Column:
-    """VARIANT fast path when the spec compiles; Arrow kernel otherwise."""
+    """VARIANT fast path when the spec compiles; Arrow kernel otherwise.
+
+    PER-ROW hybrid on the fast path: Spark's variant parser REJECTS some
+    documents the reference's parser accepts — probed on 4.1: objects
+    with duplicate keys (Jackson/Play is last-wins) — so rows where
+    ``try_parse_json`` returns NULL on non-NULL text re-validate through
+    the Arrow kernel. The kernel UDF's ARGUMENT is gated (NULL for every
+    normally-parsed row), so unaffected rows cross Arrow as nulls and the
+    kernel body short-circuits; rows both parsers reject stay invalid
+    (err.parse.json) on either path."""
+    from pyspark.sql import functions as _F
+
     try:
-        return variant_valid_column(json_col, schema)
+        vcol = variant_valid_column(json_col, schema)
     except VariantUnsupported:
         from sparkschema.compiler.jsoncol import json_valid_column
         return json_valid_column(json_col, schema, registry, dialect)
+    from sparkschema.compiler.jsoncol import json_valid_column
+    col = _F.col(json_col) if isinstance(json_col, str) else json_col
+    unparsed = col.isNotNull() & _F.try_parse_json(col).isNull()
+    kcol = json_valid_column(_F.when(unparsed, col), schema, registry,
+                             dialect)
+    return _F.when(unparsed, _F.coalesce(kcol, _F.lit(False))) \
+             .otherwise(vcol)

@@ -80,6 +80,22 @@ def test_json_valid_auto_falls_back(spark):
     assert got[0].ok is True
 
 
+def test_json_valid_auto_duplicate_keys_hybrid(spark):
+    """Spark's variant parser rejects duplicate-key objects the reference
+    (Jackson last-wins) accepts — json_valid_auto re-routes exactly those
+    rows through the Arrow kernel, so the verdict matches the kernel."""
+    rows = [(1, '{"k": 1, "k": 5}'),    # last-wins k=5 → valid
+            (2, '{"k": 1, "k": -3}'),   # last-wins k=-3 → invalid
+            (3, '{"k": 2}'),            # normal fast-path row
+            (4, '{"k": 1,}'),           # both parsers reject → invalid
+            (5, None)]                  # NULL text → NULL verdict
+    df = spark.createDataFrame(rows, "id long, j string")
+    spec = {"properties": {"k": {"minimum": 0}}}
+    got = {r.id: r.ok for r in
+           df.select("id", json_valid_auto("j", spec).alias("ok")).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: False, 5: None}, got
+
+
 def test_variant_null_vs_absent(spark):
     """VARIANT preserves the reference's JsUndefined-vs-JsNull distinction."""
     df = spark.createDataFrame(
