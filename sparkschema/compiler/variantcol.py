@@ -142,10 +142,17 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
       tiers match the kernel's as_decimal semantics (shortest repr < 2⁵³,
       exact binary integer ≥ 2⁵³).
 
-    Known parse-level divergence (not fixable post-parse, documented): JSON
-    e-notation like ``1e26`` is a DOUBLE in VARIANT but an exact Decimal in
-    the kernel's ``parse_json``, so residues mod an mo that distinguishes
-    10²⁶ from double(1e26) can differ.
+    Known parse-level divergences (parse SUCCEEDS with an altered value,
+    so no per-row fallback can catch them — probed on Spark 4.1,
+    documented): JSON e-notation like ``1e26`` is a DOUBLE in VARIANT but
+    an exact Decimal in the kernel's ``parse_json`` (residues mod an mo
+    that distinguishes 10²⁶ from double(1e26) can differ); integers wider
+    than 38 digits and exponents past double range (``1e999``) collapse to
+    DOUBLE/Infinity where the kernel stays exact; a LONE surrogate escape
+    in a string becomes ``?`` where Python keeps the surrogate
+    (length/pattern checks on such strings can differ). Duplicate-key
+    objects — which Spark REJECTS at parse — are handled: json_valid_auto
+    re-routes those rows to the kernel.
     """
     from pyspark.sql import types as T
 
