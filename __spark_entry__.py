@@ -279,10 +279,14 @@ def _q_events_json_invalid(spark, sf):
         F.lit(', "big": '), big,
         F.lit(', "q": '), vstr, F.lit("}"))
     # second derived document for the value-reading object keywords /
-    # tuple items / structural const (all VARIANT-native since r3)
+    # tuple items / structural const (all VARIANT-native since r3).
+    # event_type is JSON-escaped before embedding — the current fixture
+    # enum is plain words, but a quote/backslash would otherwise desync
+    # the engine (unparsable doc ⇒ invalid) from the column-level oracle
+    et_esc = F.regexp_replace(F.col("event_type"), r'([\\"])', r'\\$1')
     doc2 = F.concat(
         F.lit('{"k": '), kstr, F.lit(', "q": '), vstr,
-        F.lit(', "arr": ['), kstr, F.lit(', "'), F.col("event_type"),
+        F.lit(', "arr": ['), kstr, F.lit(', "'), et_esc,
         F.lit('", '), vstr, F.lit('], "pair": ['), kstr, F.lit(', "a"]}'))
     base = e.select(
         F.try_parse_json("props").alias("vp"),
@@ -293,7 +297,12 @@ def _q_events_json_invalid(spark, sf):
 
     def valid(name: str, spec) -> Column:
         # NULL source / unparsable text → False (err.parse.json), like
-        # variant_valid_column
+        # variant_valid_column. NOTE: this deliberately keeps the plan
+        # pure-Catalyst and does NOT carry json_valid_auto's per-row
+        # kernel reroute for documents Spark's parser rejects but the
+        # reference's accepts (duplicate keys) — the events fixtures have
+        # single-key props and the derived docs are dup-free by
+        # construction, and the DuckDB twin gates identically on parsed k
         v = F.col(name)
         return F.when(v.isNull(), F.lit(False)) \
                 .otherwise(variant_valid(v, spec))

@@ -110,6 +110,56 @@ def _canon_elem(e: Column) -> Column:
             .otherwise(F.coalesce(F.to_json(e), F.lit("null")))
 
 
+def _dec_text_cmp(v: Column, d: Decimal, op: str) -> Column:
+    """Exact comparison of an exact-stored variant number against a bound,
+    through the variant's STRING rendering (always plain decimal text —
+    probed on Spark 4.1). Decision key: ``lpad(int_part) || rpad(frac)``
+    compares lexicographically exactly like the number for same-signed
+    values; signs handled explicitly. Covers the scale-19..38 window where
+    every decimal extraction would round (review find r3b: DECIMAL(20,20)
+    0.99999999999999999999 fell to the double view and passed minimum 1).
+    NULL string (shouldn't happen for exact types) → NULL, caller
+    coalesces."""
+    s = F.try_variant_get(v, "$", "string")
+    neg = s.startswith("-")
+    mag = F.regexp_replace(s, "^-", "")
+    int_part = F.substring_index(mag, ".", 1)
+    frac = F.when(mag.contains("."), F.substring_index(mag, ".", -1)) \
+            .otherwise(F.lit(""))
+    key = F.concat(F.lpad(int_part, 39, "0"), F.rpad(frac, 38, "0"))
+
+    dt = d.as_tuple()
+    neg_d = dt.sign == 1
+    mag_d = format(abs(d), "f")
+    ip_d, _, fr_d = mag_d.partition(".")
+    if len(ip_d) > 39:
+        # |d| exceeds every storable value (38 digits max): constant
+        lt_const = not neg_d
+        if op in ("lt", "le"):
+            return F.lit(lt_const)
+        return F.lit(not lt_const)
+    # a bound finer than 38 fractional digits can never equal a stored
+    # value; truncating its key makes "equal keys" mean |v| < |d|
+    d_finer = len(fr_d) > 38
+    key_d = F.lit(ip_d.zfill(39) + fr_d[:38].ljust(38, "0"))
+
+    if neg_d:
+        # equal truncated keys ⟹ |v| < |d| ⟹ v > d for negatives: the
+        # strict > is correct in BOTH modes
+        lt = neg & (key > key_d)
+        eq = F.lit(False) if d_finer else (neg & (key == key_d))
+    else:
+        lt = neg | ((key < key_d) if not d_finer else (key <= key_d))
+        eq = F.lit(False) if d_finer else (~neg & (key == key_d))
+    if op == "lt":
+        return lt
+    if op == "le":
+        return lt | eq
+    if op == "gt":
+        return ~(lt | eq)
+    return ~lt  # ge
+
+
 def _stored_scale(t: Column) -> Column:
     """The value's STORED decimal scale parsed from ``schema_of_variant``
     (0 for BIGINT/others). Trailing zeros strip at parse, so this is the
@@ -192,9 +242,14 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
         ColumnCompiler._multiple_of_fail(dbl, T.DoubleType(), mo), F.lit(True))
     # every decimal tier needs stored_scale <= extraction scale — the
     # extraction ROUNDS finer values (1E-30 came back 0E-18 from the nd18
-    # tier and "was" a multiple of everything; fuzz-found r3)
+    # tier and "was" a multiple of everything; fuzz-found r3). A stored
+    # scale BEYOND 18 means a nonzero digit past 10^-18 (trailing zeros
+    # strip at parse) while this mo has scale <= 18 (pathological raised
+    # above): such a value can NEVER be a multiple — k*mo has scale <=
+    # scale(mo) (review find r3b: DECIMAL(20,20) fell to the double view)
     return F.coalesce(
-        F.when(exact & (vscale <= 18) & nd18.isNotNull(), fail18)
+        F.when(exact & (vscale > 18), F.lit(True))
+         .when(exact & (vscale <= 18) & nd18.isNotNull(), fail18)
          .when(exact & (vscale <= 6) & d6.isNotNull(), fail6)
          .when(exact & (vscale == 0) & d0.isNotNull(), fail0)
          .otherwise(dbl_fail),
@@ -562,10 +617,13 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
                 # n is faithful only when the stored scale fits the
                 # extraction scale (rounding could cross the bound); wide
                 # exact values (21+ int digits) compare at the bound's own
-                # scale before falling to the double view
+                # scale, scale-19..38 values through the exact text
+                # comparator, before falling to the double view
                 ds = F.try_variant_get(v, "$", f"decimal(38,{s})")
                 return F.when(n.isNotNull() & (vscale <= 18),
                               apply(n, F.lit(d))) \
+                        .when(exact_t & (vscale > 18),
+                              _dec_text_cmp(v, d, op)) \
                         .when(exact_t & (vscale <= s) & ds.isNotNull(),
                               apply(ds, F.lit(d))) \
                         .otherwise(dbl_cond)
@@ -601,9 +659,12 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
                 ds = F.try_variant_get(v, "$", f"decimal(38,{s})")
                 return F.when(exact_t & (vscale <= s) & ds.isNotNull(),
                               apply(ds, F.lit(d))) \
+                        .when(exact_t & (vscale > 18),
+                              _dec_text_cmp(v, d, op)) \
                         .when(n.isNotNull() & (vscale <= 18), n_cmp) \
                         .otherwise(dbl_cond)
-            return F.when(n.isNotNull() & (vscale <= 18), n_cmp) \
+            return F.when(exact_t & (vscale > 18), _dec_text_cmp(v, d, op)) \
+                    .when(n.isNotNull() & (vscale <= 18), n_cmp) \
                     .otherwise(dbl_cond)
 
         for kw in ("minimum", "maximum"):
@@ -819,7 +880,8 @@ def variant_valid_column(json_col: Column | str, schema: Any) -> Column:
 
 
 def json_valid_auto(json_col: Column | str, schema: Any,
-                    registry=None, dialect: str = "draft7") -> Column:
+                    registry=None, dialect: str = "draft7",
+                    strict_spark_parse: bool = False) -> Column:
     """VARIANT fast path when the spec compiles; Arrow kernel otherwise.
 
     PER-ROW hybrid on the fast path: Spark's variant parser REJECTS some
@@ -829,7 +891,13 @@ def json_valid_auto(json_col: Column | str, schema: Any,
     the Arrow kernel. The kernel UDF's ARGUMENT is gated (NULL for every
     normally-parsed row), so unaffected rows cross Arrow as nulls and the
     kernel body short-circuits; rows both parsers reject stay invalid
-    (err.parse.json) on either path."""
+    (err.parse.json) on either path.
+
+    The hybrid still attaches one ArrowEvalPython node to the plan (the
+    UDF is hoisted out of the CASE branch and sees a NULL per normal
+    row). Callers that know their documents are Spark-parsable — or
+    accept the documented duplicate-key divergence — pass
+    ``strict_spark_parse=True`` for a pure-Catalyst plan."""
     from pyspark.sql import functions as _F
 
     try:
@@ -837,6 +905,8 @@ def json_valid_auto(json_col: Column | str, schema: Any,
     except VariantUnsupported:
         from sparkschema.compiler.jsoncol import json_valid_column
         return json_valid_column(json_col, schema, registry, dialect)
+    if strict_spark_parse:
+        return vcol
     from sparkschema.compiler.jsoncol import json_valid_column
     col = _F.col(json_col) if isinstance(json_col, str) else json_col
     unparsed = col.isNotNull() & _F.try_parse_json(col).isNull()

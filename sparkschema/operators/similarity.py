@@ -91,10 +91,13 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame,
     ``(query_id, neighbor_id, cosine, rank)`` with rank ≤ k per query.
 
     The plane matrix is seed-derived driver-side (:func:`plane_matrix`);
-    the one bounded collect reads a single row to learn the vector
-    dimensionality."""
-    dims_row = corpus.select(F.size(F.col(c_vec))).limit(1).collect()
-    dims = int(dims_row[0][0]) if dims_row else 0
+    the one bounded collect reads a single NON-NULL vector to learn the
+    dimensionality (uniform dims assumed — shorter/longer vectors
+    zip-pad to NULL and land in bucket-bit 0)."""
+    dims_row = corpus.where(F.col(c_vec).isNotNull()) \
+                     .select(F.size(F.col(c_vec))).limit(1).collect()
+    dims = int(dims_row[0][0]) if dims_row and dims_row[0][0] is not None \
+        else 0
     matrix = plane_matrix(planes, tables, dims, seed)
 
     def with_buckets(df, id_alias, vec_alias, idc, vecc):

@@ -34,6 +34,12 @@ def _gen_values(rng: random.Random) -> list:
             Decimal("1E-30"), Decimal("1.000000000000000001"),
             Decimal("-5E-16"),
             Decimal("99999999999999999999.99999999999999999"),
+            # scale-19..38 near-boundary values (review find r3b: the
+            # double view declared 0.9...9 (20 nines) >= 1)
+            Decimal("0.99999999999999999999"),
+            Decimal("-0.99999999999999999999"),
+            Decimal("1.0000000000000000000000000000000000001"),
+            Decimal("6.9999999999999999999999999"),
             "", "a", "hello world", "Ab9", "café", "x" * 40,
             True, False, None]
     for _ in range(15):
@@ -74,6 +80,8 @@ def _gen_specs(rng: random.Random) -> list[dict]:
               {"const": Decimal("99999999999999999999.99999999999999999")},
               {"multipleOf":
                Decimal("99999999999999999999.99999999999999999")},
+              {"minimum": 1}, {"maximum": Decimal("0.99999999999999999999")},
+              {"exclusiveMaximum": 7}, {"multipleOf": 1},
               {"format": "int32"}, {"format": "int64"},
               {"pattern": "^[a-z]+$"}, {"pattern": "9"},
               {"minimum": 0, "maximum": 100, "multipleOf": 7},
