@@ -1013,6 +1013,17 @@ class ColumnCompiler:
                             present & F.array_contains(keys, a)
                             & ~F.array_contains(keys, b),
                             F.lit(a), "obj.missing.prop.dep", F.lit(b)))
+                elif isinstance(dep, (dict, bool)) and dep is not True:
+                    # schema form: presence of a requires the whole object
+                    # to satisfy dep (was silently skipped on map columns
+                    # — fresh-seed fuzz find r3b)
+                    dep_ok = self.compile_valid(dep, col, dt)
+                    out.append(self._chk(
+                        "dependencies", f"{spath}/dependencies/{a}",
+                        f"{ipath}/{a}",
+                        present & F.array_contains(keys, a)
+                        & ~F.coalesce(dep_ok, F.lit(False)),
+                        col.cast("string"), "comp.no.schema"))
         return out
 
     @staticmethod

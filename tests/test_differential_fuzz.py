@@ -207,8 +207,10 @@ def test_map_column_object_keyword_fuzz(spark):
         str_maps.append({rng.choice(keys): rng.choice(
             ["", "x", "abc", "Zz9", "café", "hello world"])
             for _ in range(n)})
-    int_maps += [{}, {"a": 0, "b": 1}, {"a b": 5}, {"": 3}]
-    str_maps += [{}, {"a": ""}, {"é": "é"}, {"b": "B"}]
+    # {"ab": 50} pins the schema-form dependency gap (a singleton map
+    # where the dep schema requires minProperties 2 — fresh-seed find)
+    int_maps += [{}, {"a": 0, "b": 1}, {"a b": 5}, {"": 3}, {"ab": 50}]
+    str_maps += [{}, {"a": ""}, {"é": "é"}, {"b": "B"}, {"ab": "x"}]
 
     int_specs = [
         {"type": "object", "required": ["a", "a b"]},
