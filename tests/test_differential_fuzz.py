@@ -272,6 +272,96 @@ def test_map_column_object_keyword_fuzz(spark):
                           + "\n".join(problems[:12]))
 
 
+def test_random_object_spec_fuzz(spark):
+    """RANDOM object specs (not a fixed list) × random maps, dual-path:
+    columnar map<string,long> AND VARIANT vs the kernel — this generator
+    found the silently-skipped schema-form map dependencies."""
+    rng = random.Random(SEED + 6)
+    keys = ["a", "b", "c", "ab", "k9", "zz", "a b", ""]
+
+    def leaf():
+        return rng.choice([
+            {"minimum": rng.randint(-5, 5)}, {"maximum": rng.randint(-5, 50)},
+            {"multipleOf": rng.choice([2, 3, 7])},
+            {"enum": rng.sample([0, 1, 2, 5, 50], 2)},
+            {"const": rng.choice([0, 1, 50])},
+            {"type": "integer"}, {"format": "int32"},
+            True, False, {}])
+
+    def gen_spec(depth=2):
+        spec = {}
+        if rng.random() < 0.5:
+            spec["properties"] = {k: leaf()
+                                  for k in rng.sample(keys, rng.randint(1, 3))}
+        if rng.random() < 0.4:
+            spec["required"] = rng.sample(keys, rng.randint(1, 2))
+        if rng.random() < 0.4:
+            spec["patternProperties"] = {
+                rng.choice(["^a", "b$", "[0-9]", "^$", "^[ak]"]): leaf()}
+        if rng.random() < 0.4:
+            spec["additionalProperties"] = rng.choice([False, leaf()])
+        if rng.random() < 0.3:
+            spec["minProperties"] = rng.randint(0, 3)
+        if rng.random() < 0.3:
+            spec["maxProperties"] = rng.randint(0, 4)
+        if rng.random() < 0.3:
+            spec["propertyNames"] = rng.choice(
+                [{"maxLength": rng.randint(0, 2)}, {"pattern": "^[a-z]+$"},
+                 {"minLength": 1}])
+        if rng.random() < 0.4:
+            spec["dependencies"] = {rng.choice(keys): rng.choice(
+                [rng.sample(keys, 1), rng.choice(keys),
+                 {"minProperties": rng.randint(1, 3)},
+                 {"required": rng.sample(keys, 1)}, False])}
+        if depth > 0 and rng.random() < 0.3:
+            comb = rng.choice(["allOf", "anyOf", "oneOf", "not"])
+            if comb == "not":
+                spec["not"] = gen_spec(depth - 1)
+            else:
+                spec[comb] = [gen_spec(depth - 1)
+                              for _ in range(rng.randint(1, 2))]
+        return spec or {"minProperties": 0}
+
+    specs = [gen_spec() for _ in range(40)]
+    values = [{rng.choice(keys): rng.choice([0, 1, 2, 5, 50, -3])
+               for _ in range(rng.randint(0, 4))} for _ in range(30)] \
+        + [{}, {"a": 1}, {"ab": 50}]
+
+    from sparkschema.compiler.variantcol import (VariantUnsupported,
+                                                 variant_valid_column)
+    kernel = Validator()
+    cc = ColumnCompiler()
+    df = spark.createDataFrame(
+        [(i, v, json.dumps(v, ensure_ascii=False))
+         for i, v in enumerate(values)],
+        "i int, m map<string,long>, js string")
+    cols, vok = [], set()
+    for j, spec in enumerate(specs):
+        cols.append(cc.compile_valid(spec, F.col("m"),
+                                     df.schema["m"].dataType).alias(f"c{j}"))
+        try:
+            cols.append(variant_valid_column("js", spec).alias(f"v{j}"))
+            vok.add(j)
+        except VariantUnsupported:
+            pass
+    got = {}
+    for b in range(0, len(cols), 30):  # batch: one giant select OOMs codegen
+        for r in df.select("i", *cols[b:b + 30]).collect():
+            got.setdefault(r.i, {}).update(r.asDict())
+    problems = []
+    for j, spec in enumerate(specs):
+        for i, v in enumerate(values):
+            expected = not kernel.validate(spec, v)
+            if bool(got[i][f"c{j}"]) != expected:
+                problems.append(f"MAP spec={spec} v={v!r}: "
+                                f"got={got[i][f'c{j}']} kernel={expected}")
+            if j in vok and bool(got[i][f"v{j}"]) != expected:
+                problems.append(f"VARIANT spec={spec} v={v!r}: "
+                                f"got={got[i][f'v{j}']} kernel={expected}")
+    assert not problems, (f"{len(problems)} divergences:\n"
+                          + "\n".join(problems[:10]))
+
+
 def test_struct_column_object_keyword_fuzz(spark):
     """Struct-column object keywords vs the kernel: a NULL field models
     the absent property, so the kernel sees the dict of NON-NULL fields.
