@@ -260,6 +260,14 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
     out["image_phash_pairs"] = timed(
         lambda: image_phash_pairs(bimgs).count(), runs=2,
         prewarm=lambda: warm_page_cache(IMAGE_BYTES_TABLE))
+
+    # structural container validation: header/dims/fmt/length checks on the
+    # raw binary column, whole-stage codegen, zero Python — the gate a
+    # 10^12-row pipeline runs before paying any Arrow decode
+    from sparkschema.operators.imagemeta import container_meta_verdict
+    out["image_container_meta"] = timed(
+        lambda: container_meta_verdict(bimgs).collect(), runs=2,
+        prewarm=lambda: warm_page_cache(IMAGE_BYTES_TABLE))
     return out
 
 
