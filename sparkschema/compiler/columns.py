@@ -835,16 +835,20 @@ class ColumnCompiler:
 
             pn = schema.get("propertyNames")
             if pn is not None and not (pn is True):
-                # name validity of each LITERAL field name is decided at
-                # compile time by the kernel itself — exact parity
-                from sparkschema.spec.interpreter import Validator
-                kv = Validator()
+                # compile the NAME schema against each literal field name:
+                # the checks are constants gated on field presence, and the
+                # violations carry the INNER keywords exactly like the
+                # kernel/reference recursion (attribution-fuzz find r3b:
+                # a coarse "propertyNames" umbrella diverged from the
+                # kernel's "maxLength")
+                import dataclasses
                 for k in names:
-                    if kv.validate(pn, k):
-                        out.append(self._chk(
-                            "propertyNames", f"{spath}/propertyNames",
-                            f"{ipath}/{k}", present & col[k].isNotNull(),
-                            F.lit(k), "comp.no.schema"))
+                    for chk in self.compile_checks(
+                            pn, F.lit(k), T.StringType(),
+                            f"{spath}/propertyNames", f"{ipath}/{k}"):
+                        out.append(dataclasses.replace(
+                            chk, fail=present & col[k].isNotNull()
+                            & chk.fail))
 
             patprops = schema.get("patternProperties")
             kernel_rx = None
@@ -905,13 +909,17 @@ class ColumnCompiler:
                                 present & col[a].isNotNull() & missing,
                                 F.lit(a), "obj.missing.prop.dep", F.lit(b)))
                     elif isinstance(dep, (dict, bool)):
-                        ok = self.compile_valid(dep, col, dt)
-                        out.append(self._chk(
-                            "dependencies", f"{spath}/dependencies/{a}",
-                            f"{ipath}/{a}",
-                            present & col[a].isNotNull()
-                            & ~F.coalesce(ok, F.lit(False)),
-                            col[a].cast("string"), "comp.no.schema"))
+                        # schema form recurses so violations carry the
+                        # INNER keywords like the kernel/reference
+                        # (attribution-fuzz find r3b)
+                        import dataclasses
+                        for chk in self.compile_checks(
+                                dep, col, dt,
+                                f"{spath}/dependencies/{a}", ipath):
+                            out.append(dataclasses.replace(
+                                chk,
+                                fail=present & col[a].isNotNull()
+                                & F.coalesce(chk.fail, F.lit(False))))
             return out
 
         if not isinstance(dt, T.MapType):

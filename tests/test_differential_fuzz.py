@@ -460,6 +460,56 @@ def test_array_of_struct_items_fuzz(spark):
     assert not problems, "\n".join(problems[:10])
 
 
+def test_struct_keyword_attribution_parity(spark):
+    """Violated-keyword SETS on struct columns vs the kernel: the r3b
+    static object-keyword compile must attribute like the interpreter
+    (patternProperties recurse to INNER keywords, additionalProperties /
+    propertyNames / dependencies report their own)."""
+    rows = []
+    vals = [None, 0, 1, 7, 50, -2]
+    svals = [None, "", "x", "abc"]
+    rng = random.Random(SEED + 7)
+    for i in range(25):
+        rows.append((i, (rng.choice(vals), rng.choice(vals),
+                         rng.choice(svals))))
+    df = spark.createDataFrame(
+        rows, "i int, st struct<a:long, b:long, zz_weird:string>")
+    specs = [
+        {"minProperties": 2, "maxProperties": 2},
+        {"propertyNames": {"maxLength": 2}, "required": ["a"]},
+        {"patternProperties": {"^[ab]$": {"minimum": 1, "multipleOf": 7}}},
+        {"properties": {"a": {"maximum": 5}}, "additionalProperties": False},
+        {"properties": {"a": {}, "b": {}},
+         "additionalProperties": {"minLength": 2}},
+        {"dependencies": {"a": ["b"], "zz_weird": {"minProperties": 3}}},
+    ]
+    kernel = Validator()
+    cc = ColumnCompiler()
+    sel = []
+    for j, spec in enumerate(specs):
+        checks = cc.compile_checks(spec, F.col("st"),
+                                   df.schema["st"].dataType, "#", "")
+        arr = F.array(*[F.when(F.coalesce(c.fail, F.lit(False)),
+                               F.lit(c.keyword)) for c in checks]) \
+            if checks else F.lit([]).cast("array<string>")
+        sel.append(F.array_sort(F.array_distinct(
+            F.filter(arr, lambda x: x.isNotNull()))).alias(f"k{j}"))
+    got = {r.i: r for r in df.select("i", *sel).collect()}
+    problems = []
+    for j, spec in enumerate(specs):
+        for i, tup in rows:
+            value = {k: v for k, v in zip(("a", "b", "zz_weird"), tup)
+                     if v is not None}
+            expected = sorted({viol.keyword
+                               for viol in kernel.validate(spec, value)})
+            g = sorted(got[i][f"k{j}"])
+            if g != expected:
+                problems.append(f"spec={spec} v={value!r}: cols={g} "
+                                f"kernel={expected}")
+    assert not problems, (f"{len(problems)} attribution mismatches:\n"
+                          + "\n".join(problems[:10]))
+
+
 def test_keyword_attribution_parity_fuzz(spark):
     """Beyond verdicts: the SET of violated keywords per value must match
     the kernel's attribution (the error-report contract) on every typed
