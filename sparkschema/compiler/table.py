@@ -280,6 +280,10 @@ def compile_table_spec(
                                                      b, catalog=catalog)),
                     ))
             elif isinstance(dep, (dict, bool)):
+                # attribution note: this emits ONE "dependencies" check
+                # for the whole dep schema (the kernel recurses to inner
+                # keywords; struct COLUMNS do too via compile_checks —
+                # the row-level path builds a validity column instead)
                 ok = object_schema_valid(cc, dep, fields)
                 checks.append(Check(
                     keyword="dependencies",
