@@ -945,14 +945,28 @@ class ColumnCompiler:
 
         patprops = schema.get("patternProperties")
         if isinstance(patprops, dict):
+            import dataclasses
             for pat, sub in patprops.items():
                 flt = self._map_filter_by_key(col, pat)
-                ok = F.forall(F.map_values(flt),
-                              lambda v: self.compile_valid(sub, v, vt))
-                out.append(self._chk("patternProperties",
-                                     f"{spath}/patternProperties/{pat}", ipath,
-                                     present & ~ok, col.cast("string"),
-                                     "comp.no.schema"))
+                vals = F.map_values(flt)
+                # one check per INNER keyword of the subschema — kernel/
+                # reference attribution (a key's value failing "minimum"
+                # reports "minimum", not a patternProperties umbrella):
+                # the template provides keyword/path/msg; fail rebinds the
+                # inner check per entry inside exists
+                template = self.compile_checks(
+                    sub, F.lit(None).cast(vt), vt,
+                    f"{spath}/patternProperties/{pat}", ipath)
+
+                def _fires(i, sub=sub):
+                    return lambda x: F.coalesce(
+                        self.compile_checks(sub, x, vt, "", "")[i].fail,
+                        F.lit(False))
+
+                for i, tpl in enumerate(template):
+                    out.append(dataclasses.replace(
+                        tpl, fail=present & F.exists(vals, _fires(i)),
+                        value=col.cast("string")))
 
         add = schema.get("additionalProperties")
         if add is not None and add is not True:
@@ -980,12 +994,21 @@ class ColumnCompiler:
                                      "obj.additional.props",
                                      F.array_join(F.array_sort(extras), ", ")))
             elif isinstance(add, dict):
-                ok = F.forall(extras, lambda k: self.compile_valid(
-                    add, F.try_element_at(col, k), vt))
-                out.append(self._chk("additionalProperties",
-                                     f"{spath}/additionalProperties", ipath,
-                                     present & ~ok, col.cast("string"),
-                                     "comp.no.schema"))
+                import dataclasses
+                template = self.compile_checks(
+                    add, F.lit(None).cast(vt), vt,
+                    f"{spath}/additionalProperties", ipath)
+
+                def _ap_fires(i, add=add):
+                    return lambda k: F.coalesce(
+                        self.compile_checks(
+                            add, F.try_element_at(col, k), vt, "", "")[i].fail,
+                        F.lit(False))
+
+                for i, tpl in enumerate(template):
+                    out.append(dataclasses.replace(
+                        tpl, fail=present & F.exists(extras, _ap_fires(i)),
+                        value=col.cast("string")))
 
         mn = schema.get("minProperties")
         if isinstance(mn, int) and not isinstance(mn, bool):

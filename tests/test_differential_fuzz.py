@@ -510,6 +510,51 @@ def test_struct_keyword_attribution_parity(spark):
                           + "\n".join(problems[:10]))
 
 
+def test_map_keyword_attribution_parity(spark):
+    """Violated-keyword SETS on map columns vs the kernel: r3b upgraded
+    patternProperties / schema-form additionalProperties from a coarse
+    umbrella check to one check per INNER keyword (exists over matching
+    entries), matching the kernel/reference recursion."""
+    rng = random.Random(SEED + 8)
+    keys = ["a", "b", "ab", "zz", "k9"]
+    values = [{rng.choice(keys): rng.choice([0, 1, 7, 50, -2])
+               for _ in range(rng.randint(0, 4))} for _ in range(25)]
+    values += [{}, {"a": 1}, {"zz": -2, "k9": 50}]
+    specs = [
+        {"patternProperties": {"^[ab]": {"minimum": 1, "multipleOf": 7}}},
+        {"patternProperties": {"9$": {"enum": [1, 2]}, "^z": {"maximum": 5}}},
+        {"properties": {"a": {}}, "additionalProperties": {"minimum": 0,
+                                                           "const": 1}},
+        {"additionalProperties": False, "properties": {"a": {"maximum": 5}}},
+        {"patternProperties": {"^a": False}},
+    ]
+    kernel = Validator()
+    cc = ColumnCompiler()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i int, m map<string,long>")
+    sel = []
+    for j, spec in enumerate(specs):
+        checks = cc.compile_checks(spec, F.col("m"),
+                                   df.schema["m"].dataType, "#", "")
+        arr = F.array(*[F.when(F.coalesce(c.fail, F.lit(False)),
+                               F.lit(c.keyword)) for c in checks]) \
+            if checks else F.lit([]).cast("array<string>")
+        sel.append(F.array_sort(F.array_distinct(
+            F.filter(arr, lambda x: x.isNotNull()))).alias(f"k{j}"))
+    got = {r.i: r for r in df.select("i", *sel).collect()}
+    problems = []
+    for j, spec in enumerate(specs):
+        for i, v in enumerate(values):
+            expected = sorted({viol.keyword
+                               for viol in kernel.validate(spec, v)})
+            g = sorted(got[i][f"k{j}"])
+            if g != expected:
+                problems.append(f"spec={spec} v={v!r}: cols={g} "
+                                f"kernel={expected}")
+    assert not problems, (f"{len(problems)} attribution mismatches:\n"
+                          + "\n".join(problems[:10]))
+
+
 def test_keyword_attribution_parity_fuzz(spark):
     """Beyond verdicts: the SET of violated keywords per value must match
     the kernel's attribution (the error-report contract) on every typed
