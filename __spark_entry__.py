@@ -1157,14 +1157,17 @@ def oracle_sql() -> dict[str, str]:
                        then 1 else 0 end) as bigint) as v0_enum,
               cast(0 as bigint) as v1_required,
               cast(sum(case when not regexp_matches(o_orderpriority, '^[1-3]-')
-                       then 1 else 0 end) as bigint) as v2_patternproperties,
+                       then 1 else 0 end) as bigint) as v2_pattern,
+              -- r3b: map patternProperties / propertyNames attribute to
+              -- the INNER keyword (kernel recursion parity), renaming
+              -- the derived columns
               cast(sum(case when o_totalprice > 200000.0 then 1 else 0 end)
                    as bigint) as v3_additionalproperties,
               cast(0 as bigint) as v4_minproperties,
               cast(sum(case when o_totalprice > 200000.0 then 1 else 0 end)
                    as bigint) as v5_maxproperties,
               cast(sum(case when o_totalprice > 200000.0 then 1 else 0 end)
-                   as bigint) as v6_propertynames,
+                   as bigint) as v6_pattern,
               cast(sum(case when o_totalprice > 200000.0 then 1 else 0 end)
                    as bigint) as v7_dependencies
             from orders

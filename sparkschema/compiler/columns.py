@@ -1024,12 +1024,23 @@ class ColumnCompiler:
                                  F.size(keys).cast("string"), F.lit(str(mx))))
 
         pn = schema.get("propertyNames")
-        if pn is not None:
-            ok = F.forall(keys, lambda k: self.compile_valid(
-                pn, k, T.StringType()))
-            out.append(self._chk("propertyNames", f"{spath}/propertyNames",
-                                 ipath, present & ~ok, col.cast("string"),
-                                 "comp.no.schema"))
+        if pn is not None and pn is not True:
+            # inner-keyword attribution like the kernel recursion (a key
+            # failing the name-schema's pattern reports "pattern")
+            import dataclasses
+            template = self.compile_checks(
+                pn, F.lit(None).cast("string"), T.StringType(),
+                f"{spath}/propertyNames", ipath)
+
+            def _pn_fires(i, pn=pn):
+                return lambda k: F.coalesce(
+                    self.compile_checks(pn, k, T.StringType(),
+                                        "", "")[i].fail, F.lit(False))
+
+            for i, tpl in enumerate(template):
+                out.append(dataclasses.replace(
+                    tpl, fail=present & F.exists(keys, _pn_fires(i)),
+                    value=col.cast("string")))
 
         deps = schema.get("dependencies")
         if isinstance(deps, dict):

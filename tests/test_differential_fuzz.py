@@ -527,6 +527,8 @@ def test_map_keyword_attribution_parity(spark):
                                                            "const": 1}},
         {"additionalProperties": False, "properties": {"a": {"maximum": 5}}},
         {"patternProperties": {"^a": False}},
+        {"propertyNames": {"pattern": "^[a-z]$", "maxLength": 2}},
+        {"propertyNames": False},
     ]
     kernel = Validator()
     cc = ColumnCompiler()
