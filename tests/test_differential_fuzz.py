@@ -85,6 +85,11 @@ def _gen_specs(rng: random.Random) -> list[dict]:
               {"format": "int32"}, {"format": "int64"},
               {"pattern": "^[a-z]+$"}, {"pattern": "9"},
               {"minimum": 0, "maximum": 100, "multipleOf": 7},
+              # draft-4 boolean exclusive flags (flag-form, not number-form)
+              {"minimum": 7, "exclusiveMinimum": True},
+              {"maximum": 50, "exclusiveMaximum": True},
+              {"minimum": Decimal("0.5"), "exclusiveMinimum": True,
+               "maximum": 2**53, "exclusiveMaximum": True},
               {"anyOf": [{"minimum": 100}, {"maximum": 0}]},
               {"oneOf": [{"minimum": 0}, {"maximum": 10}]},
               {"not": {"type": "string"}},
