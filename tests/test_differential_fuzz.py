@@ -197,6 +197,53 @@ def test_three_path_differential_fuzz(spark):
                           + "\n".join(problems[:10]))
 
 
+def test_ref_chain_inlining_fuzz(spark):
+    """Random $ref chains (definitions graphs wrapped in combinators):
+    the compile-time inliner + columnar compiler must agree with the
+    registry-backed kernel."""
+    from sparkschema.compiler.table import inline_refs
+    from sparkschema.spec.refs import RefResolver, Scope
+    from sparkschema.spec.registry import SpecRegistry
+
+    rng = random.Random(SEED + 9)
+    values = [0, 1, 5, 7, 49, 50, 100, -3]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "i int, ln long")
+    cc = ColumnCompiler()
+    problems = []
+    for trial in range(30):
+        leaf = rng.choice([{"minimum": rng.randint(0, 50)},
+                           {"maximum": rng.randint(0, 50)},
+                           {"multipleOf": rng.choice([2, 7])},
+                           {"enum": [1, 5, 50]}])
+        defs = {"d0": leaf}
+        depth = rng.randint(1, 3)
+        for lvl in range(1, depth + 1):
+            inner = {"$ref": f"#/definitions/d{lvl-1}"}
+            defs[f"d{lvl}"] = rng.choice([
+                inner,
+                {"allOf": [inner, {"minimum": -100}]},
+                {"anyOf": [inner, {"const": -999}]},
+                {"not": {"not": inner}},
+                {"oneOf": [inner]},
+            ])
+        spec = {"definitions": defs, "$ref": f"#/definitions/d{depth}"}
+        reg = SpecRegistry("draft7")
+        uri = f"urn:fuzz:{trial}"
+        reg.index.add_document(uri, spec, "draft7")
+        inlined = inline_refs(spec, RefResolver(reg.index, "draft7"),
+                              Scope(spec, uri))
+        col = cc.compile_valid(inlined, F.col("ln"),
+                               df.schema["ln"].dataType)
+        got = {r.i: r.ok for r in df.select("i", col.alias("ok")).collect()}
+        for i, v in enumerate(values):
+            expected = not reg.validate(spec, v)
+            if bool(got[i]) != expected:
+                problems.append(f"spec={spec} v={v}: got={got[i]} "
+                                f"kernel={expected}")
+    assert not problems, "\n".join(problems[:8])
+
+
 def test_map_column_object_keyword_fuzz(spark):
     """Columnar map<string,T> object keywords vs the kernel over random
     objects — the typed-column twin of the VARIANT compound fuzz. NULL
