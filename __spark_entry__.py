@@ -270,7 +270,12 @@ def _q_events_json_invalid(spark, sf):
     # counting an unparsable derived document as invalid.
     kstr = F.get_json_object("props", "$.k")
     knum = kstr.try_cast("decimal(14,0)")
-    armed = knum.isNotNull() & F.col("value").isNotNull()
+    # arm on an exact integer-text guard shared verbatim with the oracle:
+    # try_cast to decimal(14,0) ROUNDS fractional text ('4.5' -> 5) while
+    # the oracle's bigint try_cast NULLs it — a fractional props.k would
+    # desync the arm counts (ADVICE r3 low)
+    k_int = kstr.rlike(r"^-?\d{1,14}$")
+    armed = k_int & F.col("value").isNotNull()
     armed2 = armed & F.col("event_type").isNotNull()
     vstr = F.col("value").cast("string")
     big = (knum * F.lit(_Dec(10 ** 24))).cast("decimal(38,0)").cast("string")
@@ -1089,10 +1094,14 @@ def oracle_sql() -> dict[str, str]:
                          value, event_type,
                          try_cast(cast(value as varchar)
                                   as decimal(38,18)) as qd,
-                         (try_cast(json_extract_string(props, '$.k') as bigint)
-                            is not null and value is not null) as armed,
-                         (try_cast(json_extract_string(props, '$.k') as bigint)
-                            is not null and value is not null
+                         -- exact integer-text arm, shared verbatim with
+                         -- the engine's rlike gate (ADVICE r3 low)
+                         (regexp_matches(json_extract_string(props, '$.k'),
+                                         '^-?\\d{1,14}$')
+                            and value is not null) as armed,
+                         (regexp_matches(json_extract_string(props, '$.k'),
+                                         '^-?\\d{1,14}$')
+                            and value is not null
                             and event_type is not null) as armed2
                   from events)
         """,

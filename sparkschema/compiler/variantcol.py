@@ -222,7 +222,11 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
     except (OverflowError, ValueError):
         binary_mo_ = False
     M_ = int(mo_dec_.scaleb(s_, _dec.Context(prec=60)))
-    if not binary_mo_ and not (1 <= M_ <= 2 ** 53 and s_ <= 18):
+    # s_ > 18 is pathological EVEN for binary-representable mo (e.g.
+    # 2^-20, scale 20): the vscale>18 tier below assumes "value finer
+    # than any multiple of mo" which only holds when scale(mo) <= 18 —
+    # a stored DECIMAL(20,20) that IS 3*2^-20 was flagged (ADVICE r3)
+    if s_ > 18 or not (binary_mo_ or 1 <= M_ <= 2 ** 53):
         raise VariantUnsupported("pathological multipleOf (kernel fallback)")
 
     exact = (t == "BIGINT") | t.startswith("DECIMAL")
@@ -538,8 +542,11 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
             # the double (branch-guarded: floor(double) -> long would
             # throw under ANSI past 2^53)
             exact_t = (t == "BIGINT") | t.startswith("DECIMAL")
+            # the decimal-window tier is for EXACT-stored values only:
+            # nn of a DOUBLE rounds (1e-19 -> 0 "is" an integer) — DOUBLE/
+            # FLOAT must fall through to the double branches (ADVICE r3)
             return is_num & (
-                F.when(nn.isNotNull() & (vscale <= 18),
+                F.when(exact_t & nn.isNotNull() & (vscale <= 18),
                        nn == F.floor(nn).cast(_DEC))
                  .when(exact_t,
                        ~F.try_variant_get(v, "$", "string")
@@ -620,7 +627,11 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
                 # scale, scale-19..38 values through the exact text
                 # comparator, before falling to the double view
                 ds = F.try_variant_get(v, "$", f"decimal(38,{s})")
-                return F.when(n.isNotNull() & (vscale <= 18),
+                # every n/nn decimal tier is gated on exact_t: n of a
+                # DOUBLE-stored value ROUNDS to scale 18 (shortest repr
+                # of 9.999999999999998e-4 has 19 fractional digits), so
+                # doubles must reach dbl_cond (ADVICE r3)
+                return F.when(exact_t & n.isNotNull() & (vscale <= 18),
                               apply(n, F.lit(d))) \
                         .when(exact_t & (vscale > 18),
                               _dec_text_cmp(v, d, op)) \
@@ -661,10 +672,11 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
                               apply(ds, F.lit(d))) \
                         .when(exact_t & (vscale > 18),
                               _dec_text_cmp(v, d, op)) \
-                        .when(n.isNotNull() & (vscale <= 18), n_cmp) \
+                        .when(exact_t & n.isNotNull() & (vscale <= 18),
+                              n_cmp) \
                         .otherwise(dbl_cond)
             return F.when(exact_t & (vscale > 18), _dec_text_cmp(v, d, op)) \
-                    .when(n.isNotNull() & (vscale <= 18), n_cmp) \
+                    .when(exact_t & n.isNotNull() & (vscale <= 18), n_cmp) \
                     .otherwise(dbl_cond)
 
         for kw in ("minimum", "maximum"):

@@ -155,8 +155,11 @@ def _minhash_sig_udf(num_hashes: int, shingle_k: int, seed: int):
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 64, shingle_k: int = 5,
-                       seed: int = 42, impl: str = "expr") -> DataFrame:
-    """Persisted ``(id, sig)`` signature table.
+                       seed: int = 42, impl: str = "expr",
+                       scope=None) -> DataFrame:
+    """Persisted ``(id, sig)`` signature table. The cache entry is owned
+    by ``scope`` (:class:`sparkschema.operators.caching.CacheScope`;
+    default: the process-wide scope) — release it after the last action.
 
     ``impl='expr'`` (default): pure-Catalyst HOFs, zero Python on executors.
     ``impl='numpy'``: the Arrow-batched kernel — ~an order of magnitude
@@ -168,7 +171,9 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         # batches across cores before the kernel runs
         spread = df.select(F.col(id_col).alias("id"), F.col(text_col)) \
                    .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
-        return spread.select("id", udf(F.col(text_col)).alias("sig")).persist()
+        from sparkschema.operators.caching import default_scope
+        return (scope or default_scope()).persist(
+            spread.select("id", udf(F.col(text_col)).alias("sig")))
     sh_col = char_shingles(normalized_text(F.col(text_col)), shingle_k)
     shingled = df.select(F.col(id_col).alias("id"), sh_col.alias("sh")) \
                  .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
@@ -179,15 +184,16 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     def mh(h: int) -> Column:
         return F.array_min(F.transform(F.col("sh"), _hasher(h)))
 
-    return shingled.select(
-        "id", F.array(*[mh(h) for h in range(num_hashes)]).alias("sig")).persist()
+    from sparkschema.operators.caching import default_scope
+    return (scope or default_scope()).persist(shingled.select(
+        "id", F.array(*[mh(h) for h in range(num_hashes)]).alias("sig")))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5, jaccard_min: float = 0.7,
                       seed: int = 42, max_bucket: int = 1000,
-                      signature_impl: str = "expr") -> DataFrame:
+                      signature_impl: str = "expr", scope=None) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b, jaccard)`` with exact shingle
     Jaccard ≥ threshold, found via banded MinHash-LSH.
 
@@ -219,8 +225,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     #     barrier; persist() makes the three consumers (buckets, estimate,
     #     verify) share one computation — at real scale this is the
     #     signature table you would write out anyway.
+    from sparkschema.operators.caching import default_scope
+    scope = scope or default_scope()
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
-                              seed, impl=signature_impl)
+                              seed, impl=signature_impl, scope=scope)
 
     band_arr = F.array(*[
         F.struct(F.lit(b).alias("band"),
@@ -255,8 +263,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     est = (est.withColumn("__est", matches / F.lit(float(num_hashes)))
               .where(F.col("__est") >= jaccard_min * 0.7)  # generous margin
-              .select("id_a", "id_b")
-              .persist())  # consumed 3×: candidate ids + both verify joins
+              .select("id_a", "id_b"))
+    est = scope.persist(est)  # consumed 3x: candidate ids + both verify joins
 
     # exact verify touches ONLY candidate docs: semi-join the corpus to the
     # ids surviving the estimate filter BEFORE shingling — at corpus scale

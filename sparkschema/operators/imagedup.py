@@ -59,7 +59,8 @@ def image_phash_frame(df: DataFrame, bytes_col: str = "bytes",
 def image_phash_pairs(df: DataFrame, bytes_col: str = "bytes",
                       id_col: str = "image_id", chunks: int = 8,
                       hamming_max: int = 10,
-                      spread_partitions: int | None = None) -> DataFrame:
+                      spread_partitions: int | None = None,
+                      scope=None) -> DataFrame:
     """Near-duplicate image pairs ``(id_a, id_b, hamming)`` with pHash
     Hamming distance ≤ ``hamming_max`` — the shared chunk-pigeonhole
     bucketing (:func:`sparkschema.operators.dedup.hamming_pairs`; see its
@@ -72,7 +73,9 @@ def image_phash_pairs(df: DataFrame, bytes_col: str = "bytes",
     # persist (or relying on lazy cache matching) left one join branch
     # re-decoding the corpus with the UDF evaluated twice (filter +
     # project) — caught by the plan test below.
-    raw = image_phash_frame(df, bytes_col, id_col, spread_partitions).persist()
+    from sparkschema.operators.caching import default_scope
+    raw = (scope or default_scope()).persist(
+        image_phash_frame(df, bytes_col, id_col, spread_partitions))
     raw.count()
     sigs = raw.where(F.col("phash").isNotNull())
     return hamming_pairs(sigs, "phash", "id", chunks, hamming_max)
