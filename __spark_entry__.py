@@ -661,14 +661,34 @@ def _q_quantiles_extendedprice(spark, sf):
     )
 
 
+# Signature-export contract (VERDICT r3 #1/#2): DuckDB cannot run the
+# engine's image codec, but it does not need to — the engine exports the
+# codec's OUTPUT (pHash signatures / raw container bytes) as parquet
+# under this directory, and the oracle independently recomputes all the
+# downstream logic (pigeonhole buckets, Hamming pairs, byte-structural
+# checks) from that export. Only the decode stays engine-side; the
+# pairing/validation logic gets independent verification — the pattern
+# that oracled ann_lsh_embeddings. The engine query runs before its
+# oracle (the driver compares their results), so the export exists by
+# the time DuckDB reads it; the engine result is computed FROM THE
+# READ-BACK FILE so both sides consume identical rows.
+_ORACLE_EXPORT = "/tmp/sparkschema_oracle"
+
+
 def _q_image_phash_neardup(spark, sf):
-    """Image perceptual-hash near-dup (rows-only: DuckDB cannot decode the
-    engine codec). Deterministic planted twins: every base image appears
-    raw AND 6-bit-quantized under distinct ids; the pigeonhole-bucketed
-    pHash pairs must recover each twin with a small Hamming distance.
-    Output is one summary row, stable across runs (seeded codec)."""
+    """Image perceptual-hash near-dup pairs with a full DuckDB twin.
+
+    Deterministic planted twins: every base image appears raw AND
+    6-bit-quantized (jpg) under distinct ids; the pigeonhole-bucketed
+    pHash pairs recover each twin at small Hamming distance. The engine
+    decodes + pHashes once, exports the 64-bit signature table, and
+    derives its pair set from the read-back export; the oracle recomputes
+    the chunk buckets, bit_count(xor) Hamming distances, and the planted
+    flag from the same export in SQL (reference dup-detection contract:
+    ArrayConstraintValidators.scala:76-95)."""
     from sparkschema.functions.imagecodec import encode, synth_pixels
-    from sparkschema.operators.imagedup import image_phash_pairs
+    from sparkschema.operators.dedup import hamming_pairs
+    from sparkschema.operators.imagedup import image_phash_frame
 
     rows = []
     for i in range(40):
@@ -677,14 +697,34 @@ def _q_image_phash_neardup(spark, sf):
         rows.append((f"b-{i:03d}", bytearray(encode(px, "jpg"))))
     df = spark.createDataFrame(rows, "image_id string, bytes binary") \
               .repartition(8)
-    pairs = image_phash_pairs(df, hamming_max=10)
-    planted_hit = (F.substring("id_a", 3, 3) == F.substring("id_b", 3, 3))
-    return pairs.agg(
-        F.count(F.lit(1)).alias("pairs_found"),
-        F.sum(planted_hit.cast("long")).alias("planted_found"),
-        F.sum((~planted_hit).cast("long")).alias("false_pairs"),
-        F.max("hamming").alias("max_hamming"),
-    )
+    sigs = image_phash_frame(df, spread_partitions=8) \
+        .where(F.col("phash").isNotNull())
+    path = f"{_ORACLE_EXPORT}/phash_sigs"
+    sigs.write.mode("overwrite").parquet(path)
+    pairs = hamming_pairs(spark.read.parquet(path), "phash", "id",
+                          chunks=8, hamming_max=10)
+    planted = (F.substring("id_a", 3, 3) == F.substring("id_b", 3, 3))
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"),
+        planted.alias("planted"))
+
+
+def _q_image_container_meta(spark, sf):
+    """Decode-free container structural verdict with a DuckDB byte-
+    arithmetic twin. The engine synthesizes a seeded image slice (with
+    planted truncations and orphan fmt labels), exports the raw rows, and
+    computes the structural verdict from the read-back export; the oracle
+    replays every check (magic, u16-LE dims, fmt code, payload length)
+    on the hex rendering of the same blobs."""
+    from sparkschema.operators.imagemeta import container_meta_verdict
+    from sparkschema.sources.synthetic import images_df
+
+    imgs = images_df(spark, 1200, with_bytes=True, corrupt_fraction=0.02,
+                     orphan_fmt_fraction=0.02, partitions=8) \
+        .select("image_id", "bytes", "w", "h", "fmt")
+    path = f"{_ORACLE_EXPORT}/container_images"
+    imgs.write.mode("overwrite").parquet(path)
+    return container_meta_verdict(spark.read.parquet(path))
 
 
 def _q_ann_lsh_embeddings(spark, sf):
@@ -756,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
         "quantiles_extendedprice": _q_quantiles_extendedprice,
         "image_phash_neardup": _q_image_phash_neardup,
+        "image_container_meta": _q_image_container_meta,
     }
 
 
@@ -1346,4 +1387,83 @@ def oracle_sql() -> dict[str, str]:
               from lineitem
             ) c
         """,
+        # recomputes the ENGINE-EXPORTED signature table's pairing logic
+        # independently: chunk-pigeonhole candidate buckets (8 x 8-bit
+        # chunks; masking makes arithmetic shift equal logical), Hamming
+        # via bit_count(xor), planted flag from the id layout. Decode
+        # stays engine-side by construction — see _q_image_phash_neardup.
+        "image_phash_neardup": """
+            with sigs as (
+              select id, phash
+              from '{export}/phash_sigs/*.parquet'),
+            pairs as (
+              select a.id as id_a, b.id as id_b,
+                     cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+              from sigs a join sigs b on a.id < b.id
+              where ((a.phash >> 0) & 255) = ((b.phash >> 0) & 255)
+               or ((a.phash >> 8) & 255) = ((b.phash >> 8) & 255)
+               or ((a.phash >> 16) & 255) = ((b.phash >> 16) & 255)
+               or ((a.phash >> 24) & 255) = ((b.phash >> 24) & 255)
+               or ((a.phash >> 32) & 255) = ((b.phash >> 32) & 255)
+               or ((a.phash >> 40) & 255) = ((b.phash >> 40) & 255)
+               or ((a.phash >> 48) & 255) = ((b.phash >> 48) & 255)
+               or ((a.phash >> 56) & 255) = ((b.phash >> 56) & 255)
+            )
+            select id_a, id_b, hamming,
+                   (substring(id_a, 3, 3) = substring(id_b, 3, 3)) as planted
+            from pairs
+            where hamming <= 10
+        """.format(export=_ORACLE_EXPORT),
+        # replays every structural byte check of imagemeta.py on the hex
+        # rendering of the engine-exported blobs: magic "SSI1"
+        # (hex 53534931), u16-LE dims at bytes 5-8, fmt code at byte 9,
+        # exact payload length for the uncompressed formats
+        "image_container_meta": """
+            with imgs as (
+              select w, h, fmt, hex(bytes) as hx,
+                     octet_length(bytes) as len
+              from '{export}/container_images/*.parquet'),
+            c as (
+              select w, h, fmt, len,
+                     coalesce(len >= 9 and substring(hx, 1, 8) = '53534931',
+                              false) as header_ok,
+                     case when len >= 9 then
+                       ('0x' || substring(hx, 9, 2))::int
+                         + ('0x' || substring(hx, 11, 2))::int * 256 end as w_hdr,
+                     case when len >= 9 then
+                       ('0x' || substring(hx, 13, 2))::int
+                         + ('0x' || substring(hx, 15, 2))::int * 256 end as h_hdr,
+                     case when len >= 9 then
+                       ('0x' || substring(hx, 17, 2))::int end as code
+              from imgs),
+            k as (
+              select header_ok,
+                     coalesce(header_ok and w_hdr = w and h_hdr = h,
+                              false) as dims_match,
+                     coalesce(header_ok and code = (case fmt
+                                when 'raw' then 0 when 'rawz' then 1
+                                when 'jpg' then 2 when 'png' then 3 end),
+                              false) as fmt_match,
+                     coalesce(header_ok and
+                              (case when fmt in ('raw', 'jpg', 'png')
+                                    then len = 9 + cast(w as bigint)
+                                               * cast(h as bigint) * 3
+                                    else true end),
+                              false) as length_ok
+              from c)
+            select 'container:meta' as "check",
+                   cast(sum(case when not (header_ok and dims_match and
+                                           fmt_match and length_ok)
+                            then 1 else 0 end) as bigint) = 0 as "pass",
+                   cast(count(*) as bigint) as "rows",
+                   cast(sum(case when not header_ok then 1 else 0 end)
+                        as bigint) as bad_header,
+                   cast(sum(case when header_ok and not dims_match
+                            then 1 else 0 end) as bigint) as dims_mismatch,
+                   cast(sum(case when header_ok and not fmt_match
+                            then 1 else 0 end) as bigint) as fmt_mismatch,
+                   cast(sum(case when header_ok and not length_ok
+                            then 1 else 0 end) as bigint) as bad_length
+            from k
+        """.format(export=_ORACLE_EXPORT),
     }
