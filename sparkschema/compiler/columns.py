@@ -268,22 +268,47 @@ def _num_eq_lit(col: Column, dt: T.DataType, v: Any) -> Column:
     return col == F.lit(nd).cast(dt)
 
 
+# One regex alternative per legacy-BreakIterator cluster rule, ordered so
+# the first match IS the longest match (each special alternative beats the
+# generic base+marks rule by construction whenever it matches — see
+# jsonvalue.grapheme_length for the probed grammar):
+#   1. CRLF
+#   2. Devanagari conjunct  cons nukta? virama zwj? cons nukta? vowel? end?
+#   3. Devanagari           cons nukta? Mc-vowel end?      (ends in an Mc)
+#   4. Devanagari           cons nukta? Mn-vowel? visarga  (ends in an Mc)
+#   5. jamo run of >=2 classical jamo, class non-decreasing (L<=V<=T)
+#   6. base + (Mn|Me)*      (base = not a mark/control/format/separator)
+#   7. any single codepoint (controls, ZWJ, leading marks, ...)
+_DC = "\\u0915-\\u0939\\u0958-\\u095F"      # Devanagari consonants
+_DEV_E = "\\u0902\\u0903\\u0951-\\u0954"    # anusvara/visarga/stress marks
+_GRAPHEME_CLUSTER_RE = (
+    "\\r\\n"
+    f"|[{_DC}]\\u093C?\\u094D\\u200D?[{_DC}]\\u093C?"
+    f"[\\u093E-\\u094C]?[{_DEV_E}]?"
+    f"|[{_DC}]\\u093C?[\\u093E-\\u0940\\u0949-\\u094C][{_DEV_E}]?"
+    f"|[{_DC}]\\u093C?[\\u0941-\\u0948]?\\u0903"
+    "|(?=[\\u1100-\\u11FF]{2})(?:"
+    "[\\u1100-\\u115F]+[\\u1160-\\u11A7]*[\\u11A8-\\u11FF]*"
+    "|[\\u1160-\\u11A7]+[\\u11A8-\\u11FF]*"
+    "|[\\u11A8-\\u11FF]+)"
+    "|[^\\p{Mn}\\p{Me}\\p{Cc}\\p{Cf}\\p{Zl}\\p{Zp}][\\p{Mn}\\p{Me}]*"
+    "|[\\s\\S]"
+)
+
+
 def grapheme_length_col(col: Column) -> Column:
     """String length in grapheme clusters — the Catalyst twin of
     jsonvalue.grapheme_length (reference counts BreakIterator clusters,
-    StringValidators.scala:126-132; Java-probed rules: fold non-leading
-    Mn/Me/Mc, CRLF is one cluster, ZWJ does NOT glue). ASCII fast path:
-    when codepoint count equals byte count and no CRLF is present,
-    F.length is already the cluster count (no regex runs — CASE branches
-    evaluate lazily in codegen)."""
-    crlf_one = F.regexp_replace(col, "\r\n", "\r")
-    folded = F.concat(
-        F.substring(crlf_one, 1, 1),
-        F.regexp_replace(F.substring(crlf_one, 2, 2147483646),
-                         r"[\p{Mn}\p{Me}\p{Mc}]", ""))
+    StringValidators.scala:126-132; rules Java-probed + differentially
+    fuzzed against BreakIterator on this JVM). Every cluster collapses
+    to one char via one regexp_replace, so F.length of the result is the
+    cluster count. ASCII fast path: when codepoint count equals byte
+    count and no CRLF is present, F.length is already the cluster count
+    (no regex runs — CASE branches evaluate lazily in codegen)."""
+    clusters = F.regexp_replace(col, _GRAPHEME_CLUSTER_RE, "X")
     ascii_no_crlf = (F.length(col) == F.octet_length(col)) \
         & ~col.contains(F.lit("\r\n"))
-    return F.when(ascii_no_crlf, F.length(col)).otherwise(F.length(folded))
+    return F.when(ascii_no_crlf, F.length(col)).otherwise(F.length(clusters))
 
 
 def json_eq_col(col: Column, v: Any, dt: T.DataType) -> Column:

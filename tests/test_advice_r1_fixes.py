@@ -184,6 +184,13 @@ GRAPHEME_SAMPLES = [
     "x\ry\n",                                    # bare CR/LF count: 4
     "na\u00efve", "\u65e5\u672c\u8a9e", "\U0001d518\U0001d52b\U0001d526",
     "\U0001f44d\U0001f44d",
+    "\u1100\u1160\u11a8", "\u1100\u11a8", "\u1160\u1100",
+    "\uac00\u11a8", "\ua960\u1160\u11a8", "\u1100\u1160\u0301",
+    "\u1100\u0301", "\u11a8\u11a9\u11aa", "x\u1100\u1160y",
+    "\t\u0301", "\u200d\u0301", "a\u0903\u0301", "\u0301\u0301",
+    "\u0915\u093e\u0903", "\u0915\u094d\u0915",
+    "\u0915\u094d\u200d\u0915\u093e", "\u0915\u0941\u0903",
+    "\u0915\u094d\u0915\u094d\u0915", "\u0905\u093e",
     "\U0001f44d\U0001f3fb",                      # skin tone separate: 2 (Java)
     "\u2764\ufe0f",                              # VS16 is Mn, folds: 1 (Java)
 ]
@@ -199,6 +206,36 @@ JAVA_BREAKITERATOR_TRUTH = {
     "\U0001f468\u200d\U0001f469\u200d\U0001f467": 5,
     "\U0001f1fa\U0001f1f8\U0001f1e9\U0001f1ea": 4,
     "x\u20e0": 1, "\U0001d518\u0301": 1,
+    # round-4 probes: Hangul conjoining jamo (legacy rules: classical-
+    # block runs with non-decreasing class glue; extended jamo and
+    # precomposed syllables never do), mark gating (no fold after
+    # controls/format chars, no Mc fold, no chain onto a leading mark),
+    # Devanagari clusters (the one script with Mc folding + conjuncts)
+    "\u1100\u1160\u11a8": 1,        # L+V+T one cluster
+    "\u1100\u11a8": 1,               # L+T glues (legacy, not UAX#29)
+    "\u1160\u1100": 2,               # V+L breaks (decreasing class)
+    "\u11a8\u11a9": 1,               # T+T glues
+    "\u1100\u1100\u1160": 1,        # L+L+V
+    "\uac00\u11a8": 2,               # precomposed LV + T: NO glue
+    "\uac01\uac01": 2,               # precomposed syllables separate
+    "\ua960\u1160": 2,               # extended-A lead: no glue
+    "\u1100\u1160\u0301": 2,        # marks do NOT extend a jamo run
+    "\u1100\u0301": 1,               # single jamo is a mark-taking base
+    "\t\u0301": 2,                   # no mark fold after controls
+    "\u200d\u0301": 2,               # no mark fold after format chars
+    "a\u0903": 2,                     # Mc does not fold generically
+    "\u0903\u0301": 1,               # but Mc is a base that takes Mn
+    "\u0301\u0301": 2,               # marks don't chain onto a leading mark
+    "a\u0301\u0301": 1,              # they do chain onto a base cluster
+    "\u0915\u093e": 1,               # dev cons + Mc vowel sign folds
+    "\u0915\u094d\u0915": 1,        # dev conjunct (single virama group)
+    "\u0915\u094d\u0915\u094d\u0915": 3,  # no second virama group
+    "\u0915\u094d\u200d\u0915": 1, # ZWJ allowed inside the conjunct
+    "\u0915\u093e\u0903": 1,        # vowel sign + visarga
+    "\u0915\u093e\u0951": 1,        # vowel sign + stress mark
+    "\u0915\u093e\u0301": 2,        # generic marks don't extend it
+    "\u0905\u093e": 2,               # independent vowel takes no Mc
+    "\u0995\u09be": 2,               # Bengali: no Mc folding (dev only)
 }
 
 
