@@ -214,6 +214,38 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> dict[str, float]:
             imgs, key_cols=["image_id"],
             dims={"dim_fmt": dim_fmt_df(spark)}).violations.count())
 
+    # skew stress (north_rule: explicit skew handling on hot buckets) —
+    # a Zipf-ish key where ONE value covers 20% of the 20 M rows (and the
+    # top four ~38%), against a near-unique uniform twin on the same
+    # table. The uniqueness default survives skew via map-side partial
+    # aggregation (a hot key collapses to one partial row per map task
+    # before the exchange); the ref anti-join survives because the dim
+    # side broadcasts, so the skewed fact column never shuffles at all.
+    # BENCH.md records the zipf/uniform wall-time ratios (target <1.5x).
+    hk = F.abs(F.xxhash64("image_id")) % 100
+    zipf_key = (F.when(hk < 20, F.lit("hot-0"))
+                 .when(hk < 30, F.lit("hot-1"))
+                 .when(hk < 35, F.lit("hot-2"))
+                 .when(hk < 38, F.lit("hot-3"))
+                 .otherwise(F.col("image_id")))
+    skewed = imgs.select(zipf_key.alias("k"), "fmt", "image_id")
+    out["uniqueness_zipf"] = timed(
+        lambda: duplicate_keys(skewed, "k").count())
+    out["uniqueness_zipf_salted"] = timed(
+        lambda: duplicate_keys(skewed, "k", salt_lanes=8).count())
+    out["uniqueness_uniform_twin"] = timed(
+        lambda: duplicate_keys(
+            imgs.select(F.col("image_id").alias("k")), "k").count())
+    # 20% of fk values orphaned onto one hot missing key: the anti-join
+    # emits ~4 M violation rows while the fact side still never shuffles
+    orphan_fk = F.when(hk < 20, F.lit("zzz")).otherwise(F.col("fmt"))
+    skew_fact = imgs.select("image_id", orphan_fk.alias("fmt"))
+    out["ref_anti_join_zipf"] = timed(
+        lambda: run_validation(
+            {"properties": {"fmt": {"$ref_data": "dim_fmt.fmt"}}},
+            skew_fact, key_cols=["image_id"],
+            dims={"dim_fmt": dim_fmt_df(spark)}).violations.count())
+
     # DEFAULT round-trip invocation = the bucketed layout (roundtrip_tables):
     # SortMergeJoin with NO exchange — the 2.6 GiB byte corpus never
     # shuffles, which is the only plan that survives at 10^12 rows

@@ -891,6 +891,51 @@ def variant_valid_column(json_col: Column | str, schema: Any) -> Column:
             .otherwise(variant_valid(v, schema))
 
 
+def _inline_refs_for_variant(schema: Any, registry, dialect: str) -> Any:
+    """Driver-side $ref inlining for the VARIANT fast path.
+
+    Reuses the table compiler's eager resolver (table.inline_refs,
+    reference SchemaRefResolver.scala:196-212 semantics: draft-7 $ref
+    replaces sibling keywords; $id scopes honored via the registry).
+    The ``$__ref_site``/``$__ref_target`` stamps it leaves for violation
+    reporting are stripped — validity is a bare boolean here and the
+    stamps would trip keyword-set validators (propertyNames). Returns
+    the schema unchanged when there is nothing to inline or when
+    inlining fails (recursive ref, unresolvable URI) — the caller's
+    VariantUnsupported fallback then routes to the lazy Arrow kernel."""
+    from sparkschema.compiler.table import _has_ref, inline_refs
+
+    if not _has_ref(schema):
+        return schema
+    try:
+        from sparkschema.spec.refs import RefResolver, Scope
+        from sparkschema.spec.registry import SpecRegistry, sniff_dialect
+
+        reg = registry if registry is not None else SpecRegistry(dialect)
+        root_uri = "urn:sparkschema:variantcol"
+        d = sniff_dialect(schema, dialect) if isinstance(schema, dict) else dialect
+        reg.index.add_document(root_uri, schema, d)
+        inlined = inline_refs(schema, RefResolver(reg.index, d),
+                              Scope(schema, root_uri))
+    except Exception:  # SpecError (recursive ref) or resolver failures
+        return schema
+
+    def strip(s):
+        # annotations never land inside enum/const/default/examples
+        # (inline_refs doesn't descend into literal values) — don't
+        # rewrite those either
+        if isinstance(s, dict):
+            return {k: (v if k in ("enum", "const", "default", "examples")
+                        else strip(v))
+                    for k, v in s.items()
+                    if k not in ("$__ref_site", "$__ref_target")}
+        if isinstance(s, list):
+            return [strip(x) for x in s]
+        return s
+
+    return strip(inlined)
+
+
 def json_valid_auto(json_col: Column | str, schema: Any,
                     registry=None, dialect: str = "draft7",
                     strict_spark_parse: bool = False) -> Column:
@@ -912,8 +957,13 @@ def json_valid_auto(json_col: Column | str, schema: Any,
     ``strict_spark_parse=True`` for a pure-Catalyst plan."""
     from pyspark.sql import functions as _F
 
+    # $ref: resolve eagerly on the driver (the same compile-time inlining
+    # the table compiler uses) so non-recursive ref'd specs stay on the
+    # zero-Python VARIANT path; recursive/unresolvable refs fall back to
+    # the Arrow kernel, which resolves lazily (SchemaRefResolver.scala).
+    vschema = _inline_refs_for_variant(schema, registry, dialect)
     try:
-        vcol = variant_valid_column(json_col, schema)
+        vcol = variant_valid_column(json_col, vschema)
     except VariantUnsupported:
         from sparkschema.compiler.jsoncol import json_valid_column
         return json_valid_column(json_col, schema, registry, dialect)

@@ -222,3 +222,42 @@ def test_grapheme_live_java_differential(spark):
     shutil.rmtree(tmp, ignore_errors=True)
     assert not problems, (f"{len(problems)} divergences, first 10:\n"
                           + "\n".join(problems[:10]))
+
+
+def test_variant_path_inlines_nonrecursive_refs(spark):
+    """$ref specs used to force the Arrow-kernel fallback; non-recursive
+    refs now inline at compile time and stay on the zero-Python VARIANT
+    path (plan-asserted), while recursive refs still route to the kernel
+    with identical verdicts."""
+    from sparkschema.spec.registry import SpecRegistry
+
+    reg = SpecRegistry("draft7")
+    reg.add_schema("urn:x:limits", {
+        "definitions": {"small": {"type": "integer", "maximum": 10}}})
+    spec = {
+        "type": "object",
+        "properties": {
+            "a": {"$ref": "urn:x:limits#/definitions/small"},
+            "b": {"$ref": "#/definitions/pos"},
+        },
+        "definitions": {"pos": {"type": "number", "minimum": 0}},
+    }
+    texts = ['{"a": 5, "b": 1.5}', '{"a": 11, "b": 1}', '{"a": 5, "b": -1}',
+             '{"a": 5.5, "b": 0}', '{}']
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, j string")
+    col = json_valid_auto("j", spec, registry=reg, strict_spark_parse=True)
+    plan = df.select(col.alias("ok"))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "ref'd spec fell off the VARIANT path"
+    got = {r.i: r.ok for r in df.select("i", col.alias("ok")).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: True}
+
+    # recursive ref: kernel fallback, correct verdicts
+    rec = {"properties": {"next": {"$ref": "#"}, "v": {"minimum": 0}}}
+    texts2 = ['{"v": 1, "next": {"v": 2}}', '{"v": 1, "next": {"v": -2}}']
+    df2 = spark.createDataFrame([(i, t) for i, t in enumerate(texts2)],
+                                "i int, j string")
+    got2 = {r.i: r.ok for r in
+            df2.select("i", json_valid_auto("j", rec, registry=reg)
+                       .alias("ok")).collect()}
+    assert got2 == {0: True, 1: False}
