@@ -192,6 +192,19 @@ def _q_token_stats_documents(spark, sf):
         F.length("text").cast("long").alias("n_chars_engine"))
 
 
+def _q_repetition_documents(spark, sf):
+    """Word-3-gram repetition ratio (the Gopher-style duplicate-n-gram
+    quality filter) per document — pure Column expressions, DuckDB twin
+    recomputes the n-grams with list_transform."""
+    from sparkschema.operators.text import ngram_repetition, word_ngrams
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    return d.select(
+        "doc_id",
+        F.size(word_ngrams(F.col("text"), 3)).cast("long").alias("n_grams"),
+        F.round(ngram_repetition(F.col("text"), 3), 6).alias("rep3"))
+
+
 def _q_lang_counts_documents(spark, sf):
     from sparkschema.operators.text import lang_id
 
@@ -772,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_composite_lineitem": _q_unique_composite_lineitem,
         "exact_dup_documents": _q_exact_dup_documents,
         "token_stats_documents": _q_token_stats_documents,
+        "repetition_documents": _q_repetition_documents,
         "lang_counts_documents": _q_lang_counts_documents,
         "quality_components_documents": _q_quality_components_documents,
         "quality_score_documents": _q_quality_score_documents,
@@ -1088,6 +1102,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_documents": f"""
             select doc_id, md5({norm_text}) as fp_md5 from documents
+        """,
+        "repetition_documents": """
+            with w as (
+              select doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as ws
+              from documents),
+            g as (
+              select doc_id,
+                     case when len(ws) >= 3 then
+                       list_transform(generate_series(1, len(ws) - 2),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' '
+                                           || ws[i+2])
+                     else [] end as gr
+              from w)
+            select doc_id,
+                   cast(len(gr) as bigint) as n_grams,
+                   case when len(gr) > 0 then
+                     round(1.0 - len(list_distinct(gr))
+                                   / cast(len(gr) as double), 6)
+                   end as rep3
+            from g
         """,
         "events_hourly": """
             select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,

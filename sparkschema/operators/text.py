@@ -131,3 +131,30 @@ def rolling_fingerprints(col: Column, k: int = 8, keep: int = 4) -> Column:
     hashes = F.transform(char_shingles(normalized_text(col), k),
                          lambda s: F.xxhash64(s))
     return F.slice(F.array_sort(hashes), 1, keep)
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word-level n-grams of the normalized text as an array of joined
+    strings (empty array when the doc has fewer than ``n`` words)."""
+    words = F.split(normalized_text(col), " ")
+    k = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.get(words, i + j) for j in range(n)])
+
+    return F.when(k <= 0, F.array().cast("array<string>")) \
+            .otherwise(F.transform(idx, gram))
+
+
+def ngram_repetition(col: Column, n: int = 3) -> Column:
+    """Duplicate word-n-gram fraction ``1 - distinct/total`` — the
+    standard LLM-corpus repetition filter (boilerplate, listicles and
+    degenerate generations score high; clean prose scores near 0).
+    NULL for documents with no n-grams. Pure Column expressions —
+    whole-stage codegen, no shuffle, no Python."""
+    g = word_ngrams(col, n)
+    total = F.size(g)
+    return F.when(total <= 0, F.lit(None).cast("double")).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(g)) / total.cast("double"))

@@ -281,3 +281,20 @@ def test_cache_scope_releases_operator_caches(spark, documents):
     assert cached_count() > base
     release_default_cache(blocking=True)
     assert cached_count() == base
+
+
+def test_ngram_repetition(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),              # 4 distinct 3-grams
+         (2, "buy now buy now buy now buy now"),     # heavy repetition
+         (3, "one two"),                             # too short: NULL
+         (4, "")],                                   # empty: NULL
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n, r.rep) for r in df.select(
+        "doc_id",
+        F.size(text.word_ngrams(F.col("text"), 3)).alias("n"),
+        text.ngram_repetition(F.col("text"), 3).alias("rep")).collect()}
+    assert got[1] == (4, 0.0)
+    # "buy now" x4: 6 3-grams, only 2 distinct -> 4/6 duplicated
+    assert got[2][0] == 6 and abs(got[2][1] - 4 / 6) < 1e-12
+    assert got[3] == (0, None) and got[4] == (0, None)

@@ -106,3 +106,47 @@ def test_variant_null_vs_absent(spark):
            df.select("id", variant_valid_column("j", schema).alias("ok")).collect()}
     # k=null: present (required ok) but fails type integer
     assert got == {1: False, 2: False, 3: True}
+
+
+def test_json_valid_auto_refs_stay_native_on_golden_corpus(spark):
+    """r4: json_valid_auto inlines non-recursive $refs at compile time, so
+    the ref/refRemote/definitions fixture files should now mostly run on
+    the VARIANT path — and agree with the kernel either way. Counts how
+    many cases compiled natively (must be a solid majority; recursive
+    refs legitimately fall back)."""
+    native = fallback = 0
+    failures = []
+    for dialect in ("draft4", "draft7"):
+        for name in ("ref.json", "refRemote.json", "definitions.json"):
+            path = f"{REFERENCE}/src/test/resources/{dialect}/{name}"
+            if not os.path.exists(path):
+                continue
+            for case in load_json(path):
+                schema = case["schema"]
+                reg = make_registry(dialect)
+                rows = [(i, dump_json(t["data"]))
+                        for i, t in enumerate(case["tests"])]
+                df = spark.createDataFrame(rows, "i int, j string")
+                from sparkschema.compiler.variantcol import (
+                    _inline_refs_for_variant)
+                inlined = _inline_refs_for_variant(schema, reg, dialect)
+                try:
+                    variant_valid_column("j", inlined)
+                    native += len(rows)
+                except VariantUnsupported:
+                    fallback += len(rows)
+                col = json_valid_auto("j", schema, registry=reg,
+                                      dialect=dialect)
+                got = {r.i: r.ok for r in
+                       df.select("i", col.alias("ok")).collect()}
+                for i, t in enumerate(case["tests"]):
+                    expected = not reg.validate(schema, t["data"])
+                    if bool(got[i]) != expected:
+                        failures.append(
+                            f"{dialect}/{name} | {case['description']} | "
+                            f"{t['description']}: auto={got[i]} "
+                            f"kernel={expected}")
+    assert not failures, (f"{len(failures)} mismatches:\n"
+                          + "\n".join(failures[:20]))
+    assert native > fallback, (native, fallback)
+    assert native >= 40, (native, fallback)
