@@ -685,7 +685,33 @@ def _q_quantiles_extendedprice(spark, sf):
 # oracle (the driver compares their results), so the export exists by
 # the time DuckDB reads it; the engine result is computed FROM THE
 # READ-BACK FILE so both sides consume identical rows.
-_ORACLE_EXPORT = "/tmp/sparkschema_oracle"
+# bump the version segment whenever the codec / synthetic generator /
+# signature algorithm changes: _export_once reuses an existing export,
+# so a stale directory from older operator code must never be picked up
+_ORACLE_EXPORT = "/tmp/sparkschema_oracle/v2"
+
+
+def _export_once(df, path: str) -> None:
+    """Write the deterministic export exactly once, atomically.
+
+    The export content is a pure function of seeded generators, so a
+    pre-existing complete export (marked by parquet's _SUCCESS) is
+    byte-equivalent and reused. First-time creation goes through a
+    per-process temp dir + os.rename — rename fails if another process
+    won the race, and that winner's identical export is used instead.
+    This removes the overwrite-vs-lazy-read race between concurrent
+    driver/bench/pytest runs sharing /tmp (review find r4)."""
+    import os
+    import shutil
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    tmp = f"{path}.tmp-{os.getpid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner's
 
 
 def _q_image_phash_neardup(spark, sf):
@@ -713,7 +739,7 @@ def _q_image_phash_neardup(spark, sf):
     sigs = image_phash_frame(df, spread_partitions=8) \
         .where(F.col("phash").isNotNull())
     path = f"{_ORACLE_EXPORT}/phash_sigs"
-    sigs.write.mode("overwrite").parquet(path)
+    _export_once(sigs, path)
     pairs = hamming_pairs(spark.read.parquet(path), "phash", "id",
                           chunks=8, hamming_max=10)
     planted = (F.substring("id_a", 3, 3) == F.substring("id_b", 3, 3))
@@ -736,7 +762,7 @@ def _q_image_container_meta(spark, sf):
                      orphan_fmt_fraction=0.02, partitions=8) \
         .select("image_id", "bytes", "w", "h", "fmt")
     path = f"{_ORACLE_EXPORT}/container_images"
-    imgs.write.mode("overwrite").parquet(path)
+    _export_once(imgs, path)
     return container_meta_verdict(spark.read.parquet(path))
 
 
@@ -1109,7 +1135,8 @@ def oracle_sql() -> dict[str, str]:
               from documents),
             g as (
               select doc_id,
-                     case when len(ws) >= 3 then
+                     case when ws is null then null
+                          when len(ws) >= 3 then
                        list_transform(generate_series(1, len(ws) - 2),
                                       i -> ws[i] || ' ' || ws[i+1] || ' '
                                            || ws[i+2])

@@ -211,9 +211,13 @@ def compile_table_spec(
     parsed = parse_spec(spec, dialect)
     schema = parsed.schema
     if registry is not None:
-        resolver = RefResolver(registry.index, parsed.dialect)
+        # clone: keep the transient table spec's $id scopes out of the
+        # caller's long-lived registry (review find r4 — a stale scope
+        # could shadow a later document with the same $id)
+        idx = registry.index.clone()
+        resolver = RefResolver(idx, parsed.dialect)
         scope = Scope(schema, "urn:sparkschema:tablespec")
-        registry.index.add_document("urn:sparkschema:tablespec", schema, parsed.dialect)
+        idx.add_document("urn:sparkschema:tablespec", schema, parsed.dialect)
         schema = inline_refs(schema, resolver, scope)
     else:
         schema = inline_refs(schema, None, None) if _has_ref(schema) is False else schema

@@ -908,14 +908,19 @@ def _inline_refs_for_variant(schema: Any, registry, dialect: str) -> Any:
     if not _has_ref(schema):
         return schema
     try:
-        from sparkschema.spec.refs import RefResolver, Scope
-        from sparkschema.spec.registry import SpecRegistry, sniff_dialect
+        from sparkschema.spec.refs import DocumentIndex, RefResolver, Scope
+        from sparkschema.spec.registry import sniff_dialect
 
-        reg = registry if registry is not None else SpecRegistry(dialect)
+        # resolve against a CLONE of the caller's index: registering the
+        # transient root spec (and its $id scopes) into a long-lived
+        # registry would let a stale subschema shadow a later document
+        # with the same $id (review find r4)
+        idx = registry.index.clone() if registry is not None \
+            else DocumentIndex()
         root_uri = "urn:sparkschema:variantcol"
         d = sniff_dialect(schema, dialect) if isinstance(schema, dict) else dialect
-        reg.index.add_document(root_uri, schema, d)
-        inlined = inline_refs(schema, RefResolver(reg.index, d),
+        idx.add_document(root_uri, schema, d)
+        inlined = inline_refs(schema, RefResolver(idx, d),
                               Scope(schema, root_uri))
     except Exception:  # SpecError (recursive ref) or resolver failures
         return schema

@@ -135,17 +135,25 @@ def rolling_fingerprints(col: Column, k: int = 8, keep: int = 4) -> Column:
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Word-level n-grams of the normalized text as an array of joined
-    strings (empty array when the doc has fewer than ``n`` words)."""
+    strings (empty array when the doc has fewer than ``n`` words; NULL
+    for NULL text). The word array is bound through a HOF lambda
+    variable so the normalization regex runs once per ROW, not once per
+    gram (the char_shingles CollapseProject pattern — interpreted HOFs
+    get no CSE)."""
     words = F.split(normalized_text(col), " ")
-    k = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
 
-    def gram(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.get(words, i + j) for j in range(n)])
+    def build(ws: Column) -> Column:
+        k = F.size(ws) - (n - 1)
 
-    return F.when(k <= 0, F.array().cast("array<string>")) \
-            .otherwise(F.transform(idx, gram))
+        def gram(i: Column) -> Column:
+            return F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)])
+
+        return F.when(k <= 0, F.array().cast("array<string>")) \
+                .otherwise(F.transform(F.sequence(F.lit(0), k - 1), gram))
+
+    out = F.get(F.transform(F.array(words), build), 0)
+    return F.when(col.isNull(), F.lit(None).cast("array<string>")) \
+            .otherwise(out)
 
 
 def ngram_repetition(col: Column, n: int = 3) -> Column:

@@ -155,6 +155,17 @@ class DocumentIndex:
     def lookup(self, uri: str) -> tuple[Any, Any] | None:
         return self._by_uri.get(uri)
 
+    def clone(self) -> "DocumentIndex":
+        """Shallow copy — compile-time ref inlining registers the
+        TRANSIENT root spec into an index; cloning first keeps that
+        registration (and its $id scopes, which ``_collect`` only
+        ``setdefault``s) out of the caller's long-lived registry, where
+        a stale subschema could shadow a later document with the same
+        $id."""
+        new = DocumentIndex()
+        new._by_uri = dict(self._by_uri)
+        return new
+
 
 class RefResolver:
     """Resolve a ``$ref`` string against a scope, chasing ref-to-ref chains.

@@ -288,7 +288,8 @@ def test_ngram_repetition(spark):
         [(1, "the cat sat on the mat"),              # 4 distinct 3-grams
          (2, "buy now buy now buy now buy now"),     # heavy repetition
          (3, "one two"),                             # too short: NULL
-         (4, "")],                                   # empty: NULL
+         (4, ""),                                    # empty: NULL
+         (5, None)],                                 # NULL text: all NULL
         "doc_id long, text string")
     got = {r.doc_id: (r.n, r.rep) for r in df.select(
         "doc_id",
@@ -298,3 +299,6 @@ def test_ngram_repetition(spark):
     # "buy now" x4: 6 3-grams, only 2 distinct -> 4/6 duplicated
     assert got[2][0] == 6 and abs(got[2][1] - 4 / 6) < 1e-12
     assert got[3] == (0, None) and got[4] == (0, None)
+    # NULL text propagates NULL (review find r4: the unguarded HOF
+    # produced two phantom ['', ''] grams and rep=0.5)
+    assert got[5] == (None, None)
