@@ -261,3 +261,74 @@ def test_variant_path_inlines_nonrecursive_refs(spark):
             df2.select("i", json_valid_auto("j", rec, registry=reg)
                        .alias("ok")).collect()}
     assert got2 == {0: True, 1: False}
+
+
+def test_enotation_compound_differential_fuzz(spark):
+    """DOUBLE-stored variants nested inside objects/arrays: the compound
+    keyword paths (properties / items / tuple / patternProperties /
+    contains) route numbers through the same tiered comparators — this
+    lane pins the exact_t gating there too. Kernel expectation is
+    computed on the Python object with float leaves (identical IEEE
+    values on both sides)."""
+    import random as _random
+
+    rng = _random.Random(SEED + 1)
+    kernel = Validator()
+
+    nums = [9.999999999999998e-4, 1e-19, 1.0000000000000002, 0.001, 0.1,
+            0.25, 1e20, 1e21, 5e20, float(2 ** 53 + 2),
+            -9.223372036854776e18, 7.0, -5.5, 0.30000000000000004]
+    for _ in range(8):
+        nums.append(rng.uniform(-1, 1) * 10.0 ** rng.randint(-22, 22))
+
+    def render(v):
+        if isinstance(v, float):
+            return f"{v:.17e}"
+        if isinstance(v, list):
+            return "[" + ", ".join(render(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return "{" + ", ".join(f'"{k}": {render(x)}'
+                                   for k, x in v.items()) + "}"
+        raise AssertionError(v)
+
+    docs = []
+    for i in range(30):
+        a, b, c = rng.choice(nums), rng.choice(nums), rng.choice(nums)
+        docs.append({"a": a, "arr": [b, c]})
+
+    inner = [{"minimum": 0.001}, {"maximum": 0.1}, {"type": "integer"},
+             {"multipleOf": 0.25}, {"exclusiveMinimum": 0.3},
+             {"minimum": 10 ** 21}, {"format": "int64"},
+             {"const": 0.001}, {"enum": [0.1, 7, 1e20]}]
+    specs = []
+    for s in inner:
+        specs.append({"properties": {"a": s}})
+        specs.append({"properties": {"arr": {"items": s}}})
+        specs.append({"properties": {"arr": {"contains": s}}})
+    specs.append({"properties": {"arr": {"items": [{"minimum": 0.001},
+                                                   {"maximum": 1e20}]}}})
+    specs.append({"patternProperties": {"^a$": {"multipleOf": 0.25}}})
+
+    texts = [render(d) for d in docs]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, j string")
+    cols, live = [], []
+    for j, spec in enumerate(specs):
+        try:
+            cols.append(variant_valid_column("j", spec).alias(f"v{j}"))
+            live.append(j)
+        except VariantUnsupported:
+            pass
+    assert len(live) >= len(specs) - 2  # compound numeric specs compile
+    got = {r.i: r for r in df.select("i", *cols).collect()}
+
+    problems = []
+    for j in live:
+        for i, d in enumerate(docs):
+            expected = not kernel.validate(specs[j], d)
+            g = got[i][f"v{j}"]
+            if bool(g) != expected:
+                problems.append(f"spec={specs[j]} doc={d!r}: got={g} "
+                                f"kernel={expected}")
+    assert not problems, (f"{len(problems)} divergences, first 10:\n"
+                          + "\n".join(problems[:10]))
