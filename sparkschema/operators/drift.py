@@ -53,14 +53,62 @@ def ks_histograms(obs: DataFrame, exp: DataFrame) -> DataFrame:
     e = exp.groupBy("bucket").agg(F.sum("cnt").alias("e"))
     joined = o.join(e, "bucket", "full_outer").fillna(0, ["o", "e"])
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # try_divide: an empty side (total 0) yields a NULL statistic for the
+    # caller's `ks is not None` guard instead of an ANSI DIVIDE_BY_ZERO
+    # (review find r4); non-empty results are bit-identical to `/`
     cdf = joined.select(
         "bucket",
-        (F.sum("o").over(w) / F.sum("o").over(Window.partitionBy())).alias("cdf_o"),
-        (F.sum("e").over(w) / F.sum("e").over(Window.partitionBy())).alias("cdf_e"),
+        F.try_divide(F.sum("o").over(w),
+                     F.sum("o").over(Window.partitionBy())).alias("cdf_o"),
+        F.try_divide(F.sum("e").over(w),
+                     F.sum("e").over(Window.partitionBy())).alias("cdf_e"),
     )
     return cdf.agg(
         F.max(F.abs(F.col("cdf_o") - F.col("cdf_e"))).alias("statistic"),
     )
+
+
+def _drift_verdict(h_cur: DataFrame, h_ref: DataFrame, column: str,
+                   chi2_threshold: float | None,
+                   ks_threshold: float | None) -> dict:
+    """Both statistics from ONE collect of the joined bucket counts
+    (≤ buckets rows — driver arithmetic is O(buckets)). The previous
+    shape ran three separate jobs, each rescanning both tables (review
+    find r4); the histogram aggregation now runs exactly once per side,
+    matching the module header's one-pass claim."""
+    o = h_cur.groupBy("bucket").agg(F.sum("cnt").alias("o"))
+    e = h_ref.groupBy("bucket").agg(F.sum("cnt").alias("e"))
+    rows = sorted(
+        (r["bucket"], r["o"] or 0, r["e"] or 0)
+        for r in o.join(e, "bucket", "full_outer").collect())
+    n_o = sum(r[1] for r in rows)
+    n_e = sum(r[2] for r in rows)
+
+    ks = None
+    if n_o > 0 and n_e > 0:
+        cum_o = cum_e = 0
+        ks = 0.0
+        for _, oc, ec in rows:
+            cum_o += oc
+            cum_e += ec
+            ks = max(ks, abs(cum_o / n_o - cum_e / n_e))
+
+    chi2 = dof = None
+    if n_o > 0 and n_e > 0:
+        scale = n_o / n_e
+        chi2 = sum((oc - max(ec * scale, 0.5)) ** 2 / max(ec * scale, 0.5)
+                   for _, oc, ec in rows)
+        dof = len(rows) - 1
+
+    ok = n_o > 0 and n_e > 0
+    if ok and ks_threshold is not None:
+        ok = ks <= ks_threshold
+    if ok and chi2_threshold is not None:
+        ok = chi2 <= chi2_threshold
+    return {"check": f"drift:{column}", "pass": bool(ok),
+            "ks": float(ks) if ks is not None else None,
+            "chi2": float(chi2) if chi2 is not None else None,
+            "dof": int(dof) if dof is not None else None}
 
 
 def drift_check(cur: DataFrame, ref: DataFrame, column: str,
@@ -70,19 +118,11 @@ def drift_check(cur: DataFrame, ref: DataFrame, column: str,
     """End-to-end drift check between two tables on one column.
 
     Returns ``{check, pass, ks, chi2, dof}`` (a plain dict — the caller
-    folds it into the verdicts table)."""
+    folds it into the verdicts table). An empty side yields
+    ``pass=False`` with NULL statistics rather than an error."""
     h_cur = histogram(cur, column, lo, hi, buckets)
     h_ref = histogram(ref, column, lo, hi, buckets)
-    ks = ks_histograms(h_cur, h_ref).collect()[0]["statistic"]
-    chi = chi_square_histograms(h_cur, h_ref).collect()[0]
-    ok = True
-    if ks_threshold is not None:
-        ok = ok and (ks is not None and ks <= ks_threshold)
-    if chi2_threshold is not None:
-        ok = ok and chi["statistic"] <= chi2_threshold
-    return {"check": f"drift:{column}", "pass": bool(ok),
-            "ks": float(ks) if ks is not None else None,
-            "chi2": float(chi["statistic"]), "dof": int(chi["dof"])}
+    return _drift_verdict(h_cur, h_ref, column, chi2_threshold, ks_threshold)
 
 
 def drift_check_vs_histogram(cur: DataFrame, column: str,
@@ -97,16 +137,7 @@ def drift_check_vs_histogram(cur: DataFrame, column: str,
     h_cur = histogram(cur, column, lo, hi, buckets)
     h_ref = spark.createDataFrame([(int(b), int(c)) for b, c in ref_hist],
                                   "bucket int, cnt long")
-    ks = ks_histograms(h_cur, h_ref).collect()[0]["statistic"]
-    chi = chi_square_histograms(h_cur, h_ref).collect()[0]
-    ok = True
-    if ks_threshold is not None:
-        ok = ok and (ks is not None and ks <= ks_threshold)
-    if chi2_threshold is not None:
-        ok = ok and chi["statistic"] <= chi2_threshold
-    return {"check": f"drift:{column}", "pass": bool(ok),
-            "ks": float(ks) if ks is not None else None,
-            "chi2": float(chi["statistic"]), "dof": int(chi["dof"])}
+    return _drift_verdict(h_cur, h_ref, column, chi2_threshold, ks_threshold)
 
 
 def ks_exact_by_group(df: DataFrame, group_col: str, value_col: str,
@@ -137,5 +168,8 @@ def ks_exact_by_group(df: DataFrame, group_col: str, value_col: str,
         return pd.DataFrame({group_col: [pdf[group_col].iloc[0]],
                              "ks": [stat], "n_obs": [len(a)], "n_ref": [len(b)]})
 
-    out_schema = f"{group_col} string, ks double, n_obs long, n_ref long"
+    # the group field keeps the INPUT column's type — a hardcoded string
+    # failed Arrow conversion for integer group keys (review find r4)
+    gtype = df.schema[group_col].dataType.simpleString()
+    out_schema = f"{group_col} {gtype}, ks double, n_obs long, n_ref long"
     return tagged.groupBy(group_col).applyInPandas(ks, schema=out_schema)

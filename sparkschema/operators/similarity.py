@@ -28,6 +28,13 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / F.greatest(na * nb, F.lit(1e-12))
 
 
+def _valid_vec(col: Column) -> Column:
+    """Non-NULL vector with no NULL elements — malformed embeddings are
+    excluded from every ANN path (a NULL element crashed the IVF centroid
+    materialization; NULL cosines otherwise rank as neighbors)."""
+    return col.isNotNull() & ~F.exists(col, lambda x: x.isNull())
+
+
 def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
                            q_id: str, q_vec: str, c_id: str, c_vec: str,
                            k: int = 10) -> DataFrame:
@@ -35,9 +42,15 @@ def cosine_topk_bruteforce(queries: DataFrame, corpus: DataFrame,
 
     The query side is broadcast — the corpus never shuffles; scoring is one
     codegen'd projection over the corpus scan per query batch."""
-    q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
-                                   F.col(q_vec).alias("__qv")))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("__cv"))
+    # NULL vectors drop out up front: a NULL query otherwise "ranks" k
+    # fabricated NULL-cosine neighbors (row_number ranks NULLs too), and
+    # NULL corpus vectors can never be real neighbors (review find r4)
+    q = F.broadcast(queries.where(_valid_vec(F.col(q_vec)))
+                    .select(F.col(q_id).alias("query_id"),
+                            F.col(q_vec).alias("__qv")))
+    c = corpus.where(_valid_vec(F.col(c_vec))) \
+              .select(F.col(c_id).alias("neighbor_id"),
+                      F.col(c_vec).alias("__cv"))
     scored = q.crossJoin(c).select(
         "query_id", "neighbor_id",
         cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"))
@@ -110,8 +123,12 @@ def ann_lsh_topk(queries: DataFrame, corpus: DataFrame,
                           F.explode(arr).alias("b"))
                   .select(id_alias, vec_alias, "b.tbl", "b.sig"))
 
-    qb = with_buckets(queries, "query_id", "__qv", q_id, q_vec)
-    cb = with_buckets(corpus, "neighbor_id", "__cv", c_id, c_vec)
+    # NULL vectors: same rationale as the brute-force path (they would
+    # also all land in one signature-0 bucket, inflating it)
+    qb = with_buckets(queries.where(_valid_vec(F.col(q_vec))),
+                      "query_id", "__qv", q_id, q_vec)
+    cb = with_buckets(corpus.where(_valid_vec(F.col(c_vec))),
+                      "neighbor_id", "__cv", c_id, c_vec)
     cand = (qb.join(cb, ["tbl", "sig"])
               .select("query_id", "neighbor_id", "__qv", "__cv")
               .dropDuplicates(["query_id", "neighbor_id"]))
@@ -133,6 +150,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     broadcast everywhere; assignment is an argmin over the broadcast list —
     one projection, no shuffle of the corpus beyond the final per-cell
     grouping which Catalyst folds into the candidate join."""
+    # NULL vectors excluded before sampling (a NULL landing in the top
+    # `cells` hash ranks crashed the driver materialization — review
+    # find r4), and from assignment/probing below
+    corpus = corpus.where(_valid_vec(F.col(c_vec)))
+    queries = queries.where(_valid_vec(F.col(q_vec)))
     ranked = corpus.select(F.col(c_id).alias("cid"), F.col(c_vec).alias("cv"),
                            F.xxhash64(F.col(c_id).cast("string"), F.lit(seed))
                             .alias("__r"))

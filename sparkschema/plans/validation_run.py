@@ -121,8 +121,16 @@ def run_validation(
             stats = df.agg(F.min(req.column).cast("double"),
                            F.max(req.column).cast("double")).collect()[0] \
                 if ("lo" not in dd or "hi" not in dd) else None
-            lo = dd.get("lo", stats[0] if stats else 0.0)
-            hi = dd.get("hi", (stats[1] if stats else 1.0) + 1e-9)
+            # an empty / all-NULL column infers min/max as None — fall
+            # back to a degenerate [0,1) range; the drift verdict then
+            # reports pass=False with NULL statistics (review find r4)
+            lo = dd.get("lo")
+            if lo is None:
+                lo = stats[0] if stats and stats[0] is not None else 0.0
+            hi = dd.get("hi")
+            if hi is None:
+                hi = (stats[1] if stats and stats[1] is not None else 1.0) \
+                    + 1e-9
             res = drift_check(df, ref, req.column, lo, hi,
                               buckets=int(dd.get("buckets", 64)),
                               ks_threshold=dd.get("ks_threshold", 0.1),
@@ -153,8 +161,11 @@ def run_validation(
             row = df.agg(
                 (F.sum(F.col(req.column).isNull().cast("long")) /
                  F.count(F.lit(1))).alias("frac")).collect()[0]
+            # empty table => frac NULL: vacuous pass (0 rows, 0 nulls) —
+            # the old  NULL <= thresh  comparison raised (review find r4)
+            frac = row["frac"] if row["frac"] is not None else 0.0
             table_verdicts.append({"check": f"null_fraction:{req.column}",
-                                   "pass": bool(row["frac"] <= thresh),
-                                   "null_fraction": float(row["frac"] or 0.0)})
+                                   "pass": bool(frac <= thresh),
+                                   "null_fraction": float(frac)})
 
     return ValidationResult(cts, violations, verdicts, table_verdicts)

@@ -25,7 +25,8 @@ lone ``{``            literal brace                   Java: dangling-metachar er
 ``[\\s-a]`` (dash      literal '-' (shorthands are     Python AND Java: bad
 next to a shorthand)  not range endpoints)            character range — the dash
                                                       is escaped ``\\-``
-``\\b`` in a class     backspace (\\x08)               same (no action needed)
+``\\b`` in a class     backspace (\\x08)               Java: illegal escape — both
+                                                      targets now get ``\\x08``
 ``\\b`` boundary       ASCII-word boundary             Python: Unicode boundary —
                                                       translated to lookarounds
                                                       over ``[0-9A-Za-z_]``
@@ -33,6 +34,15 @@ next to a shorthand)  not range endpoints)            character range — the da
                                                       complement codepoint
                                                       ranges (compose correctly
                                                       under class negation)
+``(?<nm>…) \\k<nm>``   named group / backref           Python spelling
+                                                      ``(?P<nm>…)``/``(?P=nm)``
+``\\v``                vertical tab U+000B             Java ≥8: whitespace CLASS —
+                                                      pinned to ``\\x0b``
+``\\c`` + non-letter   literal ``\\c`` (Annex B)       both: illegal escape —
+                                                      emitted as literal
+``\\q \\A \\z \\p`` …   identity escape = literal       Python: error / Java: own
+letter                letter (Annex B)                meaning — emitted as the
+                                                      bare letter + UserWarning
 ====================  ==============================  =========================
 
 Escapes inside character classes and quantifier braces are scanned
@@ -135,6 +145,52 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
                 out.append("\\x%02x" % (ord(pattern[i + 2].upper()) % 32))
                 i += 3
                 continue
+            if nxt == "c":
+                # ECMA Annex B: \c NOT followed by a letter is the literal
+                # two chars "\c" — both engines reject the bare escape
+                # (review find r4)
+                out.append("\\\\c")
+                i += 2
+                continue
+            if nxt == "b" and in_class:
+                # ECMA [\b] is BACKSPACE; Java rejects \b inside a class
+                # ("Illegal/unsupported escape sequence") — emit \x08 on
+                # both targets (review find r4)
+                out.append("\\x08")
+                prev_class_shorthand = False
+                i += 2
+                continue
+            if nxt == "k" and not in_class and peek(2) == "<":
+                # named backreference \k<name>: Java native, Python spells
+                # it (?P=name)
+                j = pattern.find(">", i + 3)
+                if j > 0:
+                    name = pattern[i + 3:j]
+                    out.append(f"(?P={name})" if target == "python"
+                               else pattern[i:j + 1])
+                    i = j + 1
+                    continue
+            if nxt == "v":
+                # ECMA \v is VERTICAL TAB; Java \v has been a vertical-
+                # whitespace CLASS since Java 8 — pin the codepoint
+                out.append("\\x0b")
+                i += 2
+                continue
+            if nxt.isalpha() and nxt not in "dDsSwWbBcfknrtxu":
+                # Annex B identity escape: \X for any other letter matches
+                # the LITERAL letter in ECMA, while Python rejects unknown
+                # escapes outright and Java gives \p/\A/\z/\Q/... its
+                # own meanings. Emit the bare letter (the ECMA semantics)
+                # and surface the construct — the one place engines
+                # genuinely disagree (review find r4: the warnings path
+                # was dead code)
+                warnings.append(
+                    f"\\{nxt} treated as ECMA identity escape "
+                    f"(literal {nxt!r}); engine-native meaning differs")
+                out.append(nxt)
+                prev_class_shorthand = False
+                i += 2
+                continue
             if nxt in "dD" and target == "python":
                 # ECMA \d is ASCII; Python str patterns are Unicode. In a
                 # class, \D expands to the explicit complement ranges of
@@ -196,6 +252,13 @@ def translate_ecma(pattern: str, target: str = "python") -> tuple[str, list[str]
             continue
 
         if not in_class:
+            if ch == "(" and peek(1) == "?" and peek(2) == "<" \
+                    and peek(3) not in ("=", "!"):
+                # ECMA named group (?<name>...): Java native, Python spells
+                # it (?P<name>...) — lookbehinds (?<= (?<! pass untouched
+                out.append("(?P<" if target == "python" else "(?<")
+                i += 3
+                continue
             if ch == "[":
                 if peek(1) == "]":        # ECMA []: never matches
                     out.append("[^\\s\\S]")

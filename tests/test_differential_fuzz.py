@@ -41,6 +41,17 @@ def _gen_values(rng: random.Random) -> list:
             Decimal("1.0000000000000000000000000000000000001"),
             Decimal("6.9999999999999999999999999"),
             "", "a", "hello world", "Ab9", "café", "x" * 40,
+            # r4 hostile grapheme tails (legacy BreakIterator rules):
+            # jamo runs, Devanagari clusters, mark gating — exercises
+            # minLength/maxLength across kernel / columnar / VARIANT
+            "\u1100\u1160\u11a8",            # L+V+T: ONE cluster
+            "\uac00\u11a8",                   # precomposed LV + T: TWO
+            "\u1160\u1100\u1160",            # V+L+V: V, then LV run
+            "\u0915\u094d\u0915\u093e",     # dev conjunct + vowel: ONE
+            "a\u0301\u0301b",                 # chained marks: 2 clusters
+            "\t\u0301",                       # no fold after control: 2
+            "x\u0903",                         # Mc never folds: 2
+            "a\r\nb\u1100\u11ff",           # CRLF + L+T glue
             True, False, None]
     for _ in range(15):
         vals.append(rng.randint(-10**6, 10**6))

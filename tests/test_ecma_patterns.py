@@ -36,6 +36,16 @@ DIVERGENT_CASES = [
     (r"\bfoo\b", "afoo", False),
     (r"\Bfoo", "afoo", True),
     (r"\Bfoo", "éfoo", False),       # é non-word ⇒ position IS a boundary
+    # r4: class backspace, named groups/backrefs, ECMA identity escapes
+    (r"[\b]", "\x08", True),         # [\b] is BACKSPACE (Java rejects raw)
+    (r"x[\b]y", "xby", False),
+    (r"(?<nm>ab)\k<nm>", "abab", True),   # named group + backref
+    (r"(?<nm>ab)\k<nm>", "abcd", False),
+    (r"(?<=a)b", "ab", True),         # lookbehind untouched by the rewrite
+    (r"\q+", "qqq", True),            # Annex B identity escape
+    (r"\v", "\x0b", True),           # ECMA \v is VT, not Java's \v class
+    (r"\v", " ", False),
+    (r"\c1x", "\\c1x", True),         # \c + non-letter: literal "\c"
 ]
 
 

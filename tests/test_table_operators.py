@@ -151,3 +151,69 @@ def test_salted_uniqueness_extreme_skew(spark):
     dups = uniqueness.duplicate_keys(df, "k", salt_lanes=16)
     rows = {r.k: r.dup_count for r in dups.collect()}
     assert rows == {42: 500_000}
+
+
+def test_drift_empty_side_degrades_gracefully(spark, lineitem):
+    """Review find r4: empty/all-NULL sides crashed (ANSI divide-by-zero
+    in ks_histograms, TypeError in the verdict) — now pass=False with
+    NULL statistics, and the SQL ks statistic is NULL."""
+    empty = lineitem.where(F.lit(False))
+    res = drift.drift_check(empty, lineitem, "l_extendedprice", 0, 100000)
+    assert res["pass"] is False and res["ks"] is None and res["chi2"] is None
+
+    ha = stats.histogram(lineitem, "l_extendedprice", 0, 100000, 8)
+    he = stats.histogram(empty, "l_extendedprice", 0, 100000, 8)
+    row = drift.ks_histograms(ha, he).collect()[0]
+    assert row["statistic"] is None
+
+
+def test_ks_exact_by_group_integer_groups(spark):
+    """Review find r4: the output schema hardcoded the group column as
+    string, failing Arrow conversion for integer group keys."""
+    df = spark.createDataFrame([(1, float(x)) for x in range(50)],
+                               "grp long, v double")
+    ref = spark.createDataFrame([(1, float(x)) for x in range(50)],
+                                "grp long, v double")
+    got = drift.ks_exact_by_group(df, "grp", "v", ref).collect()
+    assert len(got) == 1 and got[0].grp == 1 and got[0].ks == 0.0
+
+
+def test_ann_paths_ignore_null_vectors(spark):
+    """Review find r4: NULL query vectors ranked k fabricated NULL-cosine
+    neighbors; a NULL vector in the IVF centroid sample crashed the
+    driver. All three ANN paths now exclude malformed embeddings."""
+    from sparkschema.operators import similarity
+
+    rows = [(i, [float(i), 1.0, 0.5]) for i in range(20)]
+    rows += [(98, None), (99, [1.0, None, 0.5])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id").isin(0, 98, 99))
+
+    for fn, kw in [(similarity.cosine_topk_bruteforce, {}),
+                   (similarity.ann_lsh_topk, {}),
+                   (similarity.ivf_topk, {"cells": 4, "nprobe": 2})]:
+        out = fn(q, emb, "vec_id", "embedding", "vec_id", "embedding",
+                 k=3, **kw).collect()
+        qids = {r.query_id for r in out}
+        assert 98 not in qids and 99 not in qids, fn.__name__
+        assert all(r.cosine is not None for r in out), fn.__name__
+        assert all(r.neighbor_id not in (98, 99) for r in out), fn.__name__
+
+
+def test_validation_run_empty_table_checks(spark, lineitem):
+    """Review find r4: x-null-fraction and inferred-range x-drift crashed
+    on empty/all-NULL inputs instead of producing verdicts."""
+    from sparkschema.plans.validation_run import run_validation
+
+    empty = lineitem.where(F.lit(False))
+    res = run_validation(
+        {"properties": {"l_extendedprice": {"x-null-fraction": 0.5}}},
+        empty, key_cols=["l_orderkey"])
+    nf = [v for v in res.table_verdicts if v["check"].startswith("null_fraction")]
+    assert nf and nf[0]["pass"] is True and nf[0]["null_fraction"] == 0.0
+
+    res2 = run_validation(
+        {"properties": {"l_extendedprice": {"x-drift": True}}},
+        empty, key_cols=["l_orderkey"], ref=lineitem)
+    dr = [v for v in res2.table_verdicts if v["check"].startswith("drift")]
+    assert dr and dr[0]["pass"] is False and dr[0]["ks"] is None
