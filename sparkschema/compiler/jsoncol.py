@@ -37,14 +37,21 @@ VIOLATION_ARRAY_TYPE = T.ArrayType(T.StructType([
 ]))
 
 
-def _build_validator(schema_text: str, docs_text: str, dialect: str):
-    """Executor-side: rebuild registry + validator once per python worker."""
+def _build_validator(schema_text: str, docs_text: str, dialect: str,
+                     formats=None):
+    """Executor-side: rebuild registry + validator once per python worker.
+    ``formats`` re-registers the driver registry's custom format checkers
+    (shipped through the UDF closure via cloudpickle) — without them,
+    ``add_format`` checks silently validated as success on executors
+    (unknown format ⇒ pass; review find r4)."""
     from sparkschema.spec.jsonvalue import parse_json
     from sparkschema.spec.refs import Scope
     from sparkschema.spec.registry import SpecRegistry, sniff_dialect
 
     schema = parse_json(schema_text)
     reg = SpecRegistry(dialect)
+    for name, fn in (formats or {}).items():
+        reg.add_format(name, fn)
     # parse_json (not json.loads): fractional keyword values must come back
     # as Decimal so is_number()/multipleOf see them (BigDecimal parity).
     for uri, doc in parse_json(docs_text).items():
@@ -54,7 +61,7 @@ def _build_validator(schema_text: str, docs_text: str, dialect: str):
     return reg.validator(), schema, Scope(schema, root_uri)
 
 
-def _make_udfs(schema: Any, registry, dialect: str):
+def _make_udfs(schema: Any, registry, dialect: str | None):
     from sparkschema.spec.jsonvalue import dump_json_exact
 
     # dump_json_exact keeps Decimal keyword values (minimum: 0.5, multipleOf:
@@ -62,12 +69,18 @@ def _make_udfs(schema: Any, registry, dialect: str):
     # the executor-side rebuild would silently drop the keyword.
     schema_text = dump_json_exact(schema) if not isinstance(schema, str) else schema
     docs_text = dump_json_exact(getattr(registry, "_docs", {}) or {})
+    # the registry's own dialect wins when the caller didn't name one —
+    # a SpecRegistry("draft4") previously validated with draft7 keyword
+    # semantics on executors (review find r4)
+    dialect = dialect or getattr(registry, "dialect", None) or "draft7"
+    formats = dict(getattr(registry, "_formats", {}) or {})
 
     state: dict[str, Any] = {}
 
     def get_validator():
         if "v" not in state:
-            state["v"] = _build_validator(schema_text, docs_text, dialect)
+            state["v"] = _build_validator(schema_text, docs_text, dialect,
+                                          formats)
         return state["v"]
 
     @F.pandas_udf(T.BooleanType())
@@ -111,7 +124,7 @@ def _make_udfs(schema: Any, registry, dialect: str):
 
 
 def json_valid_column(json_col: Column | str, schema: Any,
-                      registry=None, dialect: str = "draft7") -> Column:
+                      registry=None, dialect: str | None = None) -> Column:
     """Boolean Column: does the JSON text in ``json_col`` satisfy ``schema``?"""
     is_valid_udf, _ = _make_udfs(schema, registry, dialect)
     col = F.col(json_col) if isinstance(json_col, str) else json_col
@@ -120,7 +133,7 @@ def json_valid_column(json_col: Column | str, schema: Any,
 
 def validate_json_column(df: DataFrame, json_col: str, schema: Any,
                          key_cols: list[str] | None = None,
-                         registry=None, dialect: str = "draft7") -> DataFrame:
+                         registry=None, dialect: str | None = None) -> DataFrame:
     """Violation rows for a JSON-text column: ``(key..., keyword,
     schema_path, instance_path, value, msg)`` — same contract as the
     typed-table path."""

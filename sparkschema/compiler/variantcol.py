@@ -942,7 +942,7 @@ def _inline_refs_for_variant(schema: Any, registry, dialect: str) -> Any:
 
 
 def json_valid_auto(json_col: Column | str, schema: Any,
-                    registry=None, dialect: str = "draft7",
+                    registry=None, dialect: str | None = None,
                     strict_spark_parse: bool = False) -> Column:
     """VARIANT fast path when the spec compiles; Arrow kernel otherwise.
 
@@ -966,6 +966,7 @@ def json_valid_auto(json_col: Column | str, schema: Any,
     # the table compiler uses) so non-recursive ref'd specs stay on the
     # zero-Python VARIANT path; recursive/unresolvable refs fall back to
     # the Arrow kernel, which resolves lazily (SchemaRefResolver.scala).
+    dialect = dialect or getattr(registry, "dialect", None) or "draft7"
     vschema = _inline_refs_for_variant(schema, registry, dialect)
     try:
         vcol = variant_valid_column(json_col, vschema)

@@ -79,8 +79,9 @@ def _drift_verdict(h_cur: DataFrame, h_ref: DataFrame, column: str,
     o = h_cur.groupBy("bucket").agg(F.sum("cnt").alias("o"))
     e = h_ref.groupBy("bucket").agg(F.sum("cnt").alias("e"))
     rows = sorted(
-        (r["bucket"], r["o"] or 0, r["e"] or 0)
-        for r in o.join(e, "bucket", "full_outer").collect())
+        ((r["bucket"], r["o"] or 0, r["e"] or 0)
+         for r in o.join(e, "bucket", "full_outer").collect()),
+        key=lambda r: (r[0] is None, r[0] if r[0] is not None else 0))
     n_o = sum(r[1] for r in rows)
     n_e = sum(r[2] for r in rows)
 

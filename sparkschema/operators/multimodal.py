@@ -40,6 +40,11 @@ def extract_image_features(images: DataFrame, batch_hint: int = 2048) -> DataFra
                 out["image_id"].append(iid)
                 try:
                     px, fmt = decode(bytes(buf) if buf is not None else b"")
+                    if px.size == 0:
+                        # w=0/h=0 containers decode but carry no pixels —
+                        # treat as invalid like phash_bytes does (review
+                        # find r4: these reported ok=true with NaN stats)
+                        raise CorruptImage("zero-pixel image")
                     m = px.mean(axis=(0, 1))
                     gray = px.astype(np.float64).mean(axis=2)
                     out["ok"].append(True)
@@ -79,6 +84,10 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     px, fmt = decode(bytes(buf) if buf is not None else b"")
                 except CorruptImage:
                     continue  # corrupt inputs are dropped (reported elsewhere)
+                if px.size == 0:
+                    continue  # zero-pixel container: nothing to resize —
+                    # indexing a size-0 axis raised and killed the task
+                    # (review find r4)
                 ys = (np.arange(out_h) * px.shape[0] // out_h)
                 xs = (np.arange(out_w) * px.shape[1] // out_w)
                 ids.append(iid)

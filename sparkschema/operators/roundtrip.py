@@ -143,14 +143,23 @@ def roundtrip_violations(images: DataFrame, ref: DataFrame,
 def roundtrip_verdict(images: DataFrame, ref: DataFrame,
                       psnr_min: float = 40.0) -> DataFrame:
     f = roundtrip_frame(images, ref, psnr_min)
+    # coalesces: an EMPTY table is a vacuous pass with zero counters
+    # (sum over zero rows is NULL — the bool(NULL)=False trap fixed for
+    # null_fraction in r4); per-cause counters exclude ref_missing rows,
+    # which previously also counted as psnr/caption failures, inflating
+    # triage numbers three-for-one (review find r4)
     return f.agg(
         F.lit("roundtrip:bytes").alias("check"),
-        (F.sum((~f["psnr_ok"] | ~f["caption_ok"] | f["ref_missing"])
-               .cast("long")) == 0).alias("pass"),
+        F.coalesce(
+            F.sum((~f["psnr_ok"] | ~f["caption_ok"] | f["ref_missing"])
+                  .cast("long")) == 0, F.lit(True)).alias("pass"),
         F.count(F.lit(1)).alias("rows"),
-        F.sum((~f["psnr_ok"]).cast("long")).alias("psnr_failures"),
-        F.sum((~f["caption_ok"]).cast("long")).alias("caption_mismatches"),
-        F.sum(f["ref_missing"].cast("long")).alias("missing_refs"),
+        F.coalesce(F.sum((~f["ref_missing"] & ~f["psnr_ok"]).cast("long")),
+                   F.lit(0)).alias("psnr_failures"),
+        F.coalesce(F.sum((~f["ref_missing"] & ~f["caption_ok"]).cast("long")),
+                   F.lit(0)).alias("caption_mismatches"),
+        F.coalesce(F.sum(f["ref_missing"].cast("long")), F.lit(0))
+         .alias("missing_refs"),
         F.min(F.when(f["psnr_db"] != float("inf"), f["psnr_db"]))
          .alias("min_finite_psnr_db"),
     )

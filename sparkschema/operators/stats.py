@@ -41,7 +41,10 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+        # coalesce: sum over ZERO rows is NULL; an empty table reports
+        # null_count=0 (review find r4)
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("long")),
+                               F.lit(0)).alias(f"__null_{c}"))
         if not isinstance(fields[c], (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
             aggs.append(F.min(c).cast("string").alias(f"__min_{c}"))
             aggs.append(F.max(c).cast("string").alias(f"__max_{c}"))
@@ -56,7 +59,11 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
         agg = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
         id_cols = ["partition_id"]
     else:
-        agg = df.groupBy(F.lit(0).alias("partition_id")).agg(*aggs)
+        # plain agg, not groupBy(lit(0)): a grouped aggregation over an
+        # EMPTY table yields zero groups, breaking the documented
+        # one-row-per-column contract (review find r4) — agg always
+        # returns exactly one row (rows=0, null_count=0)
+        agg = df.agg(*aggs).select(F.lit(0).alias("partition_id"), "*")
         id_cols = ["partition_id"]
 
     # long format via one explode of per-column structs (no extra pass)
@@ -74,7 +81,8 @@ def column_stats(df: DataFrame, columns: list[str] | None = None,
         agg.select(*id_cols, F.col("__rows").alias("rows"),
                    F.explode(per_col).alias("s"))
         .select(*id_cols, "rows", "s.column", "s.null_count",
-                (F.col("s.null_count") / F.col("rows")).alias("null_fraction"),
+                F.try_divide(F.col("s.null_count"), F.col("rows"))
+                 .alias("null_fraction"),
                 "s.min", "s.max", "s.approx_distinct")
     )
 
@@ -106,10 +114,15 @@ def histogram(df: DataFrame, column: str, lo: float, hi: float, buckets: int,
     ``width_bucket`` semantics: values < lo → bucket 0, ≥ hi → buckets+1;
     NULL excluded. Bucket bounds are compile-time literals so this is one
     codegen'd projection + one partial-agg groupBy."""
-    b = F.width_bucket(F.col(column).cast("double"), F.lit(float(lo)),
-                       F.lit(float(hi)), F.lit(buckets)).alias("bucket")
+    c = F.col(column).cast("double")
+    b = F.width_bucket(c, F.lit(float(lo)), F.lit(float(hi)),
+                       F.lit(buckets)).alias("bucket")
     keys = ([F.spark_partition_id().alias("partition_id")] if per_partition else [])
-    return (df.where(F.col(column).isNotNull())
+    # NaN passes isNotNull but width_bucket(NaN) yields a NULL bucket,
+    # which crashed the drift verdict's driver-side sort (review find
+    # r4); filtering on the CAST also drops values the double cast
+    # cannot represent (same NULL-bucket hazard)
+    return (df.where(c.isNotNull() & ~F.isnan(c))
               .groupBy(*keys, b)
               .agg(F.count(F.lit(1)).alias("cnt")))
 

@@ -115,7 +115,11 @@ def quality_score(col: Column) -> Column:
                       F.lit(1.0))
     raw = (0.3 * length_ok + 0.2 * wordlen_ok + 0.3 * stop_ok
            + 0.2 * (1.0 - penalty))
-    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
+    # NULL text scores NULL — without the guard, size(NULL)=NULL rode
+    # through F.least (which SKIPS nulls) into full stopword credit and
+    # a 0.56 "quality" for a nonexistent document (review find r4)
+    return F.when(col.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6))
 
 
 def content_fingerprint(col: Column) -> Column:

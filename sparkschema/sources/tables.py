@@ -20,12 +20,15 @@ TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
 def load_table(spark: SparkSession, path_or_ident: str,
                fmt: str | None = None) -> DataFrame:
     """Load a table by parquet path or catalog identifier."""
-    if fmt == "iceberg" or (fmt is None and "/" not in path_or_ident):
-        try:
-            return spark.read.format("iceberg").load(path_or_ident)
-        except Exception:
-            if "/" not in path_or_ident:
-                raise
+    if fmt == "iceberg":
+        # explicit iceberg NEVER falls back: reading the table directory
+        # as bare parquet would include files from overwritten/deleted
+        # snapshots and uncommitted writes — silently wrong data, not an
+        # error (review find r4)
+        return spark.read.format("iceberg").load(path_or_ident)
+    if fmt is None and "/" not in path_or_ident:
+        # bare identifier: catalog (iceberg) semantics, loud on failure
+        return spark.read.format("iceberg").load(path_or_ident)
     return spark.read.parquet(path_or_ident)
 
 
@@ -42,7 +45,26 @@ def ensure_bucketed_table(spark: SparkSession, name: str, path: str,
     The data is written ONCE via ``bucketBy().sortBy().saveAsTable``; the
     default in-memory catalog forgets table metadata between sessions, so
     later sessions re-register the existing files with a ``CREATE TABLE …
-    CLUSTERED BY … LOCATION`` DDL (bucket ids ride in the file names)."""
+    CLUSTERED BY … LOCATION`` DDL (bucket ids ride in the file names).
+
+    An existing catalog entry is trusted only when it points at the SAME
+    location with the same bucket spec — two calls registering different
+    paths under one name previously returned the FIRST path's data for
+    both (review find r4: the round-trip check silently validated the
+    wrong corpus). A mismatch drops and re-registers."""
+    if spark.catalog.tableExists(name):
+        try:
+            detail = {r["col_name"]: r["data_type"] for r in
+                      spark.sql(f"describe table extended {name}").collect()
+                      if r["col_name"]}
+            loc = detail.get("Location", "")
+            nb = detail.get("Num Buckets", "")
+            same = loc.rstrip("/").endswith(
+                os.path.abspath(path).rstrip("/")) and nb == str(buckets)
+        except Exception:
+            same = False
+        if not same:
+            spark.sql(f"drop table if exists {name}")
     if not spark.catalog.tableExists(name):
         if os.path.isdir(path) and any(
                 f.endswith(".parquet") for f in os.listdir(path)):

@@ -49,3 +49,33 @@ def test_recursive_ref_on_executors(spark):
     out = validate_json_column(df, "doc", tree, key_cols=["id"], registry=reg)
     got = sorted((r.id, r.keyword, r.instance_path) for r in out.collect())
     assert got == [(2, "required", "/kids/0"), (3, "minLength", "/name")]
+
+
+def test_custom_formats_enforced_on_executors(spark):
+    """Review find r4: the executor-side registry rebuild shipped only the
+    document texts, silently dropping add_format checkers (unknown
+    format => pass) and the registry's own dialect."""
+    from sparkschema.spec.registry import SpecRegistry
+
+    reg = SpecRegistry("draft7")
+    reg.add_format("even", lambda v: isinstance(v, int) and v % 2 == 0)
+    df = spark.createDataFrame([(1, "2"), (2, "3"), (3, "4")],
+                               "id long, j string")
+    got = {r.id: r.ok for r in df.select(
+        "id", json_valid_column("j", {"format": "even"}, registry=reg)
+        .alias("ok")).collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_registry_dialect_wins_when_caller_omits_it(spark):
+    """A draft-4 registry without an explicit dialect argument must apply
+    draft-4 semantics on executors (boolean exclusiveMinimum flag)."""
+    from sparkschema.spec.registry import SpecRegistry
+
+    reg4 = SpecRegistry("draft4")
+    spec = {"minimum": 5, "exclusiveMinimum": True}  # d4 flag form
+    df = spark.createDataFrame([(1, "5"), (2, "6")], "id long, j string")
+    got = {r.id: r.ok for r in df.select(
+        "id", json_valid_column("j", spec, registry=reg4).alias("ok"))
+        .collect()}
+    assert got == {1: False, 2: True}  # draft-7 would ignore the flag

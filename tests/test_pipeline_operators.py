@@ -302,3 +302,37 @@ def test_ngram_repetition(spark):
     # NULL text propagates NULL (review find r4: the unguarded HOF
     # produced two phantom ['', ''] grams and rep=0.5)
     assert got[5] == (None, None)
+
+
+def test_quality_score_null_text_is_null(spark):
+    """Review find r4: NULL text scored 0.56 (full stopword credit via
+    least() skipping NULLs) — a nonexistent doc outranked real low-quality
+    text in corpus filters."""
+    df = spark.createDataFrame([(1, None), (2, "x"), (3, "the cat and the "
+                                "dog went to the market in the morning")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.q for r in df.select(
+        "doc_id", text.quality_score(F.col("text")).alias("q")).collect()}
+    assert got[1] is None
+    assert got[2] is not None and got[3] > got[2]
+
+
+def test_multimodal_zero_pixel_containers(spark):
+    """Review find r4: w=0/h=0 containers decode but carry no pixels —
+    features must report ok=False (was ok=True with NaN stats) and resize
+    must drop them (was an uncaught IndexError killing the task)."""
+    import struct
+
+    from sparkschema.functions.imagecodec import MAGIC
+
+    degenerate = bytes(MAGIC) + struct.pack("<HHB", 0, 0, 0)
+    rows = [("z", bytearray(degenerate))]
+    from sparkschema.functions.imagecodec import encode, synth_pixels
+    rows.append(("good", bytearray(encode(synth_pixels("g", 8, 8), "raw"))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    feats = {r.image_id: r.ok for r in extract_image_features(df).collect()}
+    assert feats == {"z": False, "good": True}
+
+    out = resize_images(df, 4, 4).collect()
+    assert [r.image_id for r in out] == ["good"]

@@ -217,3 +217,64 @@ def test_validation_run_empty_table_checks(spark, lineitem):
         empty, key_cols=["l_orderkey"], ref=lineitem)
     dr = [v for v in res2.table_verdicts if v["check"].startswith("drift")]
     assert dr and dr[0]["pass"] is False and dr[0]["ks"] is None
+
+
+def test_column_stats_empty_table_one_row_per_column(spark, lineitem):
+    """Review find r4: groupBy(lit(0)) over an empty table yielded ZERO
+    rows, breaking the one-row-per-column contract."""
+    empty = lineitem.select("l_orderkey", "l_extendedprice").where(F.lit(False))
+    rows = stats.column_stats(empty).collect()
+    assert len(rows) == 2
+    assert all(r.rows == 0 and r.null_count == 0 and r.null_fraction is None
+               for r in rows)
+
+
+def test_histogram_excludes_nan(spark):
+    """Review find r4: NaN passed the NULL filter and produced a NULL
+    bucket, crashing the drift verdict's driver-side sort."""
+    df = spark.createDataFrame(
+        [(1.0,), (float("nan"),), (2.0,)], "v double")
+    h = {r.bucket: r.cnt for r in stats.histogram(df, "v", 0, 10, 5).collect()}
+    assert None not in h and sum(h.values()) == 2
+    ref = spark.createDataFrame([(1.5,), (2.5,)], "v double")
+    res = drift.drift_check(df, ref, "v", 0, 10, buckets=5)
+    assert res["ks"] is not None  # no TypeError from a None bucket
+
+
+def test_roundtrip_verdict_empty_and_cause_counters(spark):
+    """Review find r4: empty input returned pass=NULL (reported as
+    failure); missing-ref rows also counted as psnr AND caption
+    failures, tripling triage numbers."""
+    from sparkschema.operators.roundtrip import roundtrip_verdict
+    from sparkschema.sources.synthetic import images_df
+
+    imgs = images_df(spark, 30, with_bytes=True, corrupt_fraction=0.0)
+    ref = images_df(spark, 20, with_bytes=True, variant="ref")  # 10 missing
+    empty = imgs.where(F.lit(False))
+    row = roundtrip_verdict(empty, ref).collect()[0]
+    assert row["pass"] is True and row["rows"] == 0
+    assert row["psnr_failures"] == 0 and row["missing_refs"] == 0
+
+    row2 = roundtrip_verdict(imgs, ref).collect()[0]
+    assert row2["missing_refs"] == 10
+    # the 10 missing rows are NOT recounted as psnr/caption failures
+    assert row2["psnr_failures"] == 0
+    assert row2["caption_mismatches"] <= 2  # only real caption anomalies
+
+
+def test_ensure_bucketed_table_reregisters_on_path_change(spark, tmp_path):
+    """Review find r4: an existing catalog entry was trusted blindly, so
+    a second registration under the same name returned the FIRST path's
+    data."""
+    from sparkschema.sources.tables import ensure_bucketed_table
+
+    a = spark.createDataFrame([(f"a{i}", i) for i in range(10)],
+                              "image_id string, v int")
+    b = spark.createDataFrame([(f"b{i}", i) for i in range(20)],
+                              "image_id string, v int")
+    name = "rt_bkt_rereg_test"
+    ta = ensure_bucketed_table(spark, name, str(tmp_path / "ta"), source_df=a)
+    assert ta.count() == 10
+    tb = ensure_bucketed_table(spark, name, str(tmp_path / "tb"), source_df=b)
+    assert tb.count() == 20, "stale catalog entry served the old path"
+    spark.sql(f"drop table if exists {name}")
