@@ -64,6 +64,12 @@ def inline_refs(schema: Any, resolver: RefResolver | None, scope: Scope | None,
     referrer/retargeted schema paths (ErrorReportingSpec.scala:48-66)."""
     if not isinstance(schema, dict):
         return schema
+    # rebase the resolution scope on $id-bearing nodes exactly like the
+    # kernel does at every dict node (interpreter.py) — without this,
+    # refs beneath an $id-rebased subtree resolved against the OUTER
+    # base on the compiled path only (review find r4)
+    if resolver is not None and scope is not None:
+        scope = scope.refine(schema, resolver.dialect)
     if "$ref" in schema and isinstance(schema["$ref"], str):
         ref = schema["$ref"]
         if resolver is None or scope is None:
@@ -176,9 +182,6 @@ class CompiledTableSpec:
         for i, c in enumerate(self.checks):
             aggs.append(F.sum(c.fail.cast("long")).alias(f"__f{i}"))
         agg = df.groupBy(F.spark_partition_id().alias("partition_id")).agg(*aggs)
-        stack_args: list[Column] = []
-        for i, name in enumerate(self.check_names):
-            stack_args += [F.lit(name), F.col(f"__f{i}")]
         exploded = agg.select(
             "partition_id", "__rows",
             F.explode(F.map_from_arrays(
@@ -220,7 +223,6 @@ def compile_table_spec(
         idx.add_document("urn:sparkschema:tablespec", schema, parsed.dialect)
         schema = inline_refs(schema, resolver, scope)
     else:
-        schema = inline_refs(schema, None, None) if _has_ref(schema) is False else schema
         if _has_ref(schema):
             raise SpecError("$ref", "spec contains $refs but no registry was given")
 
@@ -236,6 +238,14 @@ def compile_table_spec(
     for name, sub in props.items():
         if name not in fields:
             raise SpecError(f"#/properties/{name}", f"column {name!r} not in DataFrame")
+        if isinstance(sub, bool):
+            # boolean subschema: compile_checks handles False (present
+            # value fails err.false.schema) and True (no checks) — the
+            # old skip silently dropped {'properties': {'a': false}}
+            # (review find r4)
+            checks += cc.compile_checks(sub, F.col(name), fields[name],
+                                        f"#/properties/{name}", f"/{name}")
+            continue
         if not isinstance(sub, dict):
             continue
         requests += _extension_requests(name, sub)

@@ -38,15 +38,25 @@ def _fmt_datetime(v: Any) -> bool:
         return True
     s = v.replace("Z", "+00:00").replace("z", "+00:00")
     try:
-        datetime.fromisoformat(s)
-        return "T" in v or "t" in v
+        dt = datetime.fromisoformat(s)
+        # an OFFSET is required: the reference parses with
+        # OffsetDateTime.parse and the SQL twin's patterns mandate XXX —
+        # fromisoformat alone accepted naive datetimes (review find r4)
+        return ("T" in v or "t" in v) and dt.tzinfo is not None
     except ValueError:
         return False
+
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 
 
 def _fmt_date(v: Any) -> bool:
     if not isinstance(v, str):
         return True
+    # RFC 3339 full-date requires zero padding; strptime alone accepted
+    # '2020-1-1', diverging from the SQL twin's anchored regex (review r4)
+    if not _DATE_RE.match(v):
+        return False
     try:
         datetime.strptime(v, "%Y-%m-%d")
         return True

@@ -118,6 +118,11 @@ class Validator:
         if not isinstance(schema, dict):
             return []
 
+        # depth counts $REF HOPS only (incremented on the $ref branch
+        # below) — the reference's MaxDepth=100 lives inside
+        # SchemaRefResolver; counting structural keyword nesting in the
+        # same budget made >100-level ref-free schemas emit a spurious
+        # err.max.depth (review find r4)
         if depth > MAX_DEPTH:
             return [self._v("$ref", spath, ipath, value, "err.max.depth")]
 
@@ -165,6 +170,18 @@ class Validator:
             out += self._array_keywords(schema, value, scope, spath, ipath, depth)
         elif vt == "object":
             out += self._object_keywords(schema, value, scope, spath, ipath, depth)
+        if vt not in ("number", "string"):
+            # custom SchemaFormat-analog checkers receive ANY value type
+            # (the number/string paths already consult them); built-ins
+            # start with an isinstance(str) gate so they stay vacuous here
+            # (review find r4: custom formats never ran for array/object/
+            # boolean/null values)
+            fmt = schema.get("format")
+            if isinstance(fmt, str):
+                checker = self.formats.get(fmt)
+                if checker is not None and not checker(value):
+                    out.append(self._v("format", spath + "/format", ipath,
+                                       value, "str.format", value, fmt))
         return self._stamp(out, scope)
 
     # -- any-constraints: enum/const/combinators (AnyConstraintValidators) --
@@ -187,7 +204,7 @@ class Validator:
         # flattened sibling rows
         if isinstance(schema.get("allOf"), list):
             branches = [
-                (i, self._validate(s, value, scope, f"{spath}/allOf/{i}", ipath, depth + 1))
+                (i, self._validate(s, value, scope, f"{spath}/allOf/{i}", ipath, depth))
                 for i, s in enumerate(schema["allOf"])
             ]
             if any(errs for _, errs in branches):
@@ -198,7 +215,7 @@ class Validator:
             # lazy first-success (untilFirstSuccess)
             branches = []
             for i, s in enumerate(schema["anyOf"]):
-                errs = self._validate(s, value, scope, f"{spath}/anyOf/{i}", ipath, depth + 1)
+                errs = self._validate(s, value, scope, f"{spath}/anyOf/{i}", ipath, depth)
                 if not errs:
                     branches = []
                     break
@@ -210,7 +227,7 @@ class Validator:
         if isinstance(schema.get("oneOf"), list):
             branches, matched = [], []
             for i, s in enumerate(schema["oneOf"]):
-                errs = self._validate(s, value, scope, f"{spath}/oneOf/{i}", ipath, depth + 1)
+                errs = self._validate(s, value, scope, f"{spath}/oneOf/{i}", ipath, depth)
                 if errs:
                     branches.append((i, errs))
                 else:
@@ -225,7 +242,7 @@ class Validator:
                                    "any.one.of.many", errors_info={"matched": matched}))
 
         if "not" in schema:
-            if not self._validate(schema["not"], value, scope, spath + "/not", ipath, depth + 1):
+            if not self._validate(schema["not"], value, scope, spath + "/not", ipath, depth):
                 out.append(self._v("not", spath + "/not", ipath, value, "any.not"))
 
         # if/then/else (AnyConstraintValidators.scala:14-67): lone `if`
@@ -235,10 +252,10 @@ class Validator:
         # CONTAINING schema's path (not #/then or #/else) and no nested
         # errors object is attached (SchemaUtil.failure with bare args).
         if "if" in schema:
-            cond_ok = not self._validate(schema["if"], value, scope, spath + "/if", ipath, depth + 1)
+            cond_ok = not self._validate(schema["if"], value, scope, spath + "/if", ipath, depth)
             branch = "then" if cond_ok else "else"
             if branch in schema:
-                sub = self._validate(schema[branch], value, scope, f"{spath}/{branch}", ipath, depth + 1)
+                sub = self._validate(schema[branch], value, scope, f"{spath}/{branch}", ipath, depth)
                 if sub:
                     keyword = "else" if "else" in schema else "then"
                     out.append(self._v(keyword, spath or "#", ipath, value,
@@ -379,7 +396,7 @@ class Validator:
             # positional tuple schemas + additionalItems (TupleValidators.scala:44-108)
             for i, el in enumerate(value[: len(items)]):
                 out += self._validate(items[i], el, scope, f"{spath}/items/{i}",
-                                      f"{ipath}/{i}", depth + 1)
+                                      f"{ipath}/{i}", depth)
             if n > len(items):
                 add = schema.get("additionalItems")
                 if add is False:
@@ -389,15 +406,15 @@ class Validator:
                     for i in range(len(items), n):
                         out += self._validate(add, value[i], scope,
                                               spath + "/additionalItems",
-                                              f"{ipath}/{i}", depth + 1)
+                                              f"{ipath}/{i}", depth)
         elif items is not None:
             for i, el in enumerate(value):
                 out += self._validate(items, el, scope, spath + "/items",
-                                      f"{ipath}/{i}", depth + 1)
+                                      f"{ipath}/{i}", depth)
 
         if "contains" in schema:
             ok = any(not self._validate(schema["contains"], el, scope,
-                                        spath + "/contains", f"{ipath}/{i}", depth + 1)
+                                        spath + "/contains", f"{ipath}/{i}", depth)
                      for i, el in enumerate(value))
             if not ok:
                 out.append(self._v("contains", spath + "/contains", ipath, value,
@@ -426,7 +443,7 @@ class Validator:
                                            ipath, value, "obj.missing.prop.dep", dep))
                 else:
                     out += self._validate(dep, value, scope,
-                                          f"{spath}/dependencies/{k}", ipath, depth + 1)
+                                          f"{spath}/dependencies/{k}", ipath, depth)
 
         props = schema.get("properties")
         matched: set[str] = set()
@@ -436,7 +453,7 @@ class Validator:
                     matched.add(k)
                     out += self._validate(sub, value[k], scope,
                                           f"{spath}/properties/{k}",
-                                          f"{ipath}/{k}", depth + 1)
+                                          f"{ipath}/{k}", depth)
 
         req = schema.get("required")
         if isinstance(req, list):
@@ -456,7 +473,7 @@ class Validator:
                         matched.add(k)
                         out += self._validate(sub, v, scope,
                                               f"{spath}/patternProperties/{pat}",
-                                              f"{ipath}/{k}", depth + 1)
+                                              f"{ipath}/{k}", depth)
 
         # additionalProperties over unmatched props
         # (unmatched.intersect(remaining), ObjectConstraints4.scala:53)
@@ -472,7 +489,7 @@ class Validator:
                 for k in extras:
                     out += self._validate(add, value[k], scope,
                                           spath + "/additionalProperties",
-                                          f"{ipath}/{k}", depth + 1)
+                                          f"{ipath}/{k}", depth)
 
         mn = schema.get("minProperties")
         if isinstance(mn, int) and not isinstance(mn, bool) and len(value) < mn:
@@ -487,7 +504,7 @@ class Validator:
         if pn is not None:
             for k in value:
                 out += self._validate(pn, k, scope, spath + "/propertyNames",
-                                      f"{ipath}/{k}", depth + 1)
+                                      f"{ipath}/{k}", depth)
         return out
 
     # -- helpers -------------------------------------------------------------

@@ -104,7 +104,11 @@ def _check(node: Any, path: str, dialect: str) -> None:
                 raise SpecError(path + "/required", "entries must be strings")
 
     for kw in _KEYWORDS_SCHEMA_VALUED:
-        if kw in node and not isinstance(node[kw], (dict, bool, list)):
+        # only "items" may be a list (positional tuple form); a list for
+        # not/contains/if/... previously slipped through and evaluated as
+        # a vacuous-pass schema — inverting under "not" (review find r4)
+        allowed = (dict, bool, list) if kw == "items" else (dict, bool)
+        if kw in node and not isinstance(node[kw], allowed):
             raise SpecError(f"{path}/{kw}", "must be a schema")
         if kw in node and isinstance(node[kw], (dict, bool)) and kw != "items":
             _check(node[kw], f"{path}/{kw}", dialect)

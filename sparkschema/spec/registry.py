@@ -95,10 +95,16 @@ class SpecRegistry:
         """One-shot: validate ``value`` against ``schema`` (dict or JSON text)."""
         if isinstance(schema, str):
             schema = parse_json(schema)
-        v = self.validator()
-        # make local anchors in this ad-hoc document resolvable
+        # resolve against a CLONE: registering the ad-hoc document (and
+        # every $id scope inside it) into the long-lived index would let
+        # a transient subschema permanently shadow a later add_schema
+        # under the same $id — _collect only setdefaults (review find r4,
+        # same hazard the table compiler's inlining clones around)
+        idx = self.index.clone()
         root_uri = base_uri or "urn:sparkschema:adhoc"
-        self.index.add_document(root_uri, schema, sniff_dialect(schema, self.dialect))
+        idx.add_document(root_uri, schema, sniff_dialect(schema, self.dialect))
+        v = Validator(RefResolver(idx, self.dialect),
+                      formats=self._formats or None)
         return v.validate(schema, value, Scope(schema, root_uri))
 
     def to_json(self, uri: str) -> str:
