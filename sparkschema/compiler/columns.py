@@ -83,26 +83,6 @@ def statically_integer(dt: T.DataType) -> bool:
     return isinstance(dt, INTEGRAL) or (isinstance(dt, T.DecimalType) and dt.scale == 0)
 
 
-def _num_lit(v: Any) -> Column:
-    # exact decimal literal (BigDecimal parity for bounds like 0.1); ints
-    # beyond int64 must go through Decimal (F.lit of a >2^63 python int is
-    # a Py4J error — fuzz-found r3) and >38-digit magnitudes through
-    # double (the only representation left; 1-ulp tail at that extreme)
-    if isinstance(v, Decimal):
-        from sparkschema.spec.jsonvalue import normalize_exact
-        nv = normalize_exact(v)
-        if _dec_precision(nv) > 38:
-            return F.lit(float(v))
-        # lit the exactly-normalized value: a trailing-zero coefficient
-        # wider than 38 digits would fail DecimalType inference even
-        # though the VALUE fits
-        return F.lit(nv)
-    if isinstance(v, int) and not isinstance(v, bool) \
-            and not -2 ** 63 <= v < 2 ** 63:
-        return _num_lit(Decimal(v))
-    return F.lit(v)
-
-
 def _as_decimal_mod_fail_udf(mo_dec: Decimal):
     """Arrow-batched twin of the kernel's ``as_decimal(v) % mo != 0`` for
     the pathological-multipleOf tier (≥16 significant digits or scale >18)
@@ -658,16 +638,42 @@ class ColumnCompiler:
         specs carrying such an mo pay it)."""
         from sparkschema.spec.jsonvalue import as_decimal, normalize_exact
         mo_dec = normalize_exact(as_decimal(mo))
+        if mo_dec == 0:
+            # kernel parity: nothing is a multiple of 0 (interpreter
+            # treats dmo==0 as rem_nonzero) — and `col % 0` would be a
+            # silent pass-all pre-ANSI / a DIVIDE_BY_ZERO job abort under
+            # ANSI (review find r4)
+            return col.isNotNull()
         is_whole_mo = mo_dec == mo_dec.to_integral_value()
         s = max(-mo_dec.as_tuple().exponent, 0)
 
         if _dec_precision(mo_dec) > 38:
             # mo's exact form cannot be a DecimalType literal (e.g. the
-            # 41-digit binary integer of the double 1e40). Such an mo is a
-            # huge whole number: compare in double — IEEE fmod is exact
-            # because mo, coming from a float, is binary-representable.
-            return F.coalesce((col.cast("double") % F.lit(float(mo_dec))) != 0,
-                              F.lit(True))
+            # 41-digit binary integer of the double 1e40).
+            int_digits = _dec_precision(mo_dec) - s
+            if int_digits > 38 and (statically_integer(dt)
+                                    or isinstance(dt, T.DecimalType)):
+                # |mo| >= 10^38 exceeds every exactly-stored value: the
+                # only multiple is 0 (exact, no cast)
+                return col != 0
+            try:
+                binary_mo_w = Decimal(float(mo_dec)) == mo_dec
+            except (OverflowError, ValueError):
+                binary_mo_w = False
+            dblw = col.cast("double")
+            nonf = dblw.isNaN() | (F.abs(dblw) == F.lit(float("inf")))
+            if binary_mo_w:
+                # IEEE fmod exact for binary-representable mo
+                return F.when(nonf, F.lit(True)).otherwise(
+                    F.coalesce((dblw % F.lit(float(mo_dec))) != 0,
+                               F.lit(True)))
+            # a DECIMAL-literal mo wider than 38 digits that is NOT a
+            # double (e.g. 1E+40): the old fmod against its neighboring
+            # double silently passed values the kernel flags (review
+            # find r4) — take the kernel's own exact view per row
+            return F.when(nonf, F.lit(True)).otherwise(
+                F.coalesce(_as_decimal_mod_fail_udf(mo_dec)(dblw),
+                           F.lit(True)))
 
         if statically_integer(dt):
             if is_whole_mo:
@@ -693,6 +699,17 @@ class ColumnCompiler:
             nonfinite_ = dbl.isNaN() | (F.abs(dbl) == F.lit(float("inf")))
             return F.when(nonfinite_, F.lit(True)) \
                     .otherwise((col % F.lit(float(mo_dec))) != 0)
+
+        if s > 18:
+            # the round-trip guard below is only valid when the cast
+            # scale (capped at 18) is >= scale(mo): with s > 18 a true
+            # multiple like 1e-19 rounds to 0 at scale 18 and was flagged
+            # (review find r4, the columnar twin of the variant-path
+            # binary-mo fix) — every value takes the kernel-exact view
+            nonfinite_s = dbl.isNaN() | (F.abs(dbl) == F.lit(float("inf")))
+            return F.when(nonfinite_s, F.lit(True)).otherwise(
+                F.coalesce(_as_decimal_mod_fail_udf(mo_dec)(dbl),
+                           F.lit(True)))
 
         scale = min(max(s, 12), 18)
         dcol = col.cast(f"decimal(38,{scale})")

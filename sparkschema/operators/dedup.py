@@ -62,7 +62,8 @@ def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFra
     at extreme scale swap collect_list for a representative min(id)."""
     h = F.sha2(normalized_text(F.col(text_col)), 256).alias("content_hash")
     return (
-        df.select(h, F.col(id_col))
+        df.where(F.col(text_col).isNotNull())  # NULL texts are not dups
+        .select(h, F.col(id_col))
         .groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("group_size"),
              F.sort_array(F.collect_list(id_col)).alias("ids"))
@@ -74,9 +75,14 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep one representative (min id) per normalized-content group —
     no collect_list; pure agg + semi-join shape."""
     h = F.sha2(normalized_text(F.col(text_col)), 256)
-    keep = (df.select(h.alias("__h"), F.col(id_col))
+    # NULL texts are excluded from grouping (a thousand NULL documents
+    # are not copies of each other — the old NULL hash key kept one and
+    # silently dropped the rest; review find r4) and always retained
+    keep = (df.where(F.col(text_col).isNotNull())
+              .select(h.alias("__h"), F.col(id_col))
               .groupBy("__h").agg(F.min(id_col).alias(id_col)))
-    return df.join(keep, on=id_col, how="left_semi")
+    return df.where(F.col(text_col).isNull()).unionByName(
+        df.join(keep, on=id_col, how="left_semi"))
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +352,15 @@ def _simhash_sig_udf(bits: int, shingle_k: int, seed: int):
                     H += cp[j:m + j] * POWS[j]
             H = np.unique(H)              # char_shingles is DISTINCT
             H = H * A + B                 # universal-hash mix
-            ones = ((H[:, None] >> BITPOS[None, :]) & np.uint64(1)).sum(axis=0)
+            # chunked bit-count: the full (H.size x bits) matrix is
+            # ~0.5 GB for a 1M-shingle document x cores — bound the
+            # block like the minhash kernel does (review find r4)
+            ones = np.zeros(bits, dtype=np.uint64)
+            BLOCK = 1 << 15
+            for st in range(0, H.size, BLOCK):
+                blk = H[st:st + BLOCK]
+                ones += ((blk[:, None] >> BITPOS[None, :])
+                         & np.uint64(1)).sum(axis=0)
             acc = 0
             for i in range(bits):
                 if int(ones[i]) * 2 >= H.size:
@@ -384,6 +398,10 @@ def simhash_frame(df: DataFrame, text_col: str, id_col: str,
 
 
 def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """NULL hash array (NULL text) yields a NULL signature — the old
+    fall-through gave every NULL document signature 0, pairing them all
+    with each other and with any real simhash-0 doc, while the numpy
+    impl returned NULL (review find r4)."""
     n = F.size(hashes)
 
     def bit_test(i: int):
@@ -394,7 +412,7 @@ def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
         cnt = F.size(F.filter(hashes, bit_test(i)))
         bit = F.shiftleft(F.lit(1).cast("long"), i)
         acc = acc + F.when(cnt * 2 >= n, bit).otherwise(F.lit(0).cast("long"))
-    return acc
+    return F.when(hashes.isNull(), F.lit(None).cast("long")).otherwise(acc)
 
 
 def simhash(col: Column, bits: int = 64, seed: int = 42,
@@ -452,7 +470,8 @@ def simhash_md5_frame(df: DataFrame, text_col: str, id_col: str,
 
 def hamming_pairs(sigs: DataFrame, hash_col: str = "sh",
                   id_col: str = "id", chunks: int = 8,
-                  hamming_max: int = 12, bits: int = 64) -> DataFrame:
+                  hamming_max: int = 12, bits: int = 64,
+                  max_bucket: int | None = None) -> DataFrame:
     """Hamming-near pairs over a 64-bit signature table ``(id, hash)`` —
     the shared chunk-pigeonhole machinery behind text SimHash and image
     pHash near-dup.
@@ -476,6 +495,18 @@ def hamming_pairs(sigs: DataFrame, hash_col: str = "sh",
     ])
     buckets = base.select("id", "sh", F.explode(chunk_arr).alias("cc")) \
                   .select("id", "sh", "cc.chunk", "cc.cv")
+    if max_bucket is not None:
+        # degenerate shared signatures (boilerplate clusters) put N rows
+        # in every chunk bucket => O(N^2) self-join blow-up; cap exactly
+        # like minhash_lsh_pairs: the few oversized buckets are found by
+        # a map-side-combined count and removed by broadcast anti-join
+        # (opt-in: the capped pairs are exact dedup's business)
+        oversized = (buckets.groupBy("chunk", "cv")
+                            .agg(F.count(F.lit(1)).alias("__n"))
+                            .where(F.col("__n") > max_bucket)
+                            .select("chunk", "cv"))
+        buckets = buckets.join(F.broadcast(oversized), ["chunk", "cv"],
+                               "left_anti")
     a = buckets.select("chunk", "cv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = buckets.select("chunk", "cv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (a.join(b, ["chunk", "cv"]).where(F.col("id_a") < F.col("id_b"))

@@ -38,9 +38,11 @@ def orphans(fact: DataFrame, fact_col: str, dim: DataFrame, dim_col: str,
 def orphan_violations(fact: DataFrame, fact_col: str, dim: DataFrame,
                       dim_col: str, key_cols: list[str],
                       ref_name: str | None = None,
-                      strategy: Literal["broadcast", "shuffle", "auto"] = "auto") -> DataFrame:
+                      strategy: Literal["broadcast", "shuffle", "auto"] = "auto",
+                      orphans_df: DataFrame | None = None) -> DataFrame:
     ref = ref_name or dim_col
-    o = orphans(fact, fact_col, dim, dim_col, strategy)
+    o = orphans_df if orphans_df is not None \
+        else orphans(fact, fact_col, dim, dim_col, strategy)
     return o.select(
         *key_cols,
         F.lit("$ref_data").alias("keyword"),
@@ -56,8 +58,10 @@ def orphan_violations(fact: DataFrame, fact_col: str, dim: DataFrame,
 
 
 def orphan_verdict(fact: DataFrame, fact_col: str, dim: DataFrame, dim_col: str,
-                   strategy: Literal["broadcast", "shuffle", "auto"] = "auto") -> DataFrame:
-    o = orphans(fact, fact_col, dim, dim_col, strategy)
+                   strategy: Literal["broadcast", "shuffle", "auto"] = "auto",
+                   orphans_df: DataFrame | None = None) -> DataFrame:
+    o = orphans_df if orphans_df is not None \
+        else orphans(fact, fact_col, dim, dim_col, strategy)
     return o.agg(
         F.lit(f"ref:{fact_col}->{dim_col}").alias("check"),
         (F.count(F.lit(1)) == 0).alias("pass"),

@@ -43,11 +43,15 @@ def duplicate_keys(df: DataFrame, keys: list[str] | str,
 
 def duplicate_violations(df: DataFrame, keys: list[str] | str,
                          salt_lanes: int = 1,
-                         keyword: str = "x-unique") -> DataFrame:
+                         keyword: str = "x-unique",
+                         dups: DataFrame | None = None) -> DataFrame:
     """Duplicate keys rendered as violation rows matching the engine's
-    violation contract (keyword, schema_path, instance_path, value, msg)."""
+    violation contract (keyword, schema_path, instance_path, value, msg).
+    Pass a precomputed (e.g. persisted) ``dups`` frame to share the
+    aggregation with a verdict over the same keys."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    dups = duplicate_keys(df, keys, salt_lanes)
+    if dups is None:
+        dups = duplicate_keys(df, keys, salt_lanes)
     value = F.concat_ws(",", *[F.col(k).cast("string") for k in keys])
     return dups.select(
         *keys,
@@ -64,10 +68,12 @@ def duplicate_violations(df: DataFrame, keys: list[str] | str,
 
 
 def uniqueness_verdict(df: DataFrame, keys: list[str] | str,
-                       salt_lanes: int = 1) -> DataFrame:
+                       salt_lanes: int = 1,
+                       dups: DataFrame | None = None) -> DataFrame:
     """One verdict row: ``(check, pass, dup_keys, dup_rows)``."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    dups = duplicate_keys(df, keys, salt_lanes)
+    if dups is None:
+        dups = duplicate_keys(df, keys, salt_lanes)
     return dups.agg(
         F.lit("unique:" + ",".join(keys)).alias("check"),
         (F.count(F.lit(1)) == 0).alias("pass"),

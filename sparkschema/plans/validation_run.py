@@ -73,11 +73,21 @@ def run_validation(
             if isinstance(req.config, list):
                 cols += [c for c in req.config if isinstance(c, str)]
             for c in cols:
-                row = uniqueness.uniqueness_verdict(df, c, salt_lanes).collect()[0]
+                # persist the duplicate-key frame: the verdict collect and
+                # the lazy violations union otherwise each re-run the full
+                # aggregation (review find r4); the cache registers with
+                # the operators' default scope — sweep with
+                # caching.release_default_cache() after consuming results
+                from sparkschema.operators.caching import default_scope
+                dups = default_scope().persist(
+                    uniqueness.duplicate_keys(df, c, salt_lanes))
+                row = uniqueness.uniqueness_verdict(df, c, salt_lanes,
+                                                    dups=dups).collect()[0]
                 table_verdicts.append({"check": row["check"], "pass": bool(row["pass"]),
                                        "dup_keys": row["dup_keys"],
                                        "dup_rows": row["dup_rows"]})
-                dv = uniqueness.duplicate_violations(df, c, salt_lanes).select(
+                dv = uniqueness.duplicate_violations(df, c, salt_lanes,
+                                                     dups=dups).select(
                     F.col(c).cast("string").alias(key_cols[0]),
                     "keyword", "schema_path", "instance_path", "value", "msg",
                     "errors", "resolution_scope", "referrer")
@@ -89,14 +99,20 @@ def run_validation(
             dim = dims.get(dim_name)
             if dim is None:
                 raise ValueError(f"$ref_data target {target!r} not provided in dims")
+            from sparkschema.operators.caching import default_scope
+            o = default_scope().persist(referential.orphans(
+                df, req.column, dim, dim_col or req.column,
+                strategy="broadcast"))
             row = referential.orphan_verdict(df, req.column, dim, dim_col or req.column,
-                                             strategy="broadcast").collect()[0]
+                                             strategy="broadcast",
+                                             orphans_df=o).collect()[0]
             table_verdicts.append({"check": row["check"], "pass": bool(row["pass"]),
                                    "orphan_rows": row["orphan_rows"]})
             ov = referential.orphan_violations(df, req.column, dim,
                                                dim_col or req.column, key_cols,
                                                ref_name=dim_name,
-                                               strategy="broadcast")
+                                               strategy="broadcast",
+                                               orphans_df=o)
             ov = ov.select(*[F.col(k).cast("string").alias(k) for k in key_cols],
                            "keyword", "schema_path", "instance_path", "value", "msg",
                     "errors", "resolution_scope", "referrer")

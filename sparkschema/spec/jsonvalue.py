@@ -311,29 +311,6 @@ def dump_json_exact(v: Any) -> str:
     return enc(v)
 
 
-def canonical_json(v: Any) -> str:
-    """Canonical JSON text: sorted keys + normalized numbers. Equal JSON
-    values (per :func:`json_equal`) render identically — usable as a
-    grouping/broadcast key for enum membership on complex values."""
-    return json.dumps(_canon_value(v), default=_decimal_default,
-                      separators=(",", ":"), sort_keys=True, ensure_ascii=False)
-
-
-def _canon_value(v: Any) -> Any:
-    if isinstance(v, bool) or v is None or isinstance(v, str):
-        return v
-    if is_number(v):
-        d = normalize_exact(as_decimal(v))
-        if d == d.to_integral_value() and abs(d.adjusted()) < 18:
-            return int(d)
-        return float(d)
-    if isinstance(v, (list, tuple)):
-        return [_canon_value(x) for x in v]
-    if isinstance(v, dict):
-        return {k: _canon_value(x) for k, x in v.items()}
-    raise TypeError(f"not a JSON value: {type(v)!r}")
-
-
 def _decimal_default(o: Any) -> Any:
     if isinstance(o, Decimal):
         return int(o) if o == o.to_integral_value() else float(o)

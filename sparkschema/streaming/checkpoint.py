@@ -36,6 +36,21 @@ class Manifest:
         self.path = path
         os.makedirs(path, exist_ok=True)
 
+    def meta(self) -> dict:
+        try:
+            with open(os.path.join(self.path, "_meta.json"),
+                      encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def write_meta(self, meta: dict) -> None:
+        final = os.path.join(self.path, "_meta.json")
+        tmp = final + f".tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        os.replace(tmp, final)
+
     def completed(self) -> dict[str, dict]:
         out = {}
         for p in glob.glob(os.path.join(self.path, "unit-*.json")):
@@ -97,8 +112,27 @@ def run_resumable(
     if not files:
         raise FileNotFoundError(f"no input files under {input_path}")
 
-    units = [files[i:i + files_per_unit] for i in range(0, len(files), files_per_unit)]
     manifest = Manifest(manifest_path)
+    # STABLE unit membership: a file's unit is a hash of its name, with
+    # the unit COUNT pinned in the manifest on first run. The previous
+    # positional chunking shifted every unit boundary when one new file
+    # landed (or files_per_unit changed), so a resume re-ran fully
+    # committed units and orphaned their metrics (review find r4). With
+    # hash buckets, a new file perturbs exactly the one unit it joins —
+    # that unit's id (the hash of its file list) changes and only it
+    # re-runs.
+    meta = manifest.meta()
+    n_units = meta.get("n_units")
+    if n_units is None:
+        n_units = max(1, (len(files) + files_per_unit - 1) // files_per_unit)
+        manifest.write_meta({"n_units": n_units})
+    buckets: dict[int, list[str]] = {}
+    for f in files:
+        b = int.from_bytes(
+            hashlib.blake2b(os.path.basename(f).encode(),
+                            digest_size=8).digest(), "big") % n_units
+        buckets.setdefault(b, []).append(f)
+    units = [sorted(buckets[b]) for b in sorted(buckets)]
     done = manifest.completed()
 
     prior_all = {r.get("snapshot_id") for r in done.values()}

@@ -336,3 +336,40 @@ def test_multimodal_zero_pixel_containers(spark):
 
     out = resize_images(df, 4, 4).collect()
     assert [r.image_id for r in out] == ["good"]
+
+
+def test_null_text_dedup_semantics(spark):
+    """Review find r4: NULL texts are not duplicates — exact_dedup kept
+    one NULL row and dropped the rest; the expression SimHash gave every
+    NULL doc signature 0, pairing them all."""
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT"), (3, None), (4, None),
+         (5, None), (6, "unique")], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  dedup.exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 3, 4, 5, 6]
+    groups = dedup.exact_duplicate_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and sorted(groups[0].ids) == [1, 2]
+
+    sigs = {r.id: r.simhash for r in
+            dedup.simhash_frame(df, "text", "doc_id").collect()}
+    assert sigs[3] is None and sigs[4] is None
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.simhash_candidates(df, "text", "doc_id").collect()}
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in pairs)
+
+
+def test_hamming_pairs_bucket_cap(spark):
+    """Opt-in max_bucket drops degenerate shared-signature buckets (the
+    O(N^2) blow-up guard, same shape as the minhash cap)."""
+    rows = [(i, 0) for i in range(50)]          # 50 identical signatures
+    # real near pair sharing chunk 1 (value 5) — their other chunks are 0
+    # and land in the degenerate buckets the cap removes
+    rows += [(100, (5 << 8) | 7), (101, (5 << 8) | 6)]
+    sigs = spark.createDataFrame(rows, "id long, sh long")
+    capped = dedup.hamming_pairs(sigs, "sh", "id", chunks=8, hamming_max=2,
+                                 max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}
+    uncapped = dedup.hamming_pairs(sigs, "sh", "id", chunks=8, hamming_max=2)
+    assert uncapped.count() == 50 * 49 // 2 + 1

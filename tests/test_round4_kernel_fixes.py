@@ -132,3 +132,41 @@ def test_boolean_property_schema_compiles(spark):
     got = {r.id: r.ok for r in
            df.select("id", cts.row_valid().alias("ok")).collect()}
     assert got == {1: False, 2: True}  # absent (NULL) passes, present fails
+
+
+def test_multiple_of_extreme_divisors_columnar(spark):
+    """Review find r4 (three tiers): scale>18 divisors flagged true
+    multiples below 2^53; >38-digit DECIMAL divisors were assumed
+    binary-representable; multipleOf 0 compiled to `col % 0`."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from sparkschema.compiler.columns import ColumnCompiler
+    from sparkschema.spec.registry import SpecRegistry
+
+    cc = ColumnCompiler()
+    reg = SpecRegistry("draft7")
+    rows = [(1, 1e-19), (2, 3e-19), (3, 1.5e-19), (4, 1e40), (5, 0.5),
+            (6, 0.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    dt = df.schema["v"].dataType
+
+    cases = [{"multipleOf": Decimal("1E-19")},
+             {"multipleOf": Decimal("1E+40")},
+             {"multipleOf": 0}]
+    cols = [cc.compile_valid(spec, F.col("v"), dt).alias(f"c{j}")
+            for j, spec in enumerate(cases)]
+    got = {r.id: r for r in df.select("id", *cols).collect()}
+    for j, spec in enumerate(cases):
+        for rid, v in rows:
+            expected = not reg.validate(spec, v)
+            g = bool(got[rid][f"c{j}"])
+            assert g == expected, (spec, v, g, expected)
+
+    # long column + multipleOf 0 must not DIVIDE_BY_ZERO under ANSI
+    dl = spark.createDataFrame([(1, 7), (2, 0)], "id long, v long")
+    colz = cc.compile_valid({"multipleOf": 0}, F.col("v"),
+                            dl.schema["v"].dataType)
+    gz = {r.id: r.ok for r in dl.select("id", colz.alias("ok")).collect()}
+    assert gz == {1: False, 2: False}  # kernel: nothing is a multiple of 0

@@ -95,7 +95,8 @@ def test_resumable_run(spark, tmp_path, images):
     assert sum(m["rows"] for m in r2.unit_metrics) == total
     # lineage recorded per unit
     rec = json.load(open(os.path.join(
-        manifest_dir, sorted(os.listdir(manifest_dir))[0])))
+        manifest_dir, sorted(f for f in os.listdir(manifest_dir)
+                             if f.startswith("unit-"))[0])))
     assert rec["input_files"] and "metrics" in rec
 
 
@@ -116,7 +117,8 @@ def test_resumable_snapshot_pinning(spark, tmp_path, images):
                        files_per_unit=2, snapshot_id="snap-100")
     assert r1.processed_units > 0
     rec = json.load(open(os.path.join(
-        manifest_dir, sorted(os.listdir(manifest_dir))[0])))
+        manifest_dir, sorted(f for f in os.listdir(manifest_dir)
+                             if f.startswith("unit-"))[0])))
     assert rec["snapshot_id"] == "snap-100"
     # same snapshot resumes cleanly
     r2 = run_resumable(spark, data_dir, manifest_dir,
@@ -163,3 +165,37 @@ def test_streaming_foreach_batch(spark, tmp_path):
                                checkpoint_dir=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
     assert got["violations"] > 0 and got["checks"] > 5
+
+
+def test_resumable_units_stable_under_new_files(spark, tmp_path, images):
+    """Review find r4: positional file chunking shifted EVERY unit id when
+    one new file landed, so a resume re-ran fully committed work. Units
+    are now hash-bucketed by file name with the bucket count pinned in
+    the manifest — a new file perturbs exactly the unit it joins."""
+    import shutil
+
+    data_dir = str(tmp_path / "imgs")
+    images.repartition(6).write.parquet(data_dir)
+    manifest_dir = str(tmp_path / "manifest")
+
+    def process(df, files):
+        return {"rows": df.count()}
+
+    from sparkschema.streaming.checkpoint import run_resumable
+    r1 = run_resumable(spark, data_dir, manifest_dir, process,
+                       files_per_unit=2)
+    assert r1.processed_units >= 2
+
+    # a new file lands (copy of an existing part under an early-sorting
+    # name — the positional scheme would have shifted every chunk)
+    import glob as _glob
+    src = sorted(_glob.glob(f"{data_dir}/part-*.parquet"))[0]
+    shutil.copy(src, f"{data_dir}/part-00000-aaaa-new.parquet")
+
+    r2 = run_resumable(spark, data_dir, manifest_dir, process,
+                       files_per_unit=2)
+    # only the one unit the new file joined re-runs (or a brand-new unit
+    # forms when its hash bucket was previously empty) — every other
+    # committed unit skips
+    assert r2.processed_units == 1
+    assert r2.skipped_units in (r1.processed_units - 1, r1.processed_units)
