@@ -60,11 +60,19 @@ def foreach_batch_validate(
     key_cols: list[str],
     on_batch: Callable[[int, DataFrame, DataFrame], None],
     checkpoint_dir: str,
+    trigger: dict | None = None,
     **compile_kwargs,
 ) -> StreamingQuery:
     """Run full validation (violations + per-partition verdicts) on every
     micro-batch; ``on_batch(batch_id, violations_df, verdicts_df)`` receives
-    the results. Compilation happens once, not per batch."""
+    the results. Compilation happens once, not per batch.
+
+    ``trigger`` passes keyword arguments to ``writeStream.trigger`` —
+    default ``{"availableNow": True}`` (catch-up-then-stop, the batch
+    re-validation shape). A CONTINUOUS monitor passes e.g.
+    ``{"processingTime": "30 seconds"}``; the hardcoded availableNow
+    previously made the query stop after catching up with no way to run
+    standing (review find r4)."""
     compiled: dict[str, CompiledTableSpec] = {}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -77,5 +85,6 @@ def foreach_batch_validate(
     return (stream_df.writeStream
             .foreachBatch(handle)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
+            .trigger(**(trigger if trigger is not None
+                        else {"availableNow": True}))
             .start())

@@ -332,3 +332,51 @@ def test_enotation_compound_differential_fuzz(spark):
                                 f"kernel={expected}")
     assert not problems, (f"{len(problems)} divergences, first 10:\n"
                           + "\n".join(problems[:10]))
+
+
+def test_unique_items_extreme_numbers(spark):
+    """Review find r4 (verified live): the single decimal(38,18) canon
+    went NULL outside its window, collapsing DISTINCT extremes and
+    rounding scale>18 values together."""
+    kernel = Validator()
+    texts = [
+        "[1e300, 2e300]",                                   # distinct
+        "[100000000000000000000, 200000000000000000000]",   # distinct wide
+        "[1e-19, 2e-19]",                                   # distinct fine
+        "[1e300, 1e300]",                                   # duplicate
+        "[100000000000000000000, 100000000000000000000]",   # duplicate
+        "[1.0, 1]",                                         # duplicate (1.0=1)
+        "[1, true]",                                        # distinct (no coercion)
+        "[0.5, 0.50]",                                      # duplicate
+        '[1.5, "1.5"]',                                     # distinct types
+    ]
+    spec = {"uniqueItems": True}
+    df = spark.createDataFrame(list(enumerate(texts)), "i int, j string")
+    got = {r.i: r.ok for r in
+           df.select("i", variant_valid_column("j", spec).alias("ok"))
+             .collect()}
+    import json as _json
+    for i, t in enumerate(texts):
+        expected = not kernel.validate(spec, _json.loads(t))
+        assert bool(got[i]) == expected, (t, got[i], expected)
+
+
+def test_invalid_pattern_does_not_crash_variant_path(spark):
+    """Review find r4 (verified live): an uncompilable regex threw a
+    SparkRuntimeException at rlike evaluation, killing the whole job;
+    the kernel emits str.invalid.pattern (every string value fails)."""
+    kernel = Validator()
+    bad = "(?<a>x)(?<a>y)"  # duplicate group name: invalid in both engines
+    spec = {"pattern": bad}
+    df = spark.createDataFrame([(1, '"xy"'), (2, "5")], "i int, j string")
+    got = {r.i: r.ok for r in
+           df.select("i", json_valid_auto("j", spec).alias("ok")).collect()}
+    assert got[1] is False          # kernel: string fails invalid pattern
+    assert got[2] is True           # non-strings vacuous
+    assert kernel.validate(spec, "xy") and not kernel.validate(spec, 5)
+
+    # propertyNames with numeric formats: vacuous on names, no ANSI crash
+    spec2 = {"propertyNames": {"format": "int32"}}
+    df2 = spark.createDataFrame([(1, '{"abc": 1}')], "i int, j string")
+    ok = df2.select(json_valid_auto("j", spec2).alias("ok")).collect()[0].ok
+    assert ok is True
