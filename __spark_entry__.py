@@ -1513,18 +1513,18 @@ def oracle_sql() -> dict[str, str]:
                               false) as length_ok
               from c)
             select 'container:meta' as "check",
-                   cast(sum(case when not (header_ok and dims_match and
-                                           fmt_match and length_ok)
-                            then 1 else 0 end) as bigint) = 0 as "pass",
+                   coalesce(cast(sum(case when not (header_ok and dims_match
+                                           and fmt_match and length_ok)
+                            then 1 else 0 end) as bigint) = 0, true) as "pass",
                    cast(count(*) as bigint) as "rows",
-                   cast(sum(case when not header_ok then 1 else 0 end)
-                        as bigint) as bad_header,
-                   cast(sum(case when header_ok and not dims_match
-                            then 1 else 0 end) as bigint) as dims_mismatch,
-                   cast(sum(case when header_ok and not fmt_match
-                            then 1 else 0 end) as bigint) as fmt_mismatch,
-                   cast(sum(case when header_ok and not length_ok
-                            then 1 else 0 end) as bigint) as bad_length
+                   coalesce(cast(sum(case when not header_ok then 1 else 0
+                            end) as bigint), 0) as bad_header,
+                   coalesce(cast(sum(case when header_ok and not dims_match
+                            then 1 else 0 end) as bigint), 0) as dims_mismatch,
+                   coalesce(cast(sum(case when header_ok and not fmt_match
+                            then 1 else 0 end) as bigint), 0) as fmt_mismatch,
+                   coalesce(cast(sum(case when header_ok and not length_ok
+                            then 1 else 0 end) as bigint), 0) as bad_length
             from k
         """.format(export=_ORACLE_EXPORT),
     }

@@ -57,12 +57,19 @@ def decode(buf: bytes) -> tuple[np.ndarray, str]:
         raise CorruptImage(f"unknown fmt code {code}")
     fmt = FMT_NAMES[code]
     payload = buf[9:]
+    expected = w * h * 3
     if fmt == "rawz":
+        # BOUNDED decompression: an unbounded zlib.decompress let a
+        # ~13 MB crafted/corrupt blob expand ~1000:1 into executor
+        # memory before the length check (review find r4) — cap at the
+        # header-declared size and treat any overflow as corruption
         try:
-            payload = zlib.decompress(payload)
+            dec = zlib.decompressobj()
+            payload = dec.decompress(payload, expected + 1)
+            if len(payload) > expected or dec.unconsumed_tail:
+                raise CorruptImage("rawz payload larger than header dims")
         except zlib.error as e:
             raise CorruptImage(f"zlib: {e}") from None
-    expected = w * h * 3
     if len(payload) != expected:
         raise CorruptImage(f"payload {len(payload)} != {expected}")
     return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3), fmt
@@ -125,16 +132,23 @@ def dct_phash(pixels: np.ndarray) -> int:
     h, w = gray.shape
     # area-mean resize to 32×32 via reduceat block sums (exact for any
     # h, w ≥ 1; degenerate dims sample the nearest row/col)
+    # per-AXIS: area-mean reduce any axis >= 32, nearest-sample only the
+    # degenerate axis — the old all-or-nothing fallback sampled 32 of
+    # 2000 rows for a 2000x16 image, aliasing the hash (review find r4)
     yb = np.minimum((np.arange(32) * h) // 32, h - 1).astype(np.intp)
     xb = np.minimum((np.arange(32) * w) // 32, w - 1).astype(np.intp)
-    if h >= 32 and w >= 32:
-        ys = np.add.reduceat(gray, yb, axis=0)
-        small = np.add.reduceat(ys, xb, axis=1)
+    if h >= 32:
+        small = np.add.reduceat(gray, yb, axis=0)
         ycnt = np.diff(np.append(yb, h))
-        xcnt = np.diff(np.append(xb, w))
-        small = small / (ycnt[:, None] * xcnt[None, :])
+        small = small / ycnt[:, None]
     else:
-        small = gray[np.ix_(yb, xb)]
+        small = gray[yb, :]
+    if w >= 32:
+        small = np.add.reduceat(small, xb, axis=1)
+        xcnt = np.diff(np.append(xb, w))
+        small = small / xcnt[None, :]
+    else:
+        small = small[:, xb]
     coef = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
     med = np.median(coef[1:])
     bits = coef > med

@@ -39,9 +39,16 @@ class CacheScope:
         return df
 
     def release(self, blocking: bool = False) -> None:
-        """Unpersist every owned frame; idempotent."""
+        """Unpersist every owned frame; idempotent. A frame whose
+        unpersist fails (stopped context, dead gateway) is dropped and
+        the sweep continues — one bad handle must not leave the rest
+        cached (review find r4)."""
         while self._frames:
-            self._frames.pop().unpersist(blocking=blocking)
+            df = self._frames.pop()
+            try:
+                df.unpersist(blocking=blocking)
+            except Exception:
+                pass
 
     def __enter__(self) -> "CacheScope":
         return self

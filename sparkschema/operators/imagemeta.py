@@ -71,15 +71,20 @@ def container_meta_frame(df: DataFrame, bytes_col: str = "bytes",
 def container_meta_verdict(df: DataFrame, **cols) -> DataFrame:
     """One-row structural verdict: totals per failure class."""
     f = container_meta_frame(df, **cols)
+    # coalesces: an empty input is a vacuous pass with zero counters
+    # (sum over zero rows is NULL — review find r4); the DuckDB oracle
+    # twin carries the same coalesce to stay in lockstep
     return f.agg(
         F.lit("container:meta").alias("check"),
-        (F.sum((~F.col("meta_ok")).cast("long")) == 0).alias("pass"),
+        F.coalesce(F.sum((~F.col("meta_ok")).cast("long")) == 0,
+                   F.lit(True)).alias("pass"),
         F.count(F.lit(1)).alias("rows"),
-        F.sum((~F.col("header_ok")).cast("long")).alias("bad_header"),
-        F.sum((F.col("header_ok") & ~F.col("dims_match")).cast("long"))
-         .alias("dims_mismatch"),
-        F.sum((F.col("header_ok") & ~F.col("fmt_match")).cast("long"))
-         .alias("fmt_mismatch"),
-        F.sum((F.col("header_ok") & ~F.col("length_ok")).cast("long"))
-         .alias("bad_length"),
+        F.coalesce(F.sum((~F.col("header_ok")).cast("long")), F.lit(0))
+         .alias("bad_header"),
+        F.coalesce(F.sum((F.col("header_ok") & ~F.col("dims_match"))
+                         .cast("long")), F.lit(0)).alias("dims_mismatch"),
+        F.coalesce(F.sum((F.col("header_ok") & ~F.col("fmt_match"))
+                         .cast("long")), F.lit(0)).alias("fmt_mismatch"),
+        F.coalesce(F.sum((F.col("header_ok") & ~F.col("length_ok"))
+                         .cast("long")), F.lit(0)).alias("bad_length"),
     )

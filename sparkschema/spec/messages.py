@@ -67,13 +67,33 @@ DEFAULT_MESSAGES: dict[str, str] = {
 
 
 def render(key: str, *args: object, catalog: dict[str, str] | None = None) -> str:
-    """Render message ``key`` with positional args (MessageFormat-style)."""
-    template = (catalog or DEFAULT_MESSAGES).get(key, key)
-    out = template
-    for i, a in enumerate(args):
-        out = out.replace("{%d}" % i, _fmt(a))
-    # MessageFormat escape: a doubled single-quote is a literal quote
-    return out.replace("''", "'")
+    """Render message ``key`` with positional args (MessageFormat-style).
+
+    Java-MessageFormat parity rules (review find r4 — all three were
+    reproduced divergent): quote processing (``''`` → ``'``) applies to
+    the TEMPLATE only, never to substituted argument text; substituted
+    argument text is never rescanned for placeholders (an instance value
+    containing ``{1}`` must not inject the next argument); a partial
+    ``catalog`` OVERLAYS the default bundle rather than replacing it
+    (resource-bundle fallback — overriding one message must not turn
+    every other key into its raw name)."""
+    import re as _re
+
+    if catalog is not None and key in catalog:
+        template = catalog[key]
+    else:
+        template = DEFAULT_MESSAGES.get(key, key)
+    template = template.replace("''", "'")  # template-level escape only
+    parts = _re.split(r"\{(\d+)\}", template)
+    out = []
+    for j, piece in enumerate(parts):
+        if j % 2 == 0:
+            out.append(piece)
+        else:
+            idx = int(piece)
+            out.append(_fmt(args[idx]) if idx < len(args)
+                       else "{%d}" % idx)
+    return "".join(out)
 
 
 def _fmt(a: object) -> str:

@@ -121,3 +121,47 @@ def test_numeric_quantiles_exact_and_approx(spark):
         ref = float(np.quantile(np.array(s), p, method="linear"))
         assert exact[p] == pytest.approx(ref, abs=1e-9), p
         assert approx[p] == pytest.approx(ref, rel=0.02), p
+
+
+def test_phash_thin_images_area_reduce_per_axis(spark):
+    """Review find r4: either dimension < 32 used nearest-sample on BOTH
+    axes; a thin image's long axis is now area-reduced, so a one-row
+    noise edit on a 256x16 image stays within a small Hamming radius."""
+    import numpy as np
+
+    from sparkschema.functions.imagecodec import (encode, phash_bytes,
+                                                  synth_pixels)
+
+    for name in ("thin", "t2", "t3"):
+        px = synth_pixels(name, 256, 16)            # w=256, h=16
+        base = phash_bytes(encode(px, "raw"))
+        quant = phash_bytes(encode(px, "jpg"))      # 6-bit quantized twin
+        noisy = np.clip(px.astype(np.int16) + np.where(
+            np.arange(16)[:, None, None] == 3, 6, 0), 0, 255).astype(np.uint8)
+        noise = phash_bytes(encode(noisy, "raw"))
+        other = phash_bytes(encode(synth_pixels(name + "x", 256, 16), "raw"))
+        assert bin(base ^ quant).count("1") <= 6, name
+        assert bin(base ^ noise).count("1") <= 6, name
+        assert bin(base ^ other).count("1") > 10, name
+
+
+def test_decode_bounds_rawz_expansion():
+    """Review find r4: a crafted rawz blob expanding ~1000:1 allocated
+    gigabytes before the length check; decompression is now capped at
+    the header-declared size."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sparkschema.functions.imagecodec import MAGIC, CorruptImage, decode
+
+    bomb = bytes(MAGIC) + struct.pack("<HHB", 100, 100, 1) \
+        + zlib.compress(b"\x00" * (200 * 1024 * 1024))
+    with _pytest.raises(CorruptImage):
+        decode(bomb)
+    # legitimate rawz still round-trips
+    from sparkschema.functions.imagecodec import synth_pixels, encode
+    px = synth_pixels("ok", 16, 16)
+    out, fmt = decode(encode(px, "rawz"))
+    assert fmt == "rawz" and (out == px).all()

@@ -62,3 +62,17 @@ def test_meta_plan_is_decode_free(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # single aggregation exchange only
     assert plan.count("Exchange") <= 1
+
+
+def test_container_meta_verdict_empty_table(spark):
+    """Review find r4: sum over zero rows is NULL — pass was NULL (read
+    as failure) and counters NULL on an empty slice."""
+    from pyspark.sql import functions as F
+
+    from sparkschema.operators.imagemeta import container_meta_verdict
+    from sparkschema.sources.synthetic import images_df
+
+    imgs = images_df(spark, 10, with_bytes=True).where(F.lit(False))
+    row = container_meta_verdict(imgs).collect()[0]
+    assert row["pass"] is True and row["rows"] == 0
+    assert row["bad_header"] == 0 and row["bad_length"] == 0

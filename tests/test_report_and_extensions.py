@@ -118,3 +118,22 @@ def test_to_reference_json_shape(spark):
     # "errors" (empty object when there are no sub-errors)
     m = by_kw["maximum"]
     assert m["value"] == 3 and m["errors"] == {}
+
+
+def test_message_render_java_messageformat_parity():
+    """Review find r4 (all three reproduced divergent): substituted
+    argument text must never be rescanned for placeholders or quote
+    escapes, and a partial catalog overlays the default bundle."""
+    from sparkschema.spec.messages import render
+
+    # placeholder injection: instance value '{1}' must survive verbatim
+    assert render("str.pattern", "{1}", "P") \
+        == "'{1}' does not match pattern 'P'."
+    # argument quotes unmangled ('' collapse is template-only)
+    assert render("obj.required.prop", "it''s") == "Property it''s missing."
+    # partial catalog falls back to the default bundle
+    assert render("obj.required.prop", "x",
+                  catalog={"custom.key": "zz"}) == "Property x missing."
+    # catalog override still wins for its own key
+    assert render("obj.required.prop", "x",
+                  catalog={"obj.required.prop": "need {0}!"}) == "need x!"
