@@ -175,10 +175,11 @@ def _q_exact_dup_documents(spark, sf):
 
     d = spark.read.parquet(_t(sf, "documents"))
     g = exact_duplicate_groups(d, "text", "doc_id")
+    # min_id/max_id are exact window aggregates (NOT derived from the
+    # capped ids sample) — safe to oracle at any group size
     return g.select("content_hash",
                     F.col("group_size").cast("long").alias("group_size"),
-                    F.array_min("ids").alias("min_id"),
-                    F.array_max("ids").alias("max_id"))
+                    "min_id", "max_id")
 
 
 def _q_token_stats_documents(spark, sf):

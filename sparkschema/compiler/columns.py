@@ -23,6 +23,7 @@ Typed-column semantics (the columnar re-expression of SURVEY.md §2.2):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from decimal import Decimal
 from typing import Any, Callable
@@ -81,6 +82,73 @@ def json_domain(dt: T.DataType) -> str:
 
 def statically_integer(dt: T.DataType) -> bool:
     return isinstance(dt, INTEGRAL) or (isinstance(dt, T.DecimalType) and dt.scale == 0)
+
+
+def _java_regex_compiles(jpat: str) -> bool:
+    """Driver-side proof that a translated Java-dialect regex compiles on
+    the live JVM. ``rlike`` compiles its pattern at RUNTIME, so an invalid
+    form kills the whole job, not the row — and the Python-form gate alone
+    misses patterns Python accepts but Java rejects (non-ASCII named
+    groups, …; ADVICE r4). With no active session (driver-only tests) the
+    check is skipped optimistically."""
+    try:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return True
+        spark._jvm.java.util.regex.Pattern.compile(jpat)
+        return True
+    except Exception:
+        return False
+
+
+def _kernel_pattern_search_udf(pat: str):
+    """Arrow-batched fallback match for the ``pattern`` keyword when the
+    Java translation does not compile: evaluates exactly the kernel's
+    compiled pattern (translated-Python form, raw-pattern fallback, or
+    every-string-fails when neither compiles — interpreter._compile_pattern).
+    Cold path for a handful of dialect-divergent patterns; NULLs pass
+    through as False (the ``present`` gate owns null semantics, but the
+    hoisted UDF must not crash)."""
+    from pyspark.sql import functions as _F
+
+    from sparkschema.spec.ecma_pattern import translate_ecma_checked
+
+    try:
+        rx = re.compile(translate_ecma_checked(pat, "python"))
+    except re.error:
+        try:
+            rx = re.compile(pat)
+        except re.error:
+            rx = None
+
+    @_F.pandas_udf("boolean")
+    def fn(vals):
+        import pandas as pd
+
+        return pd.Series(
+            [False if s is None else (rx is not None and bool(rx.search(s)))
+             for s in vals], dtype="boolean")
+
+    return fn
+
+
+def _require_java_form(pat: str) -> str:
+    """Java translation for HOF-embedded pattern sites (patternProperties
+    matching over key arrays), where no Python fallback can run inside the
+    lambda: raises :class:`~sparkschema.spec.parser.SpecError` at COMPILE
+    time when the JVM rejects the translated form, instead of letting the
+    job crash at ``rlike`` evaluation (ADVICE r4)."""
+    from sparkschema.spec.ecma_pattern import translate_ecma_checked
+
+    jpat = translate_ecma_checked(pat, "java")
+    if not _java_regex_compiles(jpat):
+        from sparkschema.spec.parser import SpecError
+        raise SpecError("#/patternProperties",
+                        f"pattern {pat!r}: Java form does not compile; "
+                        f"not supported on typed columns (use the kernel "
+                        f"path for this spec)")
+    return jpat
 
 
 def _as_decimal_mod_fail_udf(mo_dec: Decimal):
@@ -761,9 +829,13 @@ class ColumnCompiler:
         if isinstance(pat, str):
             from sparkschema.spec.ecma_pattern import translate_ecma_checked
             jpat = translate_ecma_checked(pat, "java")
-            # rlike = unanchored find, same as the reference's matcher.search(0)
+            # rlike = unanchored find, same as the reference's matcher.search(0);
+            # Java-uncompilable translation (Python-only constructs) falls
+            # back to an Arrow-batched kernel-dialect match (ADVICE r4)
+            matches = col.rlike(jpat) if _java_regex_compiles(jpat) \
+                else _kernel_pattern_search_udf(pat)(col)
             out.append(self._chk("pattern", f"{spath}/pattern", ipath,
-                                 present & ~col.rlike(jpat), col,
+                                 present & ~matches, col,
                                  "str.pattern", col, F.lit(pat)))
         fmt = schema.get("format")
         if isinstance(fmt, str) and fmt not in ("int32", "int64"):
@@ -1016,8 +1088,7 @@ class ColumnCompiler:
             # translate like _map_filter_by_key does — the raw ECMA pattern
             # in rlike could disagree with the patternProperties matching
             # above on dialect-divergent constructs (review find r3)
-            from sparkschema.spec.ecma_pattern import translate_ecma_checked
-            pats = [translate_ecma_checked(p, "java")
+            pats = [_require_java_form(p)
                     for p in patprops.keys()] if isinstance(patprops, dict) \
                 else []
 
@@ -1112,8 +1183,7 @@ class ColumnCompiler:
 
     @staticmethod
     def _map_filter_by_key(col: Column, pattern: str) -> Column:
-        from sparkschema.spec.ecma_pattern import translate_ecma_checked
-        jpat = translate_ecma_checked(pattern, "java")
+        jpat = _require_java_form(pattern)
         return F.map_filter(col, lambda k, v: k.rlike(jpat))
 
     def _combinator_checks(self, schema, col, dt, spath, ipath, present) -> list[Check]:

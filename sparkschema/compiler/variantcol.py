@@ -462,7 +462,36 @@ def _pattern_or_invalid(pat: str) -> str | None:
         except re.error:
             return None
         raise VariantUnsupported(f"pattern {pat!r} untranslatable")
-    return translate_ecma_checked(pat, "java")
+    return _checked_java_form(pat)
+
+
+def _checked_java_form(pat: str) -> str:
+    """Translate ``pat`` to the Java dialect AND prove the translation
+    compiles on the live JVM. The Python-form gate alone is not enough:
+    a pattern whose Python rewrite compiles while the Java form is
+    invalid (e.g. a non-ASCII named group ``(?<nmü>x)``, accepted by
+    Python, rejected by Java) previously reached ``rlike`` unverified and
+    crashed the whole job at evaluation time — the exact failure this
+    gate exists to prevent (ADVICE r4). Java-compile failure ⇒
+    :class:`VariantUnsupported` (kernel fallback). With no active JVM
+    (pure-driver unit tests) the check is skipped; any such pattern is
+    then only ever evaluated by the kernel anyway."""
+    from sparkschema.spec.ecma_pattern import translate_ecma_checked
+
+    jp = translate_ecma_checked(pat, "java")
+    try:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm if spark is not None else None
+    except Exception:
+        jvm = None
+    if jvm is not None:
+        try:
+            jvm.java.util.regex.Pattern.compile(jp)
+        except Exception:
+            raise VariantUnsupported(
+                f"pattern {pat!r}: Java form does not compile") from None
+    return jp
 
 
 def _java_pattern(pat: str) -> str | None:
@@ -483,7 +512,7 @@ def _java_pattern(pat: str) -> str | None:
         except re.error:
             return None  # the kernel skips this pattern too
         raise VariantUnsupported(f"pattern {pat!r} untranslatable")
-    return translate_ecma_checked(pat, "java")
+    return _checked_java_form(pat)
 
 
 def _compiled_patprops(schema: dict) -> list[tuple[str, Any]]:

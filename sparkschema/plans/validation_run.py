@@ -50,13 +50,28 @@ def run_validation(
     psnr_min: float = 40.0,
     drift_defaults: dict | None = None,
     salt_lanes: int = 1,
+    scope=None,
 ) -> ValidationResult:
     """Compile ``spec`` against ``df`` and run every requested check.
 
     ``dims`` maps ``$ref_data`` targets (``"dim_fmt.fmt"`` → the dim
     DataFrame); ``ref`` is the reference copy for ``x-drift`` /
     ``x-roundtrip``.
+
+    ``scope`` — a :class:`~sparkschema.operators.caching.CacheScope` that
+    owns the intermediate ``persist()`` frames this plan creates (the
+    duplicate-key and orphan frames each feed both a verdict collect and
+    the lazy violations union). Pass one and ``release()`` it (or use it
+    as a context manager) once ``result.violations`` has been consumed.
+    **Default-scope obligation:** with ``scope=None`` the frames register
+    in the process-wide default scope and stay pinned until the caller
+    invokes :func:`sparkschema.operators.caching.release_default_cache` —
+    long-lived sessions running many validations MUST do one of the two
+    or executor storage accumulates (ADVICE r4).
     """
+    from sparkschema.operators.caching import default_scope
+    cache_scope = scope if scope is not None else default_scope()
+
     cts = compile_table_spec(spec, df, key_cols=key_cols, dialect=dialect,
                              registry=registry)
     violations = cts.violations(df)
@@ -75,11 +90,10 @@ def run_validation(
             for c in cols:
                 # persist the duplicate-key frame: the verdict collect and
                 # the lazy violations union otherwise each re-run the full
-                # aggregation (review find r4); the cache registers with
-                # the operators' default scope — sweep with
-                # caching.release_default_cache() after consuming results
-                from sparkschema.operators.caching import default_scope
-                dups = default_scope().persist(
+                # aggregation (review find r4); owned by the caller's
+                # scope, or the default scope (see the docstring's
+                # default-scope obligation)
+                dups = cache_scope.persist(
                     uniqueness.duplicate_keys(df, c, salt_lanes))
                 row = uniqueness.uniqueness_verdict(df, c, salt_lanes,
                                                     dups=dups).collect()[0]
@@ -99,8 +113,7 @@ def run_validation(
             dim = dims.get(dim_name)
             if dim is None:
                 raise ValueError(f"$ref_data target {target!r} not provided in dims")
-            from sparkschema.operators.caching import default_scope
-            o = default_scope().persist(referential.orphans(
+            o = cache_scope.persist(referential.orphans(
                 df, req.column, dim, dim_col or req.column,
                 strategy="broadcast"))
             row = referential.orphan_verdict(df, req.column, dim, dim_col or req.column,

@@ -32,6 +32,18 @@ def load_table(spark: SparkSession, path_or_ident: str,
     return spark.read.parquet(path_or_ident)
 
 
+def _catalog_location_path(loc: str) -> str | None:
+    """Normalized absolute filesystem path of a catalog ``Location`` URI,
+    or ``None`` for non-local schemes (hdfs://, s3a://, …) — those can
+    never equal a local request path."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(loc)
+    if p.scheme not in ("", "file"):
+        return None
+    return os.path.abspath(unquote(p.path or loc)).rstrip("/")
+
+
 def ensure_bucketed_table(spark: SparkSession, name: str, path: str,
                           source_df: DataFrame | None = None,
                           buckets: int = 32, key: str = "image_id") -> DataFrame:
@@ -59,8 +71,13 @@ def ensure_bucketed_table(spark: SparkSession, name: str, path: str,
                       if r["col_name"]}
             loc = detail.get("Location", "")
             nb = detail.get("Num Buckets", "")
-            same = loc.rstrip("/").endswith(
-                os.path.abspath(path).rstrip("/")) and nb == str(buckets)
+            # EQUALITY on URI-normalized paths, not endswith: a Location
+            # like file:/mnt/backup/root/data/bkt suffix-matched a
+            # requested /root/data/bkt, so a mismatched registration was
+            # trusted and the round-trip check read the wrong corpus —
+            # the bug this guard exists to close, just narrowed (ADVICE r4)
+            same = (_catalog_location_path(loc) ==
+                    os.path.abspath(path).rstrip("/") and nb == str(buckets))
         except Exception:
             same = False
         if not same:

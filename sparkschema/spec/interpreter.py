@@ -94,6 +94,7 @@ class Validator:
             self.formats.update(formats)
         self.catalog = catalog
         self._pattern_cache: dict[str, re.Pattern | None] = {}
+        self._struct_depth = 0
 
     # -- public ------------------------------------------------------------
 
@@ -110,6 +111,25 @@ class Validator:
 
     def _validate(self, schema: Any, value: Any, scope: Scope,
                   spath: str, ipath: str, depth: int) -> list[Violation]:
+        # Structural-nesting guard, SEPARATE from the ref-hop `depth`
+        # budget below: a hostile ref-free schema nested past Python's
+        # recursion limit previously died with an uncaught RecursionError
+        # (ADVICE r4). 200 levels is far above any real spec (the ref-hop
+        # parity bound is 100) and keeps every helper frame inside the
+        # interpreter's stack budget. parser.STRUCT_MAX_NESTING guards the
+        # parse walk the same way.
+        self._struct_depth += 1
+        try:
+            if self._struct_depth > 200:
+                from sparkschema.spec.parser import SpecError
+                raise SpecError(spath, "schema nesting exceeds 200 levels")
+            return self._validate_inner(schema, value, scope, spath, ipath,
+                                        depth)
+        finally:
+            self._struct_depth -= 1
+
+    def _validate_inner(self, schema: Any, value: Any, scope: Scope,
+                        spath: str, ipath: str, depth: int) -> list[Violation]:
         # boolean schemas (draft-7; package.scala:61-69)
         if schema is True:
             return []

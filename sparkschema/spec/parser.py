@@ -40,6 +40,14 @@ class SpecError(ValueError):
         self.reason = reason
 
 
+# Structural (keyword) nesting bound — separate from the $ref MaxDepth=100
+# budget (refs.MAX_DEPTH), which counts only ref HOPS for reference parity.
+# A hostile ref-free schema nested deeper than Python's recursion limit
+# would otherwise die with an uncaught RecursionError mid-walk (ADVICE r4);
+# no legitimate spec approaches this.
+STRUCT_MAX_NESTING = 512
+
+
 class ParsedSpec:
     __slots__ = ("schema", "dialect")
 
@@ -56,7 +64,9 @@ def parse_spec(source: Any, dialect: str | None = None) -> ParsedSpec:
     return ParsedSpec(schema, d)
 
 
-def _check(node: Any, path: str, dialect: str) -> None:
+def _check(node: Any, path: str, dialect: str, sdepth: int = 0) -> None:
+    if sdepth > STRUCT_MAX_NESTING:
+        raise SpecError(path, f"schema nesting exceeds {STRUCT_MAX_NESTING} levels")
     if node is True or node is False:
         if dialect == "draft4" and path != "#":
             # draft-4 has no boolean schemas except additionalItems/Properties
@@ -111,13 +121,13 @@ def _check(node: Any, path: str, dialect: str) -> None:
         if kw in node and not isinstance(node[kw], allowed):
             raise SpecError(f"{path}/{kw}", "must be a schema")
         if kw in node and isinstance(node[kw], (dict, bool)) and kw != "items":
-            _check(node[kw], f"{path}/{kw}", dialect)
+            _check(node[kw], f"{path}/{kw}", dialect, sdepth + 1)
     items = node.get("items")
     if isinstance(items, list):
         for i, s in enumerate(items):
-            _check(s, f"{path}/items/{i}", dialect)
+            _check(s, f"{path}/items/{i}", dialect, sdepth + 1)
     elif isinstance(items, (dict, bool)):
-        _check(items, f"{path}/items", dialect)
+        _check(items, f"{path}/items", dialect, sdepth + 1)
 
     for kw in _KEYWORDS_SCHEMA_MAP:
         m = node.get(kw)
@@ -125,7 +135,7 @@ def _check(node: Any, path: str, dialect: str) -> None:
             if not isinstance(m, dict):
                 raise SpecError(f"{path}/{kw}", "must be an object of schemas")
             for k, s in m.items():
-                _check(s, f"{path}/{kw}/{k}", dialect)
+                _check(s, f"{path}/{kw}/{k}", dialect, sdepth + 1)
 
     for kw in _KEYWORDS_SCHEMA_LIST:
         lst = node.get(kw)
@@ -133,10 +143,10 @@ def _check(node: Any, path: str, dialect: str) -> None:
             if not isinstance(lst, list) or not lst:
                 raise SpecError(f"{path}/{kw}", "must be a non-empty array of schemas")
             for i, s in enumerate(lst):
-                _check(s, f"{path}/{kw}/{i}", dialect)
+                _check(s, f"{path}/{kw}/{i}", dialect, sdepth + 1)
 
     deps = node.get("dependencies")
     if isinstance(deps, dict):
         for k, dep in deps.items():
             if isinstance(dep, (dict, bool)):
-                _check(dep, f"{path}/dependencies/{k}", dialect)
+                _check(dep, f"{path}/dependencies/{k}", dialect, sdepth + 1)

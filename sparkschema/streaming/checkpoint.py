@@ -51,6 +51,37 @@ class Manifest:
             json.dump(meta, f)
         os.replace(tmp, final)
 
+    def pin_meta(self, meta: dict) -> dict:
+        """First-writer-wins meta pinning. Two concurrent FIRST runs can
+        compute different ``n_units`` (the file set is in flux); with a
+        plain last-writer-wins write both proceed on their own value and
+        the loser's committed units are bucketed under a count the
+        manifest no longer records — on resume they never match and
+        silently re-run (ADVICE r4). ``O_CREAT|O_EXCL`` makes exactly one
+        writer win; every racer then re-reads and buckets with the SAME
+        pinned meta. Returns the authoritative meta."""
+        final = os.path.join(self.path, "_meta.json")
+        try:
+            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            pass
+        else:
+            try:
+                with os.fdopen(fd, "w", encoding="utf-8") as f:
+                    json.dump(meta, f)
+            except BaseException:
+                # a torn exclusive write must not wedge every future run
+                # on an unparseable winner file
+                try:
+                    os.unlink(final)
+                except OSError:
+                    pass
+                raise
+        authoritative = self.meta()
+        # meta() swallows a torn/concurrent read as {} — fall back to our
+        # own value rather than proceeding unpinned
+        return authoritative if authoritative else meta
+
     def completed(self) -> dict[str, dict]:
         out = {}
         for p in glob.glob(os.path.join(self.path, "unit-*.json")):
@@ -125,7 +156,9 @@ def run_resumable(
     n_units = meta.get("n_units")
     if n_units is None:
         n_units = max(1, (len(files) + files_per_unit - 1) // files_per_unit)
-        manifest.write_meta({"n_units": n_units})
+        # first-writer-wins + re-read: concurrent first runs all bucket
+        # with the same pinned count (ADVICE r4)
+        n_units = int(manifest.pin_meta({"n_units": n_units})["n_units"])
     buckets: dict[int, list[str]] = {}
     for f in files:
         b = int.from_bytes(

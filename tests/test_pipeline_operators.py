@@ -373,3 +373,17 @@ def test_hamming_pairs_bucket_cap(spark):
     assert got == {(100, 101)}
     uncapped = dedup.hamming_pairs(sigs, "sh", "id", chunks=8, hamming_max=2)
     assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+def test_exact_duplicate_groups_caps_ids(spark):
+    """max_ids caps the diagnostic id sample BEFORE aggregation (the
+    row_number filter, not a post-agg slice) while group_size/min_id/
+    max_id stay exact — a billion-member group can't blow a task
+    (VERDICT r4 #3)."""
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(20)] + [(99, "unique")],
+        "doc_id long, text string")
+    g = dedup.exact_duplicate_groups(df, "text", "doc_id", max_ids=5).collect()
+    assert len(g) == 1
+    assert g[0].group_size == 20 and g[0].min_id == 0 and g[0].max_id == 19
+    assert g[0].ids == [0, 1, 2, 3, 4]  # first max_ids in sort order
