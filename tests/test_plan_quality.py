@@ -115,17 +115,25 @@ def test_bucketed_roundtrip_join_has_no_exchange(spark, tmp_path):
 
 
 def test_events_variant_query_materializes_parses_once(spark):
-    """The nine-arm events query must keep its exchange-barrier shape:
+    """The nine-arm events query must keep its double-barrier shape:
     scan -> hash repartition (spread the single-file scan) -> Project
     computing the three try_parse_json documents ONCE -> round-robin
-    barrier exchange -> aggregate partial + final exchange. Exactly three
-    Exchanges. Without the barrier, CollapseProject inlines each
-    concat+parse into every consuming predicate tree (interpreted
-    expressions get no CSE) — measured 96 s vs 2 s at sf0.1."""
+    barrier -> Project computing the verdict structs ONCE (all
+    interpreted VARIANT work) -> round-robin barrier carrying only
+    booleans -> aggregate partial + final exchange. Exactly four
+    Exchanges. Without the barriers, CollapseProject inlines each
+    concat+parse into every predicate tree and each verdict struct into
+    every aggregate reference (interpreted expressions get no CSE) —
+    measured 96 s (no parse barrier) / 4.3 s (no verdict barrier) vs
+    ~0.3 s at sf0.1."""
     import importlib
 
     m = importlib.import_module("__spark_entry__")
     df = m.queries()["events_json_invalid"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
-    assert plan.count("Exchange") == 3, plan
+    assert plan.count("Exchange") == 4, plan
     assert "HashAggregate" in plan
+    # the final pre-aggregate exchange must carry booleans, not variants:
+    # no variant-typed attribute may survive past the second barrier
+    post_agg = plan.split("HashAggregate")[0]
+    assert "variant" not in post_agg.lower(), post_agg
