@@ -887,7 +887,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB; same column names; views pre-registered by the driver)
 
-_NORM = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+# ASCII-space trim, NOT DuckDB trim(): DuckDB's trim strips Unicode
+# whitespace (U+00A0 etc.) while Spark's trim and the engine's
+# normalized_text strip only 0x20 — a leading NBSP diverged every
+# md5/shingle twin (pipeline-fuzz find r5). After \\s+ collapse the ends
+# hold at most one ASCII space, stray Unicode spaces are text.
+_NORM = "regexp_replace(regexp_replace(lower({c}), '\\s+', ' ', 'g'), '^ | $', '', 'g')"
 _TOKRE = "[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
 
 
@@ -945,8 +950,8 @@ def _sql_simhash_md5() -> str:
     """Independent DuckDB recomputation of the md5-variant SimHash:
     normalize → distinct 3-shingles → 32-bit md5-prefix feature hash →
     per-bit majority vote. Must match simhash_md5_frame bit-for-bit."""
-    norm = ("trim(regexp_replace(lower(substring(text, 1, 400)), "
-            "'\\s+', ' ', 'g'))")
+    norm = ("regexp_replace(regexp_replace(lower(substring(text, 1, 400)), "
+            "'\\s+', ' ', 'g'), '^ | $', '', 'g')")
     bits = " + ".join(
         f"(case when 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) "
         f">= len(h) then 1 else 0 end) * {1 << b}"
@@ -962,7 +967,8 @@ def _sql_simhash_md5() -> str:
         hs as (select doc_id,
                  list_transform(s, t -> ('0x' || substring(md5(t), 1, 8))::bigint) as h
                from sh)
-        select doc_id, cast({bits} as bigint) as simhash32 from hs
+        select doc_id, case when h is null then null
+               else cast({bits} as bigint) end as simhash32 from hs
     """
 
 
@@ -976,7 +982,7 @@ def _sql_minhash_superset() -> str:
           select doc_id + 100000 as doc_id, text || ' tail tail' as text
           from documents where doc_id < 60),
         d as (select doc_id,
-                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as nt
+                regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '^ | $', '', 'g') as nt
               from corpus),
         sh as (select doc_id,
                  case when length(nt) < 5 then [nt]
@@ -1106,6 +1112,10 @@ def oracle_sql() -> dict[str, str]:
               from ws),
             lang as (
               select case
+                -- NULL text => NULL lang (NULL-in-NULL-out; without this
+                -- branch every comparison below is NULL-false and the CASE
+                -- falls through to the LAST language — pipeline-fuzz r5)
+                when w is null then null
                 when greatest(s_de, s_en, s_es, s_fr) = 0 then 'und'
                 when s_de = greatest(s_de, s_en, s_es, s_fr) then 'de'
                 when s_en = greatest(s_de, s_en, s_es, s_fr) then 'en'
@@ -1161,13 +1171,15 @@ def oracle_sql() -> dict[str, str]:
                           else 0.0 end as digit_ratio
               from f)
             select doc_id,
+                   case when n_chars is null then null else
                    round(round(greatest(least(
                      0.3 * (case when n_chars >= 20 and n_chars <= 20000 then 1.0
                                  when n_chars > 0 then 0.5 else 0.0 end)
                      + 0.2 * (case when mwl >= 2.5 and mwl <= 12 then 1.0 else 0.3 end)
                      + 0.3 * least(stop_hits / 3.0, 1.0)
                      + 0.2 * (1.0 - least(punct_ratio * 1.5 + digit_ratio + upper_ratio,
-                                          1.0)), 1.0), 0.0), 6), 4) as q_score
+                                          1.0)), 1.0), 0.0), 6), 4)
+                   end as q_score
             from g
         """,
         "fingerprint_documents": f"""
@@ -1175,7 +1187,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "repetition_documents": """
             with w as (
-              select doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') as ws
+              select doc_id, string_split(regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '^ | $', '', 'g'), ' ') as ws
               from documents),
             g as (
               select doc_id,

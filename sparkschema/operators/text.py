@@ -65,7 +65,13 @@ def lang_id(col: Column) -> Column:
         cands.append(F.struct(score.alias("s"), F.lit(-i).alias("tb"),
                               F.lit(lang).alias("lang")))
     best = F.greatest(*cands)
-    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    # NULL text → NULL, not 'und' (NULL-in-NULL-out, same contract as
+    # quality_score since r4): 'und' means "text with no language signal",
+    # which an absent document is not — and the DuckDB oracle's CASE would
+    # otherwise fall through its NULL comparisons to the LAST language
+    # (pipeline-fuzz find r5)
+    return F.when(col.isNull(), F.lit(None).cast("string")) \
+            .when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def quality_features(col: Column) -> dict[str, Column]:

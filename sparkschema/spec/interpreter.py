@@ -163,8 +163,20 @@ class Validator:
             # includes pointer fragments of absolute URIs
             frag = ref[ref.index("#"):] if "#" in ref else ""
             new_spath = frag if frag.startswith("#/") else spath
-            return self._validate(target, value, tscope.with_referrer(spath),
-                                  new_spath, ipath, depth + 1)
+            # the structural-nesting budget RESETS at every ref hop: it
+            # bounds ref-FREE nesting (the RecursionError hazard, ADVICE
+            # r4) while ref-driven recursion — e.g. deep data against a
+            # recursive schema — stays governed by the MAX_DEPTH ref-hop
+            # budget alone; without the reset a 300-deep instance tripped
+            # the struct guard before err.max.depth could fire (r5)
+            saved = self._struct_depth
+            self._struct_depth = 0
+            try:
+                return self._validate(target, value,
+                                      tscope.with_referrer(spath),
+                                      new_spath, ipath, depth + 1)
+            finally:
+                self._struct_depth = saved
 
         out: list[Violation] = []
 

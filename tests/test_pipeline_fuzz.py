@@ -1,0 +1,158 @@
+"""Pipeline-operator differential fuzz (VERDICT r4 next #6): a seeded
+hostile document corpus — NULLs, empties, whitespace runs, control chars,
+combining marks, CJK/emoji, quotes/backslashes, digit soup, pathological
+repetition, 10k-char monsters — is written as a ``documents`` table and
+every documents-only ``queries()`` entry is compared against its DuckDB
+``oracle_sql()`` twin on it, the same gate the driver applies at sf0.01.
+
+The keyword fuzzers (test_differential_fuzz) never reach the pipeline
+operators (text.py / dedup.py); the r4 NULL-semantics bugs (dedup
+NULL-group collapse, quality_score NULL → 0.56) lived exactly here.
+"""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SEED = 20260818
+
+# documents-only oracle queries (read {sf}/documents.parquet and nothing
+# else; verified against the oracle_sql bodies — the image queries read
+# versioned /tmp exports and the rest read other TPC-H-ish tables)
+DOC_QUERIES = [
+    "exact_dup_documents",
+    "token_stats_documents",
+    "repetition_documents",
+    "lang_counts_documents",
+    "quality_components_documents",
+    "quality_score_documents",
+    "fingerprint_documents",
+    "simhash_documents",
+    "minhash_pairs_documents",
+    "ngram_jaccard_sample",
+]
+
+_FIXED = [
+    None,
+    "",
+    " ",
+    "   ",
+    "\t",
+    "\n",
+    "\r\n",
+    " \t \n ",
+    "a",
+    "A.",
+    "word",
+    "the the the the the the the the",          # pure repetition
+    "one two three four five six seven eight",  # zero repetition
+    "    leading and trailing    ",
+    "double  spaces   between    words",
+    "ALL CAPS SHOUTING TEXT HERE",
+    "1234567890 9876543210 000",
+    "!!! ??? ... ;;; :::",
+    '"quoted" and \\backslashed\\ text',
+    "tab\tseparated\ttokens",
+    "line\nbreaks\nin\nthe\nmiddle",
+    "café naïve résumé coöperate",
+    "á é combining marks",
+    "你好世界 CJK text",
+    "\U0001f600 \U0001f680 emoji only",
+    "mixed 中文 and english \U0001f44d ok",
+    "​zero​width​joined",
+    "ends with space ",
+    " starts with space",
+    "x" * 5000,                                  # one giant word
+    ("lorem ipsum dolor sit amet " * 400).strip(),  # 10k-char doc
+    "word " * 2000,                              # extreme repetition, long
+    "singleword",
+    "two words",
+    "a b c d e f g h i j k l m n o p",
+    "It's got apostrophes, commas, and-dashes.",
+    "UPPER lower MiXeD 123 abc789xyz",
+    " nbsp separated words",
+]
+
+_ALPHABETS = [
+    "abcdefghij ",
+    "abc XYZ 019 .,-!?",
+    "\t\n aeiou",
+    "一丁丂 ab ",
+    "\"'\\/(){}[]<> a",
+    "́̂a e ",
+    "0123456789. ",
+]
+
+
+def _corpus() -> list[tuple]:
+    rng = random.Random(SEED)
+    texts = list(_FIXED)
+    for _ in range(60):
+        alpha = rng.choice(_ALPHABETS)
+        n = rng.randint(0, 120)
+        texts.append("".join(rng.choice(alpha) for _ in range(n)))
+    # near-dup / exact-dup structure so the dedup queries have work:
+    # exact copies, one-word edits, and shuffled variants of a base doc
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong potions at midnight near the old mill")
+    texts += [base, base, base + " extra", base.replace("quick", "slow"),
+              " ".join(reversed(base.split()))]
+    for i in range(8):
+        words = base.split()
+        rng.shuffle(words)
+        texts.append(" ".join(words[: rng.randint(5, len(words))]))
+    return [(i + 1, t, "xx", "fuzz", len(t) if t is not None else None)
+            for i, t in enumerate(texts)]
+
+
+@pytest.fixture(scope="module")
+def hostile_sf(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("hostile_sf"))
+    df = spark.createDataFrame(
+        _corpus(),
+        schema="doc_id long, text string, lang string, source string, "
+               "n_chars long")
+    df.repartition(4).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet")
+    return d
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def _norm_rows(rows):
+    return sorted(tuple(_norm_cell(c) for c in row) for row in rows)
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_pipeline_query_matches_duckdb_on_hostile_corpus(
+        spark, hostile_sf, name):
+    sdf = entry_mod.queries()[name](spark, hostile_sf)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = [c.lower() for c in sdf.columns]
+
+    con = duckdb.connect()
+    con.execute("create view documents as select * from "
+                f"'{hostile_sf}/documents.parquet/*.parquet'")
+    res = con.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert spark_cols == duck_cols, \
+        f"{name}: columns {spark_cols} != {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), \
+        f"{name}: rowcount {len(spark_rows)} != {len(duck_rows)}"
+    a, b = _norm_rows(spark_rows), _norm_rows(duck_rows)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    assert a == b, f"{name}: first diffs {mismatches}"
