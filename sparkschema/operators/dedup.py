@@ -217,18 +217,26 @@ def _minhash_sig_udf(num_hashes: int, shingle_k: int, seed: int):
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 64, shingle_k: int = 5,
-                       seed: int = 42, impl: str = "auto",
+                       seed: int = 42, impl: str = "expr",
                        scope=None) -> DataFrame:
     """Persisted ``(id, sig)`` signature table. The cache entry is owned
     by ``scope`` (:class:`sparkschema.operators.caching.CacheScope`;
     default: the process-wide scope) — release it after the last action.
 
-    ``impl='auto'`` (default): numpy above :data:`_AUTO_KERNEL_BYTES` of
-    scanned input, expr below (see :func:`_resolve_impl`).
-    ``impl='expr'``: pure-Catalyst HOFs, zero Python on executors.
-    ``impl='numpy'``: the Arrow-batched kernel — ~an order of magnitude
-    faster on the signature stage (one vectorized pass instead of
-    ``num_hashes`` interpreted-HOF passes)."""
+    ``impl='expr'`` (default): pure-Catalyst HOFs, zero Python on
+    executors. ``impl='numpy'``: the Arrow-batched kernel — ~an order of
+    magnitude faster on the signature stage (one vectorized pass instead
+    of ``num_hashes`` interpreted-HOF passes). ``impl='auto'``: numpy
+    above :data:`_AUTO_KERNEL_BYTES` of scanned input, expr below (see
+    :func:`_resolve_impl`).
+
+    The default stays 'expr' for the same reason as
+    :func:`simhash_frame`: the two impls are different hash families, so
+    raw signatures are only comparable within one impl — an 'auto'
+    default would flip emitted VALUES when a growing corpus crosses the
+    size threshold, poisoning any persisted signature store (review find
+    r5). :func:`minhash_lsh_pairs`, whose pair output is exact-verified,
+    defaults its ``signature_impl`` to 'auto' safely."""
     impl = _resolve_impl(impl, df)
     if impl == "numpy":
         udf = _minhash_sig_udf(num_hashes, shingle_k, seed)
@@ -433,7 +441,7 @@ def _simhash_sig_udf(bits: int, shingle_k: int, seed: int):
 
 def simhash_frame(df: DataFrame, text_col: str, id_col: str,
                   bits: int = 64, seed: int = 42,
-                  shingle_k: int = 3, impl: str = "auto") -> DataFrame:
+                  shingle_k: int = 3, impl: str = "expr") -> DataFrame:
     """``(id, simhash)`` for every document — the scale path.
 
     ``impl='expr'`` (default, zero Python): the feature-hash array
@@ -441,9 +449,16 @@ def simhash_frame(df: DataFrame, text_col: str, id_col: str,
     counts read it; without the barrier CollapseProject inlines the
     shingle construction into all 64 filters (interpreted HOFs, 64×
     recompute — same trap as minhash_lsh_pairs). ``impl='numpy'``: the
-    Arrow-batched kernel (~10×; different hash family, same semantics).
-    ``impl='auto'`` (default) picks numpy above :data:`_AUTO_KERNEL_BYTES`
-    of scanned input (VERDICT r4 next #4)."""
+    Arrow-batched kernel (~10×); ``impl='auto'`` picks numpy above
+    :data:`_AUTO_KERNEL_BYTES` of scanned input.
+
+    The default stays 'expr' because the two impls are DIFFERENT hash
+    families: raw signatures from this function are only comparable to
+    signatures produced by the same impl, so an 'auto' default would make
+    the emitted VALUES flip when a growing corpus crosses the size
+    threshold — poisoning any persisted signature store (review find r5).
+    Pair-producing operators whose output is exact-verified
+    (:func:`minhash_lsh_pairs`) default to 'auto' safely."""
     impl = _resolve_impl(impl, df)
     if impl == "numpy":
         udf = _simhash_sig_udf(bits, shingle_k, seed)
@@ -580,7 +595,7 @@ def hamming_pairs(sigs: DataFrame, hash_col: str = "sh",
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
                        chunks: int = 8, hamming_max: int = 12,
-                       seed: int = 42, impl: str = "auto") -> DataFrame:
+                       seed: int = 42, impl: str = "expr") -> DataFrame:
     """Hamming-near document pairs via SimHash signatures + the shared
     chunk-pigeonhole bucketing (:func:`hamming_pairs` — see its recall
     contract)."""

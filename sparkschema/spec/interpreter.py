@@ -42,6 +42,7 @@ Known, documented deviations (SURVEY.md §7 watch list):
 from __future__ import annotations
 
 import re
+import sys
 from typing import Any, Callable, NamedTuple
 
 from sparkschema.spec import messages as msg
@@ -95,6 +96,11 @@ class Validator:
         self.catalog = catalog
         self._pattern_cache: dict[str, re.Pattern | None] = {}
         self._struct_depth = 0
+        self._frames = 0
+        # headroom for the total-frame budget below (~3 Python frames per
+        # _validate level + caller stack); raise-only, never lowered
+        if sys.getrecursionlimit() < 15000:
+            sys.setrecursionlimit(15000)
 
     # -- public ------------------------------------------------------------
 
@@ -119,14 +125,28 @@ class Validator:
         # interpreter's stack budget. parser.STRUCT_MAX_NESTING guards the
         # parse walk the same way.
         self._struct_depth += 1
+        self._frames += 1
         try:
             if self._struct_depth > 200:
                 from sparkschema.spec.parser import SpecError
                 raise SpecError(spath, "schema nesting exceeds 200 levels")
+            # TOTAL recursion budget, on top of the per-hop bound: the
+            # per-hop counter resets at every $ref hop, so a chain of
+            # near-200-deep documents linked by refs could otherwise
+            # stack 200 × MAX_DEPTH real frames and die with an uncaught
+            # RecursionError (review find r5). Exceeding the total budget
+            # requires many ref hops by construction (ref-free descent is
+            # capped at 200 above), so it reports as the same graceful
+            # err.max.depth violation the ref-hop budget uses — a row
+            # verdict, never a job-killing exception inside a kernel UDF.
+            if self._frames > 2500:
+                return [self._v("$ref", spath, ipath, value,
+                                "err.max.depth")]
             return self._validate_inner(schema, value, scope, spath, ipath,
                                         depth)
         finally:
             self._struct_depth -= 1
+            self._frames -= 1
 
     def _validate_inner(self, schema: Any, value: Any, scope: Scope,
                         spath: str, ipath: str, depth: int) -> list[Violation]:
@@ -554,11 +574,26 @@ class Validator:
                     self._pattern_cache[pat] = None
         return self._pattern_cache[pat]
 
+    @staticmethod
+    def _safe_dump(value: Any) -> str:
+        """`dump_json`, but survives values nested beyond the remaining
+        Python stack. A violation fired partway down a hostile-deep
+        instance serializes the REMAINDER of the value (instance depth
+        minus current level) — e.g. the total-frame budget's
+        err.max.depth row at frame ~2500 of a 20 000-deep document would
+        otherwise die in json.dumps with the very RecursionError the
+        budget exists to prevent (review find r5). Every violation row
+        is built here, so this is the one chokepoint."""
+        try:
+            return dump_json(value)
+        except RecursionError:
+            return '"<value nested too deeply to serialize>"'
+
     def _v(self, keyword, spath, ipath, value, key, *args,
            errors_info: Any = None) -> Violation:
-        return Violation(keyword, spath, ipath or "/", dump_json(value),
+        return Violation(keyword, spath, ipath or "/", self._safe_dump(value),
                          msg.render(key, *args, catalog=self.catalog),
-                         dump_json(errors_info) if errors_info else "")
+                         self._safe_dump(errors_info) if errors_info else "")
 
     @staticmethod
     def _sub_obj(v: Violation) -> dict:

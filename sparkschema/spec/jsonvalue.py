@@ -26,14 +26,59 @@ from typing import Any
 # ---------------------------------------------------------------------------
 # parsing
 
+#: Max document nesting accepted at parse time. Mirrors Jackson's
+#: ``StreamReadConstraints`` default (DEFAULT_MAX_DEPTH = 1000) — the JSON
+#: stack under the reference's Play-JSON, which refuses deeper documents
+#: as parse errors. Bounding HERE kills a whole hostile-input class in one
+#: place: every value-recursive helper downstream (``canonical`` for
+#: enum/const/uniqueItems, ``dump_json`` for violation rows) is then
+#: stack-safe by construction, instead of each needing its own
+#: RecursionError guard inside an executor UDF (review find r5).
+PARSE_MAX_NESTING = 1000
+
+
 def parse_json(text: str) -> Any:
     """Parse JSON with exact decimal numbers (BigDecimal parity).
 
     ``parse_float=Decimal`` keeps ``0.0075`` exact, matching the
     reference's ``JsNumber(BigDecimal)`` so ``multipleOf`` and numeric
-    equality behave decimal-exactly.
+    equality behave decimal-exactly. Documents nested beyond
+    :data:`PARSE_MAX_NESTING` raise ``ValueError`` (reference parity:
+    Jackson's depth constraint surfaces as a parse failure).
     """
-    return json.loads(text, parse_float=Decimal)
+    # C-speed gate for the kernel hot path: depth > N needs at least N
+    # opening brackets, so almost every real document skips both the
+    # limit bump and the depth walk (brackets inside strings only
+    # over-count — the safe direction).
+    shallow = isinstance(text, str) and \
+        text.count("{") + text.count("[") <= PARSE_MAX_NESTING
+    if not shallow:
+        # a document allowed by the cap (≤1000 levels) must not die in
+        # json.loads under Python's default ~1000 recursion limit; same
+        # raise-only constant the interpreter uses for its frame budget
+        import sys
+        if sys.getrecursionlimit() < 15000:
+            sys.setrecursionlimit(15000)
+    try:
+        value = json.loads(text, parse_float=Decimal)
+    except RecursionError:
+        # deeper than even the raised stack allows — uniform parse error
+        raise ValueError(
+            f"JSON nesting exceeds {PARSE_MAX_NESTING} levels") from None
+    if shallow:
+        return value
+    # iterative depth check — must not itself recurse
+    stack = [(value, 1)]
+    while stack:
+        node, d = stack.pop()
+        if d > PARSE_MAX_NESTING:
+            raise ValueError(
+                f"JSON nesting exceeds {PARSE_MAX_NESTING} levels")
+        if isinstance(node, dict):
+            stack.extend((x, d + 1) for x in node.values())
+        elif isinstance(node, (list, tuple)):
+            stack.extend((x, d + 1) for x in node)
+    return value
 
 
 # ---------------------------------------------------------------------------

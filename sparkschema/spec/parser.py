@@ -44,8 +44,13 @@ class SpecError(ValueError):
 # budget (refs.MAX_DEPTH), which counts only ref HOPS for reference parity.
 # A hostile ref-free schema nested deeper than Python's recursion limit
 # would otherwise die with an uncaught RecursionError mid-walk (ADVICE r4);
-# no legitimate spec approaches this.
-STRUCT_MAX_NESTING = 512
+# no legitimate spec approaches this. MUST stay strictly below the
+# interpreter's per-ref-hop backstop (200): a spec that parses cleanly
+# has static nesting <= this bound in every document, so validation-time
+# structural descent between ref hops can never reach the interpreter's
+# SpecError — deep specs fail loudly at COMPILE time, never per-row on an
+# executor (review find r5).
+STRUCT_MAX_NESTING = 180
 
 
 class ParsedSpec:

@@ -61,22 +61,32 @@ class Manifest:
         writer win; every racer then re-reads and buckets with the SAME
         pinned meta. Returns the authoritative meta."""
         final = os.path.join(self.path, "_meta.json")
+        # write-complete-then-link: os.link is atomic AND exclusive, so
+        # the pinned file either doesn't exist or is COMPLETE. The
+        # previous O_EXCL-then-write shape could be killed mid-dump,
+        # leaving a torn winner that permanently defeated pinning (every
+        # later pin got FileExistsError and meta() parsed {} forever),
+        # and a losing racer could read the winner's still-empty file
+        # (review find r5). A crash here leaves only an orphan tmp file.
+        tmp = final + f".pin.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
         try:
-            fd = os.open(final, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
-            pass
-        else:
-            try:
-                with os.fdopen(fd, "w", encoding="utf-8") as f:
-                    json.dump(meta, f)
-            except BaseException:
-                # a torn exclusive write must not wedge every future run
-                # on an unparseable winner file
+            # heal a torn _meta.json left by a pre-link-era crash: unlink
+            # the unparseable file so one racer's link can win cleanly
+            if os.path.exists(final) and not self.meta():
                 try:
                     os.unlink(final)
                 except OSError:
                     pass
-                raise
+            os.link(tmp, final)
+        except FileExistsError:
+            pass
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         authoritative = self.meta()
         # meta() swallows a torn/concurrent read as {} — fall back to our
         # own value rather than proceeding unpinned
