@@ -586,11 +586,21 @@ def hamming_pairs(sigs: DataFrame, hash_col: str = "sh",
                                "left_anti")
     a = buckets.select("chunk", "cv", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = buckets.select("chunk", "cv", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = (a.join(b, ["chunk", "cv"]).where(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates(["id_a", "id_b"]))
+    # The Hamming verify MUST run before dropDuplicates: candidate volume
+    # is O(Σ bucket²) (227 M rows at 80 k uniform-ish images — measured),
+    # and the verify is a codegen'd xor+bit_count evaluated as the join
+    # streams, so filtering first means only TRUE pairs ever reach an
+    # exchange. Deduping first shuffled the entire candidate set (the
+    # whole quadratic term) to remove multi-chunk double-finds that the
+    # filter would have collapsed to a trickle anyway. Output is
+    # identical: hamming is a pure function of the pair, so which
+    # duplicate survives is indistinguishable (review find r5).
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.select("id_a", "id_b", hamming.alias("hamming"))
-                 .where(F.col("hamming") <= hamming_max))
+    return (a.join(b, ["chunk", "cv"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", hamming.alias("hamming"))
+             .where(F.col("hamming") <= hamming_max)
+             .dropDuplicates(["id_a", "id_b"]))
 
 
 def simhash_candidates(df: DataFrame, text_col: str, id_col: str,
