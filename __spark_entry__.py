@@ -256,10 +256,38 @@ def _q_events_hourly(spark, sf):
                    .cast("double").alias("sum_value")))
 
 
-_EVENTS_Q_CACHE: dict = {}
+# Keyed by the live SparkSession OBJECT (WeakKeyDictionary), not id():
+# after a stopped session is garbage-collected, CPython can reuse the
+# same id() for a NEW session, which would hand back a DataFrame bound
+# to the dead one. Weak keys also let a stopped session's cached plans
+# be reclaimed instead of pinning them for the process lifetime.
+import weakref as _weakref
+
+_EVENTS_Q_CACHE: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _q_events_json_invalid(spark, sf):
+    """Memoizing wrapper over :func:`_build_events_json_invalid` —
+    compile-once-run-many, the same contract as compile_table_spec (the
+    build costs ~2 s of driver-side py4j Column construction).
+
+    NOTE for benchmarking: repeated ``collect()`` of the SAME DataFrame
+    reuses the first run's shuffle files (skipped stages), so timing this
+    memoized frame measures only the post-barrier aggregate. Time
+    :func:`_build_events_json_invalid` (a fresh plan per run) to measure
+    the validation work itself — bench.py does (review find r5)."""
+    per_session = _EVENTS_Q_CACHE.get(spark)
+    if per_session is None:
+        per_session = _EVENTS_Q_CACHE.setdefault(spark, {})
+    hit = per_session.get(sf)
+    if hit is not None:
+        return hit
+    out = _build_events_json_invalid(spark, sf)
+    per_session[sf] = out
+    return out
+
+
+def _build_events_json_invalid(spark, sf):
     # VARIANT-native dynamic-JSON path (Catalyst expressions, no Python).
     # Round-5 shape (VERDICT r4 next #3): the nine keyword trees still
     # mirror AnyConstraintValidators.scala / ObjectValidators.scala
@@ -284,17 +312,12 @@ def _q_events_json_invalid(spark, sf):
     # Measured sf0.1 quiet-host: 6.1 s (nine per-arm trees over the parse
     # barrier) -> ~0.3-0.6 s execution with this shape. The remaining
     # per-call cost is driver-side Column-tree construction (~2 s of py4j
-    # round trips), paid once per (session, sf) via the memo below —
+    # round trips), paid once per (session, sf) via the wrapper's memo —
     # compile-once-run-many, the same contract as compile_table_spec.
     from decimal import Decimal as _Dec
 
     from sparkschema.compiler.variantcol import (variant_valid,
                                                  variant_valid_many)
-
-    key = (id(spark), sf)
-    hit = _EVENTS_Q_CACHE.get(key)
-    if hit is not None:
-        return hit
 
     e = spark.read.parquet(_t(sf, "events")) \
         .repartition(max(spark.sparkContext.defaultParallelism, 8),
@@ -395,7 +418,6 @@ def _q_events_json_invalid(spark, sf):
         inv2(g("n2", F.col("r2")["q1"])).alias("inv_ap_min"),
         inv2(g("n2", F.col("r2")["q2"])).alias("inv_tuple"),
         inv2(g("n2", F.col("r2")["q3"])).alias("inv_pair_const"))
-    _EVENTS_Q_CACHE[key] = out
     return out
 
 
@@ -630,6 +652,50 @@ def _q_minhash_pairs_documents(spark, sf):
     missed = exact.join(pairs, ["id_a", "id_b"], "left_anti")
     return exact.agg(F.count(F.lit(1)).alias("exact_pairs")).crossJoin(
         missed.agg(F.count(F.lit(1)).alias("missed")))
+
+
+def _q_near_dup_clusters(spark, sf):
+    """Connected-components resolution of a near-dup pair graph
+    (``dedup.near_dup_components``) — the step that turns PAIRS into a
+    dedup DECISION (near-dup similarity is not transitive; single-link
+    drop-id_b can erase a whole chain). A 4-version chain is planted per
+    document (v0, v0+' tail0', +' tail0 tail1', +' tail0 tail1 tail2');
+    adjacent versions share ≥0.9 5-gram Jaccard, so every version chain
+    must collapse into ONE component rooted at the original doc_id. The
+    pair source here is the exact-Jaccard verifier (deterministic on
+    both sides — the LSH candidate stage is probabilistic and separately
+    oracled by ``minhash_pairs_documents``'s superset check); the oracle
+    recomputes shingles, pairs, AND the transitive closure independently
+    via a DuckDB recursive CTE, then min-reachable-id per node."""
+    from sparkschema.operators.dedup import (char_shingles,
+                                             near_dup_components,
+                                             normalized_text)
+
+    d = spark.read.parquet(_t(sf, "documents")).where(F.col("doc_id") < 40) \
+             .select("doc_id", "text")
+    versions = [
+        d.select((F.col("doc_id") + 100000 * v).alias("id"),
+                 (F.col("text") if v == 0 else
+                  F.concat(F.col("text"),
+                           F.lit("".join(f" tail{i}" for i in range(v)))))
+                 .alias("text"))
+        for v in range(4)]
+    corpus = versions[0]
+    for extra in versions[1:]:
+        corpus = corpus.unionByName(extra)
+    # shingle once per doc behind a barrier (same rationale as
+    # minhash_pairs_documents: inline shingles recompute per PAIR)
+    sh = corpus.select("id",
+                       char_shingles(normalized_text(F.col("text")), 5)
+                       .alias("s")).repartition(8, "id")
+    a = sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = inter / F.greatest(union.cast("double"), F.lit(1.0))
+    pairs = (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+              .where(jac >= 0.9).select("id_a", "id_b"))
+    return near_dup_components(pairs).orderBy("id")
 
 
 def _q_simhash_documents(spark, sf):
@@ -875,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check with a DuckDB twin (r1 had these rows-only):
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_documents": _q_simhash_documents,
         "hll_distinct_lineitem": _q_hll_distinct_lineitem,
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
@@ -969,6 +1036,54 @@ def _sql_simhash_md5() -> str:
                from sh)
         select doc_id, case when h is null then null
                else cast({bits} as bigint) end as simhash32 from hs
+    """
+
+
+def _sql_near_dup_clusters() -> str:
+    """Independent DuckDB recomputation of the WHOLE clustering pipeline:
+    the planted 4-version chain corpus, normalization + 5-gram shingles,
+    exact-Jaccard ≥ 0.9 pairs, then the transitive closure via a
+    recursive CTE and min-reachable-id per node — the declarative twin of
+    the engine's iterative min-label propagation."""
+    return """
+        with recursive corpus as (
+          select cast(doc_id as bigint) as id, text
+          from documents where doc_id < 40
+          union all
+          select cast(doc_id + 100000 as bigint), text || ' tail0'
+          from documents where doc_id < 40
+          union all
+          select cast(doc_id + 200000 as bigint), text || ' tail0 tail1'
+          from documents where doc_id < 40
+          union all
+          select cast(doc_id + 300000 as bigint),
+                 text || ' tail0 tail1 tail2'
+          from documents where doc_id < 40),
+        d as (select id,
+                regexp_replace(regexp_replace(lower(text), '\\s+', ' ', 'g'), '^ | $', '', 'g') as nt
+              from corpus),
+        sh as (select id,
+                 case when length(nt) < 5 then [nt]
+                      else list_distinct(list_transform(
+                             range(1, length(nt) - 3),
+                             i -> substring(nt, i, 5))) end as s
+               from d),
+        p as (select a.id as id_a, b.id as id_b
+              from sh a cross join sh b
+              where a.id < b.id
+                and len(list_intersect(a.s, b.s)) /
+                    greatest(cast(len(a.s) + len(b.s)
+                                  - len(list_intersect(a.s, b.s)) as double),
+                             1.0) >= 0.9),
+        edges as (select id_a as u, id_b as v from p
+                  union
+                  select id_b as u, id_a as v from p),
+        reach as (
+          select u, u as v from (select distinct u from edges)
+          union
+          select r.u, e.v from reach r join edges e on r.v = e.u)
+        select u as id, min(v) as component
+        from reach group by u order by id
     """
 
 
@@ -1391,6 +1506,7 @@ def oracle_sql() -> dict[str, str]:
               and list_cosine_similarity(a.e, b.e) >= 0.99
         """,
         "minhash_pairs_documents": _sql_minhash_superset(),
+        "near_dup_clusters": _sql_near_dup_clusters(),
         "simhash_documents": _sql_simhash_md5(),
         "hll_distinct_lineitem": """
             -- the band bounds are recomputed here; within_tol is the one

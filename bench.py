@@ -198,6 +198,27 @@ def timed(fn, runs: int = 1, prewarm=None) -> float:
     return round(best, 3)
 
 
+def timed_fresh_collect(build, runs: int = 2, prewarm=None) -> float:
+    """Best-of-``runs`` wall time of ``.collect()`` on a FRESHLY BUILT
+    DataFrame each attempt. Re-collecting the SAME DataFrame object
+    reuses its first run's shuffle files (skipped stages), so a memoized
+    frame's second attempt measures only the post-barrier final stage —
+    the r5 events entry read 0.04 s while the real validation work is
+    ~10× that (review find r5). A new plan per attempt gets fresh
+    shuffle ids and re-executes every stage; the driver-side py4j
+    Column construction stays OUTSIDE the timer (it is a
+    compile-once-run-many cost, not per-batch work)."""
+    best = float("inf")
+    for _ in range(runs):
+        if prewarm is not None:
+            prewarm()
+        df = build()
+        t0 = time.perf_counter()
+        df.collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 TEXT_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_TEXT_ROWS", "100000"))
 
 
@@ -351,10 +372,15 @@ def bench_queries(spark, sf_dir: str, cpus: int,
         for name in ("range_violations_lineitem", "minmax_lineitem",
                      "histogram_extendedprice",
                      "drift_ks_lineitem", "token_stats_documents",
-                     "embedding_topk", "events_json_invalid",
+                     "embedding_topk",
                      "hll_distinct_lineitem"):
             fn = qs[name]
             r[name] = timed(lambda f=fn: f(spark, sf_dir).collect(), runs=2)
+        # events is memoized (compile-once-run-many): time a FRESH plan
+        # per attempt or attempt 2 reuses attempt 1's shuffle files and
+        # measures only the final aggregate (timed_fresh_collect doc)
+        r["events_json_invalid"] = timed_fresh_collect(
+            lambda: entry_mod._build_events_json_invalid(spark, sf_dir))
         r["duplicate_orderkeys"] = timed(
             lambda: qs["duplicate_orderkeys"](spark, sf_dir).count())
         return r
@@ -615,7 +641,14 @@ def run_linearity(spark, sf_dir: str, probes: dict) -> dict:
         secs_map = probed_group(f"lin_{name}", group, probes)
         secs = [secs_map[f"{name}_{m}x"] for m in (1, 2, 4)]
         out[name] = {"rows": rows, "seconds": secs,
-                     "per_doubling": _per_doubling(secs)}
+                     "per_doubling": _per_doubling(secs),
+                     # end-to-end 1x->4x growth vs the ideal 4.0: the
+                     # fairer single number — per-doubling ratios swing
+                     # with fixed-overhead amortization at 1x->2x and
+                     # read alarming on noise (an r5 run showed 1.61
+                     # then 2.43 for an overall 3.91 ≈ linear)
+                     "x4_vs_ideal": (round(secs[2] / secs[0] / 4.0, 3)
+                                     if secs[0] > 0 else None)}
 
     # 1. flagship validation over 20/40/80 M-row image tables.
     # flagship_validate's RETURNED seconds (its internal timer starts
@@ -665,10 +698,19 @@ def run_linearity(spark, sf_dir: str, probes: dict) -> dict:
                     else _lin_docs_table(sf_dir, m))
             warm_page_cache(path)
             d = spark.read.parquet(path)
+            # release the scope BEFORE each attempt, not only between
+            # sizes: attempt 2's identical plan otherwise hits attempt
+            # 1's persisted signature table via the CacheManager and the
+            # reported min is a cached-signature run — not comparable
+            # across sizes (the r5 artifact mixed cold and cached runs;
+            # review find). Linearity entries measure the COLD full
+            # pipeline; the per-query group keeps the cache-reuse story.
             r[f"minhash_pairs_{m}x"] = timed(
                 lambda dd=d: minhash_lsh_pairs(
                     dd, "text", "doc_id", num_hashes=48, bands=12,
-                    jaccard_min=0.6).count(), runs=2)
+                    jaccard_min=0.6).count(), runs=2,
+                prewarm=lambda p=path: (release_default_cache(),
+                                        warm_page_cache(p)))
             release_default_cache()
         return r
 
@@ -681,17 +723,18 @@ def run_linearity(spark, sf_dir: str, probes: dict) -> dict:
         for m in (1, 2, 4):
             warm_page_cache(LIN_BYTES_TABLES[m])
             b = spark.read.parquet(LIN_BYTES_TABLES[m])
+            # cold signatures every attempt (same CacheManager-hit trap
+            # as g_minhash above): every size measures decode+DCT+pairs
             r[f"image_phash_pairs_{m}x"] = timed(
                 lambda bb=b: image_phash_pairs(bb).count(), runs=2,
-                prewarm=lambda p=LIN_BYTES_TABLES[m]: warm_page_cache(p))
+                prewarm=lambda p=LIN_BYTES_TABLES[m]: (
+                    release_default_cache(), warm_page_cache(p)))
             release_default_cache()
         return r
 
     record("image_phash_pairs", [BYTES_ROWS * m for m in (1, 2, 4)], g_phash)
 
     # 5. the nine-arm VARIANT validation over 1x/2x/4x events
-    qs = entry_mod.queries()
-    ev_fn = qs["events_json_invalid"]
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     def g_events() -> dict[str, float]:
@@ -699,8 +742,12 @@ def run_linearity(spark, sf_dir: str, probes: dict) -> dict:
         for m in (1, 2, 4):
             d = sf_dir if m == 1 else _lin_events_dir(sf_dir, m)
             warm_page_cache(f"{d}/events.parquet")
-            r[f"events_json_invalid_{m}x"] = timed(
-                lambda dd=d: ev_fn(spark, dd).collect(), runs=2)
+            # fresh plan per attempt — the memoized frame's re-collect
+            # skips every pre-barrier stage (shuffle reuse) and reads a
+            # FLAT ~0.02 s at every size (r5 artifact, review find)
+            r[f"events_json_invalid_{m}x"] = timed_fresh_collect(
+                lambda dd=d: entry_mod._build_events_json_invalid(
+                    spark, dd))
         return r
 
     record("events_json_invalid", [n_events * m for m in (1, 2, 4)],

@@ -364,7 +364,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
                   **lsh_kwargs) -> DataFrame:
     """Drop near-duplicates, keeping the smallest id of each matched pair
-    chain (single-link approximation: b of any (a<b) pair is dropped)."""
+    chain (single-link approximation: b of any (a<b) pair is dropped —
+    on a chain a-b-c this drops BOTH b and c, which is fine for "remove
+    everything that matched anything" policies but can erase a whole
+    cluster's tail. For keep-one-representative-per-cluster semantics use
+    :func:`near_dup_dedup`, which resolves the pair graph's connected
+    components first)."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
@@ -673,3 +678,103 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str, id_col: str,
     cos = _cosine(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", cos.alias("cosine")) \
                 .where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# connected components (pair graph -> dedup clusters)
+
+
+def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
+                        id_b: str = "id_b", max_iter: int = 50,
+                        scope=None) -> DataFrame:
+    """Resolve a near-duplicate PAIR graph into clusters: one
+    ``(id, component)`` row per node that appears in ``pairs``, where
+    ``component`` is the cluster's canonical representative — the
+    minimum id transitively reachable through the pairs.
+
+    This is the missing last step between pair detection
+    (:func:`minhash_lsh_pairs` / :func:`hamming_pairs` /
+    :func:`embedding_near_duplicates`) and an actual dedup DECISION:
+    near-dup similarity is not transitive, so "drop ``id_b`` of every
+    pair" (:func:`minhash_dedup`'s single-link shortcut) can drop every
+    member of a chain a-b-c (b via a-b, c via b-c) and keep nothing of a
+    cluster. Component resolution keeps exactly one representative per
+    cluster (see :func:`near_dup_dedup`). Reference analog: the
+    validator resolves ``$ref`` GRAPHS the same way — a fixpoint over
+    edges (``Refs.scala:40-77``) — but has no corpus-dedup counterpart;
+    this op serves the LLM-pipeline mandate.
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    list — ``label(u) <- min(label(u), min_{(u,v)} label(v))`` until a
+    fixpoint, i.e. hash-to-min. Iterations = graph diameter ≤
+    ``max_iter``; near-dup graphs are unions of small dense clusters
+    (diameter a handful), so 3-5 rounds converge in practice. Each round
+    is one shuffle join (labels onto edge endpoints, partitioned by
+    node) plus one map-side-combined min-aggregate — no driver-side
+    graph state, no collect; scales to billions of edges. For
+    adversarial long-path graphs (diameter ~ n, not a near-dup shape)
+    the large-star/small-star variant converges in O(log n) rounds;
+    this implementation favors the 2-shuffle round that wins on the
+    real workload. ``localCheckpoint`` truncates each round's lineage
+    (an iterative plan otherwise grows exponentially and overwhelms the
+    optimizer); on a cluster with unreliable executors a reliable
+    ``checkpoint()`` dir is the durable alternative.
+
+    ``scope``: :class:`~sparkschema.operators.caching.CacheScope` owning
+    the per-iteration persists; default: the process-wide scope
+    (``release_default_cache()`` to sweep). The returned frame is
+    checkpointed, so it stays valid after the scope is released.
+
+    Raises ``ValueError`` if ``max_iter`` rounds do not reach the
+    fixpoint (only possible on a path graph longer than ``max_iter``) —
+    a silently-partial clustering must never masquerade as converged.
+    """
+    from sparkschema.operators.caching import default_scope
+
+    cache_scope = scope if scope is not None else default_scope()
+    ua, ub = F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    edges = (pairs.select(ua, ub).unionByName(pairs.select(ub.alias("u"),
+                                                           ua.alias("v")))
+                  .where(F.col("u") != F.col("v"))
+                  .dropDuplicates(["u", "v"]))
+    edges = cache_scope.persist(edges)
+    # label(u) starts at min(u, min direct neighbor) — one propagation
+    # round folded into initialization
+    labels = (edges.groupBy("u")
+                   .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+                   .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # neighbor minimum under CURRENT labels, then keep-the-smaller
+        nbr = (edges.join(labels.withColumnRenamed("u", "v"), "v")
+                    .groupBy("u").agg(F.min("label").alias("nbr")))
+        nxt = (labels.join(nbr, "u", "left")
+                     .select("u", F.least(
+                         F.col("label"),
+                         F.coalesce(F.col("nbr"), F.col("label")))
+                         .alias("label"))
+                     .localCheckpoint(eager=True))
+        changed = (nxt.join(labels.withColumnRenamed("label", "old"), "u")
+                      .where(F.col("label") < F.col("old")).limit(1).count())
+        labels = nxt
+        if changed == 0:
+            return labels.select(F.col("u").alias("id"),
+                                 F.col("label").alias("component"))
+    raise ValueError(
+        f"near_dup_components did not converge in {max_iter} rounds — "
+        "the pair graph contains a path longer than max_iter; raise "
+        "max_iter (each extra round costs one join+aggregate)")
+
+
+def near_dup_dedup(df: DataFrame, pairs: DataFrame, id_col: str,
+                   scope=None) -> DataFrame:
+    """Keep exactly one representative (the minimum id) of every
+    near-duplicate cluster in ``df``, resolving pair chains through
+    :func:`near_dup_components` — the transitively-correct version of
+    :func:`minhash_dedup`'s single-link shortcut. Rows absent from
+    ``pairs`` (singletons) are always kept; the drop side is the set of
+    non-canonical members, removed with a broadcast-friendly left-anti
+    join on ``id_col``."""
+    comps = near_dup_components(pairs, scope=scope)
+    drop = (comps.where(F.col("id") != F.col("component"))
+                 .select(F.col("id").alias(id_col)))
+    return df.join(drop, on=id_col, how="left_anti")

@@ -3,13 +3,17 @@ compare against its ``oracle_sql()`` twin via DuckDB — row count, column
 names, and order-insensitive values (the same gate the driver applies)."""
 
 import math
+import os
 
 import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF = "/root/testdata/sf0.01"
+# the driver gate runs at sf0.01; each round the same suite is re-run at
+# sf0.1 (10x) via this override — BENCH.md "Correctness at bench scale":
+#   SPARKSCHEMA_ORACLE_SF=/root/testdata/sf0.1 pytest tests/test_entry_contract.py
+SF = os.environ.get("SPARKSCHEMA_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 

@@ -18,7 +18,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SEED = 20260818
+SEED = 20260819
 
 # documents-only oracle queries (read {sf}/documents.parquet and nothing
 # else; verified against the oracle_sql bodies — the image queries read
@@ -33,6 +33,7 @@ DOC_QUERIES = [
     "fingerprint_documents",
     "simhash_documents",
     "minhash_pairs_documents",
+    "near_dup_clusters",
     "ngram_jaccard_sample",
 ]
 

@@ -387,3 +387,53 @@ def test_exact_duplicate_groups_caps_ids(spark):
     assert len(g) == 1
     assert g[0].group_size == 20 and g[0].min_id == 0 and g[0].max_id == 19
     assert g[0].ids == [0, 1, 2, 3, 4]  # first max_ids in sort order
+
+
+# ------------------------------------------------- connected components
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_components_chain_resolves_transitively(spark):
+    # a-b-c-d chain: single-link "drop id_b of every pair" would drop
+    # b, c AND d; components keep exactly one canonical representative
+    comps = dedup.near_dup_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+    got = {r.id: r.component for r in comps.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_components_multiple_clusters_and_orientation(spark):
+    # reversed / duplicated edges and two separate clusters
+    comps = dedup.near_dup_components(
+        _pairs(spark, [(5, 2), (2, 5), (2, 9), (30, 10), (30, 20)]))
+    got = {r.id: r.component for r in comps.collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 10: 10, 20: 10, 30: 10}
+
+
+def test_components_long_path_needs_iterations(spark):
+    # a 12-node path graph exercises true multi-round propagation
+    edges = [(i, i + 1) for i in range(100, 112)]
+    comps = dedup.near_dup_components(_pairs(spark, edges))
+    rows = comps.collect()
+    assert len(rows) == 13
+    assert {r.component for r in rows} == {100}
+
+
+def test_components_empty_and_nonconvergence_guard(spark):
+    assert dedup.near_dup_components(
+        _pairs(spark, [])).collect() == []
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup.near_dup_components(
+            _pairs(spark, [(i, i + 1) for i in range(30)]), max_iter=2)
+
+
+def test_near_dup_dedup_keeps_one_per_cluster(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 7, 9)],
+        "doc_id long, text string")
+    # cluster {1,2,3} via chain, cluster {4,9}; 7 is a singleton
+    kept = dedup.near_dup_dedup(
+        df, _pairs(spark, [(1, 2), (2, 3), (9, 4)]), "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 7]
