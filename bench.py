@@ -908,6 +908,12 @@ def main() -> None:
         # per-query minima) — makes the artifact self-interpreting under
         # co-tenant load
         "cpu_probes": {k: round(v, 3) for k, v in probes.items()},
+        # end-of-run 1/5/15-min load averages: the spin probe reads the
+        # instant it runs and misses minute-scale co-tenant bursts (an r5
+        # run probed 0.913 while loadavg stood at 9-19 and the flagship
+        # measured 35% under its quiet-host floor) — the two together
+        # tell the reader whether to trust a slow-looking number
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
         "probe_gate": PROBE_GATE,
     }
     if linearity:
