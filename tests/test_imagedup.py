@@ -165,3 +165,31 @@ def test_decode_bounds_rawz_expansion():
     px = synth_pixels("ok", 16, 16)
     out, fmt = decode(encode(px, "rawz"))
     assert fmt == "rawz" and (out == px).all()
+
+
+def test_phash_pairs_compose_with_component_resolution(spark):
+    # cross-operator composition: pHash pair graph -> connected
+    # components -> one representative per twin cluster; string ids
+    # exercise non-numeric canonical-min semantics
+    rows = []
+    for i in range(10):
+        px = synth_pixels(f"c-{i}", 64, 64)
+        rows.append((f"a-{i}", bytearray(encode(px, "raw"))))
+        rows.append((f"b-{i}", bytearray(encode(px, "jpg"))))
+        rows.append((f"c-{i}", bytearray(encode(px, "png"))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    from sparkschema.operators.dedup import (near_dup_components,
+                                             near_dup_dedup)
+    from sparkschema.operators.imagedup import image_phash_pairs
+
+    pairs = image_phash_pairs(df, hamming_max=10)
+    comps = near_dup_components(pairs)
+    got = {r.id: r.component for r in comps.collect()}
+    for i in range(10):
+        # the a/b/c re-encodes of one picture form one cluster rooted at a-<i>
+        assert got.get(f"b-{i}") == f"a-{i}", (i, got.get(f"b-{i}"))
+        assert got.get(f"c-{i}") == f"a-{i}", (i, got.get(f"c-{i}"))
+    kept = near_dup_dedup(df, pairs, "image_id")
+    assert sorted(r.image_id for r in kept.collect()) == \
+        sorted(f"a-{i}" for i in range(10))

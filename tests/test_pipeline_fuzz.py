@@ -157,3 +157,34 @@ def test_pipeline_query_matches_duckdb_on_hostile_corpus(
     a, b = _norm_rows(spark_rows), _norm_rows(duck_rows)
     mismatches = [(x, y) for x, y in zip(a, b) if x != y][:5]
     assert a == b, f"{name}: first diffs {mismatches}"
+
+
+def test_components_random_graphs_vs_duckdb(spark):
+    """Direct operator fuzz: random multigraphs (self-loops, duplicate and
+    reversed edges, isolated islands) through near_dup_components vs an
+    independent DuckDB recursive-CTE transitive closure."""
+    from sparkschema.operators.dedup import near_dup_components
+
+    rng = random.Random(SEED + 77)
+    con = duckdb.connect()
+    for trial in range(4):
+        n = rng.randint(2, 50)
+        m = rng.randint(1, 120)
+        edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {(r.id, r.component)
+               for r in near_dup_components(df).collect()}
+
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        want = set(con.execute(f"""
+            with recursive p(id_a, id_b) as (values {vals}),
+            edges as (select id_a as u, id_b as v from p where id_a <> id_b
+                      union
+                      select id_b, id_a from p where id_a <> id_b),
+            reach as (
+              select u, u as v from (select distinct u from edges)
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u)
+            select u as id, min(v) as component from reach group by u
+        """).fetchall())
+        assert got == want, (trial, sorted(got ^ want)[:6])

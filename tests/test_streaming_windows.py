@@ -67,3 +67,44 @@ def test_variant_native_predicates_in_streaming(spark, tmp_path):
     expected = sum(1 for _, js in rows
                    if not kernel.validate(spec, _json.loads(js)))
     assert row.total == 60 and row.valid == expected, (row, expected)
+
+
+def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
+    """Content-hash dedup on a file stream: duplicates within the
+    watermark horizon collapse to one row, NULL texts pass through, and
+    the normalized-content key matches the batch operator's."""
+    from sparkschema.streaming.dedup_stream import streaming_exact_dedup
+
+    src = str(tmp_path / "docs_src")
+    rows = [
+        (1, "Hello  World", "2024-01-01 00:00:01"),
+        (2, "hello world",  "2024-01-01 00:10:00"),   # dup of 1 (normalized)
+        (3, "unique doc",   "2024-01-01 00:20:00"),
+        (4, "HELLO WORLD ", "2024-01-01 00:30:00"),   # dup again
+        (5, None,           "2024-01-01 00:40:00"),
+        (6, None,           "2024-01-01 00:50:00"),   # NULLs both kept
+        (7, "another one",  "2024-01-01 01:00:00"),
+    ]
+    (spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+          .select("doc_id", "text", F.col("ts_s").cast("timestamp").alias("ts"))
+          .coalesce(1).write.parquet(src))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp").parquet(src)
+    deduped = streaming_exact_dedup(stream, "text", ts_col="ts",
+                                    watermark="2 hours")
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName("dedupstream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedupstream").collect()
+    ids = sorted(r.doc_id for r in got)
+    # one representative of the hello-world group (first arrival within
+    # the single file = nondeterministic across partitions, but the file
+    # is coalesced to 1 so it's doc 1), both NULLs, 3 and 7
+    assert 3 in ids and 7 in ids
+    assert [i for i in ids if i in (5, 6)] == [5, 6]
+    assert len([i for i in ids if i in (1, 2, 4)]) == 1
+    assert len(ids) == 5
+    # schema passes through unchanged
+    assert sorted(got[0].asDict()) == ["doc_id", "text", "ts"]
