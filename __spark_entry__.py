@@ -246,6 +246,43 @@ def _q_fingerprint_documents(spark, sf):
     return d.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp_md5"))
 
 
+def _pii_corpus(spark, sf):
+    """documents.text with PII tokens injected deterministically from
+    doc_id (the synthetic corpus carries none) — emails vary per doc,
+    the other kinds are fixed strings gated by doc_id residues, so
+    per-doc counts differ across the corpus. The oracle SQL replays the
+    SAME derivation with `||` (NULL-propagating, like F.concat)."""
+    d = spark.read.parquet(_t(sf, "documents"))
+
+    def gate(mod, s):
+        return F.when(F.col("doc_id") % mod == 0, s).otherwise(F.lit(""))
+
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            gate(5, F.concat(F.lit(" contact user"),
+                             F.col("doc_id").cast("string"),
+                             F.lit("@example.com now"))),
+            gate(7, F.lit(" call 555-010-1234 or 555.010.4321")),
+            gate(11, F.lit(" host 10.0.0.1 and 192.168.1.255 up")),
+            gate(13, F.lit(" id 987-65-4320 on file")),
+        ).alias("text"))
+
+
+def _q_pii_redaction_documents(spark, sf):
+    from sparkschema.operators.pii import pii_stats_frame
+
+    return pii_stats_frame(_pii_corpus(spark, sf), "text", "doc_id")
+
+
+def _q_vocab_topk_documents(spark, sf):
+    from sparkschema.operators.text import vocab_topk
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    return vocab_topk(d, "text", "doc_id", k=20)
+
+
 def _q_events_hourly(spark, sf):
     e = spark.read.parquet(_t(sf, "events"))
     return (e.groupBy(F.date_format(F.date_trunc("hour", "ts"),
@@ -926,6 +963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_components_documents": _q_quality_components_documents,
         "quality_score_documents": _q_quality_score_documents,
         "fingerprint_documents": _q_fingerprint_documents,
+        "pii_redaction_documents": _q_pii_redaction_documents,
+        "vocab_topk_documents": _q_vocab_topk_documents,
         "events_hourly": _q_events_hourly,
         "events_json_invalid": _q_events_json_invalid,
         "embedding_topk": _q_embedding_topk,
@@ -1120,6 +1159,29 @@ def oracle_sql() -> dict[str, str]:
     from sparkschema.operators.similarity import plane_matrix
 
     norm_text = _NORM.format(c="text")
+    # PII oracle pieces: the SAME pattern strings the engine compiles
+    # (Java-regex ∩ RE2 common subset — pii.PII_PATTERNS docstring) and
+    # the same doc_id-derived injection, replayed with NULL-propagating
+    # `||` / RE2 'g' replacement
+    from sparkschema.operators.pii import PII_PATTERNS
+    _pii_text = (
+        "text"
+        " || case when doc_id % 5 = 0 then ' contact user' ||"
+        " cast(doc_id as varchar) || '@example.com now' else '' end"
+        " || case when doc_id % 7 = 0 then"
+        " ' call 555-010-1234 or 555.010.4321' else '' end"
+        " || case when doc_id % 11 = 0 then"
+        " ' host 10.0.0.1 and 192.168.1.255 up' else '' end"
+        " || case when doc_id % 13 = 0 then"
+        " ' id 987-65-4320 on file' else '' end")
+    _pii_counts = ",\n                   ".join(
+        f"cast(len(regexp_extract_all(t, '{pat}')) as bigint) as n_{kind}"
+        for kind, pat, _ in PII_PATTERNS)
+    _pii_total = " + ".join(
+        f"len(regexp_extract_all(t, '{pat}'))" for _, pat, _ in PII_PATTERNS)
+    _pii_redacted = "t"
+    for _, pat, repl in PII_PATTERNS:
+        _pii_redacted = f"regexp_replace({_pii_redacted}, '{pat}', '{repl}', 'g')"
     # the SAME seeded ±1 hyperplane matrix the engine compiles
     # (similarity.plane_matrix) rendered as SQL literals, so the LSH
     # bucket assignment — and therefore the hit count — is recomputed by
@@ -1320,6 +1382,26 @@ def oracle_sql() -> dict[str, str]:
                                    / cast(len(gr) as double), 6)
                    end as rep3
             from g
+        """,
+        "pii_redaction_documents": f"""
+            with p as (select doc_id, {_pii_text} as t from documents)
+            select doc_id,
+                   {_pii_counts},
+                   cast({_pii_total} as bigint) as n_pii,
+                   md5({_pii_redacted}) as redacted_md5
+            from p
+        """,
+        "vocab_topk_documents": f"""
+            with w as (
+              select doc_id,
+                     unnest(string_split({norm_text}, ' ')) as word
+              from documents)
+            select word, cast(count(*) as bigint) as tf,
+                   cast(count(distinct doc_id) as bigint) as df
+            from w where word <> ''
+            group by word
+            order by tf desc, df desc, word asc
+            limit 20
         """,
         "events_hourly": """
             select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,

@@ -373,7 +373,8 @@ def bench_queries(spark, sf_dir: str, cpus: int,
                      "histogram_extendedprice",
                      "drift_ks_lineitem", "token_stats_documents",
                      "embedding_topk",
-                     "hll_distinct_lineitem"):
+                     "hll_distinct_lineitem",
+                     "pii_redaction_documents", "vocab_topk_documents"):
             fn = qs[name]
             r[name] = timed(lambda f=fn: f(spark, sf_dir).collect(), runs=2)
         # events is memoized (compile-once-run-many): time a FRESH plan

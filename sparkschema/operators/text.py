@@ -176,3 +176,34 @@ def ngram_repetition(col: Column, n: int = 3) -> Column:
     total = F.size(g)
     return F.when(total <= 0, F.lit(None).cast("double")).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(g)) / total.cast("double"))
+
+
+def vocab_topk(df, text_col: str, id_col: str, k: int = 20):
+    """Corpus vocabulary report: the top-``k`` normalized words by total
+    term frequency, with document frequency beside it — the first thing
+    a corpus audit looks at (degenerate corpora show a handful of words
+    dominating; healthy ones show a Zipf tail).
+
+    Returns ``(word, tf, df)`` ordered by ``tf`` desc, ``df`` desc,
+    ``word`` asc — a TOTAL order, so the top-``k`` cut is deterministic
+    even through ties.
+
+    Scale: one explode feeding ONE hash aggregate. ``tf`` is
+    map-side-combinable; exact ``df`` (count distinct doc) rewrites to a
+    two-level aggregate (partial distinct per partition) under Spark's
+    distinct-aggregate planning, so the only full shuffle is keyed by
+    word — at 10^12 rows the word key space is small and heavy-hitter
+    skew is absorbed by the partial aggregates. The final top-k is a
+    TakeOrderedAndProject (no global sort materialization). NULL/empty
+    texts contribute nothing (explode of NULL/empty drops the row).
+    """
+    words = F.explode(
+        F.split(normalized_text(F.col(text_col)), " ")).alias("word")
+    exploded = df.select(F.col(id_col).alias("__doc"), words) \
+                 .where(F.col("word") != "")
+    return (exploded.groupBy("word")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.countDistinct("__doc").alias("df"))
+            .orderBy(F.col("tf").desc(), F.col("df").desc(),
+                     F.col("word").asc())
+            .limit(k))

@@ -35,6 +35,8 @@ DOC_QUERIES = [
     "minhash_pairs_documents",
     "near_dup_clusters",
     "ngram_jaccard_sample",
+    "pii_redaction_documents",
+    "vocab_topk_documents",
 ]
 
 _FIXED = [
