@@ -944,6 +944,106 @@ def _q_ann_lsh_embeddings(spark, sf):
             .alias("recall_ok"))
 
 
+def _q_sessions_events(spark, sf):
+    """Sessionization via Spark's native ``session_window`` (30-minute
+    inactivity gap) — one shuffle on the user key, streaming-compatible.
+    The oracle replays the gap rule declaratively (lag + cumulative-sum
+    session ids) — a genuinely different algorithm, so the session-merge
+    semantics (new session iff the inter-event gap > 30 min; window end
+    = last event + gap) are cross-checked, not replicated. Timestamps
+    compare as microsecond-precision wall-time strings
+    (timezone-independent for the TIMESTAMP_NTZ source)."""
+    from sparkschema.operators.sessions import sessionize
+
+    e = spark.read.parquet(_t(sf, "events"))
+    s = sessionize(e, "user_id", "ts", "30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.select(F.col("user_id").cast("long").alias("user_id"),
+                    F.date_format("session_start", fmt).alias("start_ts"),
+                    F.date_format("session_end", fmt).alias("end_ts"),
+                    "n_events")
+
+
+def _q_asof_events(spark, sf):
+    """Backward as-of join (brief-mandated operator Spark lacks
+    natively): each click event picks up the latest error event of the
+    same user at-or-before its timestamp. The engine's union → single
+    key shuffle → running last(ignorenulls) plan is cross-checked
+    against DuckDB's NATIVE ``ASOF LEFT JOIN`` — two independent
+    algorithms for the same semantics."""
+    from sparkschema.operators.sessions import asof_join
+
+    e = spark.read.parquet(_t(sf, "events"))
+    clicks = e.where(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "ts")
+    errors = e.where(F.col("event_type") == "error") \
+              .select("user_id", "ts", "value")
+    j = asof_join(clicks, errors, on="user_id", left_ts="ts",
+                  right_ts="ts", value_cols=["value"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(F.col("event_id").cast("long").alias("event_id"),
+                    F.date_format("ts", fmt).alias("ts_s"),
+                    F.date_format("ts_asof", fmt).alias("err_ts_s"),
+                    F.col("value_asof").alias("err_value"))
+
+
+def _q_drift_psi_lineitem(spark, sf):
+    """Population Stability Index between the even/odd l_orderkey halves
+    of lineitem on l_extendedprice — same histogram split as
+    ``drift_ks_lineitem``, third drift statistic (KS, chi², PSI). The
+    0.5-count Laplace floor applies to proportion numerators only;
+    DuckDB recomputes buckets, floors, and the Σ(pₒ−pₑ)·ln(pₒ/pₑ) sum
+    independently."""
+    from sparkschema.operators.drift import psi_histograms
+    from sparkschema.operators.stats import histogram
+
+    li = spark.read.parquet(_t(sf, "lineitem"))
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    ha = histogram(a, "l_extendedprice", 0.0, 60000.0, 24)
+    hb = histogram(b, "l_extendedprice", 0.0, 60000.0, 24)
+    return psi_histograms(ha, hb).select(
+        F.round("statistic", 6).alias("psi"), "n_obs", "n_exp")
+
+
+def _q_url_domains_documents(spark, sf):
+    """Corpus provenance audit: per-domain URL and document counts over
+    a deterministically URL-planted corpus (every doc_id % 3 == 0
+    document gets one https://site-<doc_id%7>.example.com link appended;
+    NULL texts stay NULL). The oracle replays the SAME Java∩RE2 pattern
+    strings (text.URL_REGEX) through DuckDB's regexp_extract_all +
+    unnest."""
+    from sparkschema.operators.text import domain_counts
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    planted = F.concat(
+        F.col("text"), F.lit(" see https://site-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, planted)
+         .otherwise(F.col("text")).alias("text"))
+    return domain_counts(corpus, "text", id_col="doc_id")
+
+
+def _q_hash_split_documents(spark, sf):
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) hash
+    fraction, reported per (split, lang). md5 is used (not xxhash64)
+    precisely so DuckDB can recompute every assignment bit-for-bit:
+    ('0x' || first-8-hex)::bigint / 2^32 is exact in a double on both
+    engines, so the boundary comparisons are exactly reproducible."""
+    from sparkschema.operators.sampling import hash_split
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    s = hash_split(d, "doc_id",
+                   {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (s.groupBy("split", "lang")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.min("doc_id").cast("long").alias("min_doc"),
+                  F.max("doc_id").cast("long").alias("max_doc")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_fraction_orders": _q_null_fraction_orders,
@@ -966,6 +1066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_documents": _q_pii_redaction_documents,
         "vocab_topk_documents": _q_vocab_topk_documents,
         "events_hourly": _q_events_hourly,
+        "sessions_events": _q_sessions_events,
+        "asof_events": _q_asof_events,
+        "drift_psi_lineitem": _q_drift_psi_lineitem,
+        "url_domains_documents": _q_url_domains_documents,
+        "hash_split_documents": _q_hash_split_documents,
         "events_json_invalid": _q_events_json_invalid,
         "embedding_topk": _q_embedding_topk,
         "ngram_jaccard_sample": _q_ngram_jaccard_sample,
@@ -1157,6 +1262,10 @@ def _sql_minhash_superset() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from sparkschema.operators.similarity import plane_matrix
+    # the SAME pattern string the engine compiles (Java-regex ∩ RE2
+    # common subset — see text.URL_REGEX); embedded verbatim so the
+    # two engines can never drift apart silently
+    from sparkschema.operators.text import URL_REGEX as _URL_REGEX_SQL
 
     norm_text = _NORM.format(c="text")
     # PII oracle pieces: the SAME pattern strings the engine compiles
@@ -1781,4 +1890,111 @@ def oracle_sql() -> dict[str, str]:
                             then 1 else 0 end) as bigint), 0) as bad_length
             from k
         """.format(export=_ORACLE_EXPORT),
+        # Spark session_window cross-checked by the declarative gap
+        # rule: new session iff inter-event gap > 30 min (the merge
+        # bound is closed); window end = last event ts + gap.
+        "sessions_events": """
+            with x as (
+              select user_id, ts,
+                     case when lag(ts) over (partition by user_id order by ts)
+                               is null
+                          or ts - lag(ts) over (partition by user_id order by ts)
+                               > interval '30 minutes'
+                          then 1 else 0 end as ns
+              from events where ts is not null),
+            s as (
+              select user_id, ts,
+                     sum(ns) over (partition by user_id order by ts
+                                   rows unbounded preceding) as sid
+              from x)
+            select cast(user_id as bigint) as user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') as start_ts,
+                   strftime(max(ts) + interval '30 minutes',
+                            '%Y-%m-%d %H:%M:%S.%f') as end_ts,
+                   cast(count(*) as bigint) as n_events
+            from s group by user_id, sid
+        """,
+        # the engine's union+window as-of plan vs DuckDB's NATIVE ASOF
+        # LEFT JOIN — independent algorithms, same inclusive backward
+        # semantics
+        "asof_events": """
+            select cast(c.event_id as bigint) as event_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') as ts_s,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') as err_ts_s,
+                   e.value as err_value
+            from (select event_id, user_id, ts from events
+                  where event_type = 'click') c
+            asof left join
+                 (select user_id, ts, value from events
+                  where event_type = 'error') e
+              on c.user_id = e.user_id and c.ts >= e.ts
+        """,
+        # same width_bucket layout as drift_ks_lineitem; 0.5-count
+        # Laplace floor on proportion NUMERATORS only (denominators are
+        # the raw totals), Σ(po−pe)·ln(po/pe)
+        "drift_psi_lineitem": """
+            with h as (
+              select case when l_extendedprice < 0 then 0
+                          when l_extendedprice >= 60000 then 25
+                          else cast(floor(l_extendedprice / 2500) as int) + 1 end
+                       as bucket,
+                     sum(case when l_orderkey % 2 = 0 then 1 else 0 end) as o,
+                     sum(case when l_orderkey % 2 = 1 then 1 else 0 end) as e
+              from lineitem where l_extendedprice is not null group by 1),
+            p as (
+              select greatest(o, 0.5) / cast(sum(o) over () as double) as po,
+                     greatest(e, 0.5) / cast(sum(e) over () as double) as pe,
+                     o, e
+              from h)
+            select round(sum((po - pe) * ln(po / pe)), 6) as psi,
+                   cast(sum(o) as bigint) as n_obs,
+                   cast(sum(e) as bigint) as n_exp
+            from p
+        """,
+        "url_domains_documents": f"""
+            with corpus as (
+              select doc_id,
+                     case when doc_id % 3 = 0
+                          then text || ' see https://site-'
+                               || cast(doc_id % 7 as varchar)
+                               || '.example.com/p/'
+                               || cast(doc_id as varchar)
+                          else text end as text
+              from documents),
+            u as (
+              select doc_id,
+                     unnest(regexp_extract_all(text,
+                         '{_URL_REGEX_SQL}')) as url
+              from corpus),
+            d as (
+              select doc_id,
+                     lower(regexp_extract(url,
+                         'https?://([A-Za-z0-9.-]+)', 1)) as domain
+              from u)
+            select domain,
+                   cast(count(*) as bigint) as n_urls,
+                   cast(count(distinct doc_id) as bigint) as n_docs
+            from d where domain != '' group by domain
+        """,
+        # bit-for-bit md5 hash-fraction replay: ('0x'||hex8)::bigint /
+        # 2^32 is exact in a double, so the 0.8/0.9 boundary comparisons
+        # reproduce exactly across engines
+        "hash_split_documents": """
+            with h as (
+              select doc_id, lang,
+                     ('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))
+                       ::bigint / 4294967296.0 as frac
+              from documents),
+            s as (
+              select doc_id, lang,
+                     case when frac < 0.8 then 'train'
+                          when frac < 0.9 then 'val'
+                          else 'test' end as split
+              from h)
+            select split, lang,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(min(doc_id) as bigint) as min_doc,
+                   cast(max(doc_id) as bigint) as max_doc
+            from s group by split, lang
+        """,
     }

@@ -68,6 +68,38 @@ def ks_histograms(obs: DataFrame, exp: DataFrame) -> DataFrame:
     )
 
 
+def psi_histograms(obs: DataFrame, exp: DataFrame) -> DataFrame:
+    """Population Stability Index between two bucket-count frames
+    ``(bucket, cnt)``: ``Σ (p_o − p_e) · ln(p_o / p_e)`` over the union
+    of buckets, computed in SQL on the joined counts (same shape as
+    :func:`ks_histograms` — O(buckets) exchange, no Python).
+
+    Empty buckets get a 0.5-count Laplace floor **in the numerator of
+    the proportion only** (denominators stay the raw totals) so a bucket
+    populated on one side counts as drift instead of producing
+    ``ln(0)`` — the same floor convention as
+    :func:`chi_square_histograms`. Conventional reading: < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 major shift.
+
+    Returns one row ``(statistic double, n_obs long, n_exp long)``;
+    an empty side yields a NULL statistic (``try_divide``), mirroring
+    the KS contract.
+    """
+    o = obs.groupBy("bucket").agg(F.sum("cnt").alias("o"))
+    e = exp.groupBy("bucket").agg(F.sum("cnt").alias("e"))
+    joined = o.join(e, "bucket", "full_outer").fillna(0, ["o", "e"])
+    tot = Window.partitionBy()
+    p_o = F.try_divide(F.greatest(F.col("o"), F.lit(0.5)),
+                       F.sum("o").over(tot))
+    p_e = F.try_divide(F.greatest(F.col("e"), F.lit(0.5)),
+                       F.sum("e").over(tot))
+    term = (p_o - p_e) * F.log(p_o / p_e)
+    return (joined.select(term.alias("t"), F.col("o"), F.col("e"))
+                  .agg(F.sum("t").alias("statistic"),
+                       F.sum("o").cast("long").alias("n_obs"),
+                       F.sum("e").cast("long").alias("n_exp")))
+
+
 def _drift_verdict(h_cur: DataFrame, h_ref: DataFrame, column: str,
                    chi2_threshold: float | None,
                    ks_threshold: float | None) -> dict:

@@ -1,0 +1,77 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need REPRODUCIBLE splits: the same document must
+land in the same train/val/test bucket on every run, on any cluster
+size, regardless of partitioning — which rules out ``df.sample`` /
+``randomSplit`` (partition-order-dependent RNG streams). The standard
+fix is a content/id hash mapped to the unit interval.
+
+The hash here is the first 8 hex chars of ``md5(id || salt)`` read as a
+32-bit integer — chosen over ``xxhash64`` ONLY because md5 exists in
+both Spark and DuckDB with identical output, so every split is
+oracle-checkable bit-for-bit (the engine's other fingerprints use
+xxhash64 where no cross-engine twin is needed). md5 cost is per-row
+O(id length) and embarrassingly parallel: no shuffle, no Python,
+whole-stage codegen.
+
+Scale: a split/sample is a pure filter — predicate-pushdown friendly,
+zero exchange. Stratified proportions hold per stratum automatically
+because the hash is independent of any data column other than the id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32
+
+
+def hash_fraction(id_col: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) value per id: first 8 md5 hex chars
+    of ``id || salt`` as a 32-bit integer, scaled. NULL id → NULL
+    (an absent id cannot be split deterministically; callers decide)."""
+    h = F.conv(F.substring(F.md5(F.concat(id_col.cast("string"),
+                                          F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(float(_BUCKETS))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float], salt: str = "") -> DataFrame:
+    """Adds a ``split`` column assigning each row to a named bucket with
+    the given weights (must sum to ~1.0). Same id + salt ⇒ same bucket,
+    forever, at any scale or partitioning. NULL ids get a NULL split.
+
+    ``salt`` versions the split: changing it reshuffles every
+    assignment (e.g. ``salt="v2"`` for a fresh holdout)."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    frac = hash_fraction(F.col(id_col), salt)
+    # ordered cumulative boundaries: bucket_i gets [cum_{i-1}, cum_i);
+    # the LAST bucket is the unconditional fallback so float rounding at
+    # the top boundary can never produce an unassigned row
+    names = list(weights)
+    chain = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = frac < F.lit(cum)
+        chain = F.when(cond, F.lit(name)) if chain is None \
+            else chain.when(cond, F.lit(name))
+    assigned = (F.lit(names[-1]) if chain is None
+                else chain.otherwise(F.lit(names[-1])))
+    return df.withColumn("split", F.when(F.col(id_col).isNull(),
+                                         F.lit(None).cast("string"))
+                                   .otherwise(assigned))
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float,
+                salt: str = "") -> DataFrame:
+    """Deterministic ``fraction`` sample: keeps rows whose hash fraction
+    falls below ``fraction``. Supersets nest: a 1% sample is a subset of
+    the same salt's 10% sample (the property ad-hoc ``sample()`` calls
+    lose), so dev slices at increasing sizes stay comparable."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return df.where(hash_fraction(F.col(id_col), salt) < F.lit(fraction))

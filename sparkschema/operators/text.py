@@ -207,3 +207,62 @@ def vocab_topk(df, text_col: str, id_col: str, k: int = 20):
             .orderBy(F.col("tf").desc(), F.col("df").desc(),
                      F.col("word").asc())
             .limit(k))
+
+
+# URL / domain extraction (corpus provenance audit + blocklist filtering) --
+
+# Java-regex ∩ RE2 common subset (no lookaround/backrefs) so the DuckDB
+# differential oracle runs the SAME pattern verbatim; [^ \t\n\r] rather
+# than \S keeps the two engines' whitespace notion identical (ASCII).
+URL_REGEX = r"https?://[A-Za-z0-9.-]+(?:/[^ \t\n\r]*)?"
+_DOMAIN_REGEX = r"https?://([A-Za-z0-9.-]+)"
+
+
+def urls(col: Column) -> Column:
+    """All ``http(s)://`` URLs in ``col`` as an array (NULL text → NULL)."""
+    return F.regexp_extract_all(col, F.lit(URL_REGEX), 0)
+
+
+def url_domain(url_col: Column) -> Column:
+    """Lower-cased host of one URL string ('' if not URL-shaped)."""
+    return F.lower(F.regexp_extract(url_col, _DOMAIN_REGEX, 1))
+
+
+def domain_counts(df, text_col: str, id_col: str | None = None):
+    """Corpus provenance report: ``(domain, n_urls, n_docs)`` for every
+    domain mentioned in ``text_col``, ordered by ``n_urls`` desc then
+    domain asc (total order — deterministic through ties).
+
+    ``n_docs`` counts distinct ``id_col`` values (falls back to a
+    synthetic per-row id when the frame has no stable document id).
+
+    Scale: explode → one hash aggregate keyed by domain (small key
+    space; heavy-hitter domains collapse in the map-side partial).
+    NULL/URL-free texts contribute nothing.
+    """
+    doc = (F.col(id_col) if id_col is not None
+           else F.monotonically_increasing_id())
+    u = df.select(doc.alias("__doc"),
+                  F.explode(urls(F.col(text_col))).alias("u"))
+    return (u.select("__doc", url_domain(F.col("u")).alias("domain"))
+             .where(F.col("domain") != "")
+             .groupBy("domain")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_urls"),
+                  F.countDistinct("__doc").cast("long").alias("n_docs"))
+             .orderBy(F.col("n_urls").desc(), F.col("domain").asc()))
+
+
+def domain_blocklist_filter(df, text_col: str, blocked: list[str]):
+    """Drop documents whose text links to any blocked domain (exact host
+    or subdomain match) — the standard corpus scrub step downstream of
+    :func:`domain_counts`. NULL texts pass through (no URL facts).
+
+    Pure expressions: ``exists`` over the extracted URL array, no join
+    (the blocklist compiles into the predicate — at a million-entry
+    blocklist switch to a broadcast anti-join on the exploded domain)."""
+    blocked_arr = F.array(*[F.lit(b.lower()) for b in blocked])
+    doms = F.transform(urls(F.col(text_col)), lambda x: url_domain(x))
+    hit = F.exists(doms, lambda d: F.exists(
+        blocked_arr,
+        lambda b: (d == b) | d.endswith(F.concat(F.lit("."), b))))
+    return df.where(F.col(text_col).isNull() | ~F.coalesce(hit, F.lit(False)))

@@ -37,6 +37,7 @@ DOC_QUERIES = [
     "ngram_jaccard_sample",
     "pii_redaction_documents",
     "vocab_topk_documents",
+    "url_domains_documents",
 ]
 
 _FIXED = [
