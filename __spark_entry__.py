@@ -1044,6 +1044,21 @@ def _q_hash_split_documents(spark, sf):
                   F.max("doc_id").cast("long").alias("max_doc")))
 
 
+def _q_contamination_documents(spark, sf):
+    """Benchmark decontamination: documents sharing any word-8-gram with
+    the 'benchmark' slice (doc_id < 10) are flagged with their distinct
+    matching-gram count. The benchmark gram set broadcasts (plan: the
+    corpus side never shuffles its exploded grams); the oracle rebuilds
+    normalization → 8-grams → distinct → join in DuckDB list ops."""
+    from sparkschema.operators.text import contamination_flags
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    bench = d.where(F.col("doc_id") < 10)
+    out = contamination_flags(d, "text", "doc_id", bench, "text", n=8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_hits")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_fraction_orders": _q_null_fraction_orders,
@@ -1071,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_lineitem": _q_drift_psi_lineitem,
         "url_domains_documents": _q_url_domains_documents,
         "hash_split_documents": _q_hash_split_documents,
+        "contamination_documents": _q_contamination_documents,
         "events_json_invalid": _q_events_json_invalid,
         "embedding_topk": _q_embedding_topk,
         "ngram_jaccard_sample": _q_ngram_jaccard_sample,
@@ -1997,4 +2013,26 @@ def oracle_sql() -> dict[str, str]:
                    cast(max(doc_id) as bigint) as max_doc
             from s group by split, lang
         """,
+        # normalization -> word 8-grams -> distinct -> join, replayed in
+        # DuckDB list ops over the same _NORM twin
+        "contamination_documents": """
+            with corpus as (
+              select doc_id, NORMEXPR as nt from documents),
+            w as (
+              select doc_id, string_split(nt, ' ') as ws
+              from corpus where nt is not null),
+            g as (
+              select doc_id,
+                     unnest(list_distinct(
+                       case when len(ws) >= 8
+                            then list_transform(range(1, len(ws) - 6),
+                                   i -> array_to_string(
+                                          list_slice(ws, i, i + 7), ' '))
+                            else [] end)) as gram
+              from w),
+            b as (select distinct gram from g where doc_id < 10)
+            select cast(g.doc_id as bigint) as doc_id,
+                   cast(count(distinct g.gram) as bigint) as n_hits
+            from g join b using (gram) group by g.doc_id
+        """.replace("NORMEXPR", norm_text),
     }

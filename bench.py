@@ -374,7 +374,11 @@ def bench_queries(spark, sf_dir: str, cpus: int,
                      "drift_ks_lineitem", "token_stats_documents",
                      "embedding_topk",
                      "hll_distinct_lineitem",
-                     "pii_redaction_documents", "vocab_topk_documents"):
+                     "pii_redaction_documents", "vocab_topk_documents",
+                     # event-time ops (r5): session_window agg and the
+                     # union+window as-of join — the two shuffle-heavy
+                     # additions; results are ~100k/20k rows at sf0.1
+                     "sessions_events", "asof_events"):
             fn = qs[name]
             r[name] = timed(lambda f=fn: f(spark, sf_dir).collect(), runs=2)
         # events is memoized (compile-once-run-many): time a FRESH plan

@@ -57,13 +57,21 @@ def sessionize(df: DataFrame, user_col: str, ts_col: str,
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str,
               value_cols: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
-    """Backward as-of join: each ``left`` row gets the ``value_cols`` of
-    the LATEST ``right`` row with the same ``on`` key and
-    ``right_ts <= left_ts`` (inclusive; at an exact timestamp tie the
-    right row is visible to the left row). Left rows with no prior right
-    row keep NULLs. Also emits ``<right_ts><suffix>`` — the matched
-    right row's timestamp.
+              suffix: str = "_asof", direction: str = "backward",
+              tolerance: str | None = None) -> DataFrame:
+    """As-of join: each ``left`` row gets the ``value_cols`` of the
+    nearest ``right`` row with the same ``on`` key — the LATEST with
+    ``right_ts <= left_ts`` (``direction="backward"``, default) or the
+    EARLIEST with ``right_ts >= left_ts`` (``direction="forward"``).
+    Both bounds are inclusive: at an exact timestamp tie the right row
+    is visible to the left row. Left rows with no qualifying right row
+    keep NULLs. Also emits ``<right_ts><suffix>`` — the matched right
+    row's timestamp.
+
+    ``tolerance`` (an interval string, e.g. ``"15 minutes"``) NULLs out
+    matches farther than the interval from the left timestamp — the
+    pandas ``merge_asof(tolerance=...)`` contract, applied as a
+    zero-cost post-projection (the single-exchange plan is unchanged).
 
     Implementation (no range join): tag both sides, union, and run a
     running ``last(ignorenulls)`` over ``(key, ts, side)`` — right rows
@@ -74,6 +82,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     equal payloads — at-most-one-row-per-timestamp is the caller's
     contract, same as pandas ``merge_asof``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -95,11 +105,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     r_tag = r_tag.withColumn(
         "__lrow", F.lit(None).cast(l_tag.schema["__lrow"].dataType))
 
-    w = (Window.partitionBy("__k").orderBy("__ts", "__side")
+    # forward = backward on the reversed timeline: descending timestamps,
+    # right rows still first at ties (inclusive bound either direction)
+    ts_order = (F.col("__ts").asc() if direction == "backward"
+                else F.col("__ts").desc())
+    w = (Window.partitionBy("__k").orderBy(ts_order, F.col("__side").asc())
                .rowsBetween(Window.unboundedPreceding, 0))
     carried = l_tag.unionByName(r_tag).select(
-        "__side", "__lrow",
+        "__side", F.col("__ts").alias("__lts"), "__lrow",
         F.last("__rpay", ignorenulls=True).over(w).alias("__m"))
+    if tolerance is not None:
+        gap = (F.col("__lts") - F.col("__m.__rts")
+               if direction == "backward"
+               else F.col("__m.__rts") - F.col("__lts"))
+        in_tol = gap <= F.expr(f"INTERVAL {tolerance}")
+        carried = carried.withColumn(
+            "__m", F.when(in_tol, F.col("__m")))  # else NULL struct
     return (carried.where(F.col("__side") == 1)
                    .select(F.col("__lrow.*"),
                            F.col("__m.__rts").alias(f"{right_ts}{suffix}"),

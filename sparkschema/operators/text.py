@@ -266,3 +266,34 @@ def domain_blocklist_filter(df, text_col: str, blocked: list[str]):
         blocked_arr,
         lambda b: (d == b) | d.endswith(F.concat(F.lit("."), b))))
     return df.where(F.col(text_col).isNull() | ~F.coalesce(hit, F.lit(False)))
+
+
+# benchmark decontamination (n-gram overlap flagging) ----------------------
+
+def contamination_flags(df, text_col: str, id_col: str, bench_df,
+                        bench_text_col: str, n: int = 8):
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-``n``-gram with a benchmark/eval set — the standard pre-training
+    hygiene pass (a training document containing an eval question leaks
+    the benchmark). Returns ``(id_col, n_hits long)`` with one row per
+    CONTAMINATED document (``n_hits`` = distinct matching grams).
+
+    Scale: the benchmark side is small by construction (eval suites are
+    thousands of documents, not billions), so its distinct gram set
+    broadcasts and the corpus side joins without shuffling its own
+    exploded grams — a billion-document corpus stays map-side. The
+    corpus explode is transient (gram rows never aggregate globally;
+    the groupBy key is the already-partitioned doc id). NULL/short
+    texts produce no grams and cannot be flagged.
+    """
+    bench_grams = (bench_df
+                   .select(F.explode(word_ngrams(F.col(bench_text_col), n))
+                            .alias("gram"))
+                   .distinct())
+    doc_grams = (df.select(F.col(id_col),
+                           F.explode(word_ngrams(F.col(text_col), n))
+                            .alias("gram"))
+                   .distinct())
+    return (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))

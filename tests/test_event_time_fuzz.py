@@ -111,3 +111,33 @@ def test_asof_join_fuzz_vs_duckdb_native_asof(spark):
 
     assert len(got) == len(left_rows) == len(want)
     assert got == want
+
+
+def test_asof_join_forward_fuzz_vs_duckdb(spark):
+    rng = random.Random(SEED + 2)
+    left_rows = [(i, rng.randrange(8), _grid_ts(rng)) for i in range(300)]
+    seen, right_rows = set(), []
+    for _ in range(250):
+        k, ts = rng.randrange(8), _grid_ts(rng)
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        right_rows.append((k, ts, round(rng.uniform(0, 9), 3)))
+
+    left = spark.createDataFrame(left_rows, "eid int, k int, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k int, ts timestamp, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    value_cols=["v"], direction="forward")
+    got = sorted(((r.eid, r.ts_asof, r.v_asof) for r in out.collect()),
+                 key=lambda t: t[0])
+
+    con = duckdb.connect()
+    con.execute("create table l (eid int, k int, ts timestamp)")
+    con.executemany("insert into l values (?,?,?)", left_rows)
+    con.execute("create table r (k int, ts timestamp, v double)")
+    con.executemany("insert into r values (?,?,?)", right_rows)
+    want = sorted((tuple(r) for r in con.execute("""
+        select l.eid, r.ts, r.v
+        from l asof left join r on l.k = r.k and l.ts <= r.ts
+    """).fetchall()), key=lambda t: t[0])
+    assert got == want

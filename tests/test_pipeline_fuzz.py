@@ -38,6 +38,7 @@ DOC_QUERIES = [
     "pii_redaction_documents",
     "vocab_topk_documents",
     "url_domains_documents",
+    "contamination_documents",
 ]
 
 _FIXED = [

@@ -155,3 +155,66 @@ def test_asof_join_plan_single_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_contamination_flags_planted_and_null(spark):
+    from sparkschema.operators.text import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id int, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x alpha beta gamma delta epsilon zeta eta theta y"),  # 8-gram hit
+         (2, "alpha beta gamma delta epsilon zeta eta"),            # only 7 words
+         (3, "completely unrelated text with many different words here"),
+         (4, None)],
+        "doc_id int, text string")
+    got = {r.doc_id: r.n_hits
+           for r in contamination_flags(corpus, "text", "doc_id",
+                                        bench, "text", n=8).collect()}
+    assert got == {1: 1}
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    from sparkschema.operators.text import contamination_flags
+
+    bench = spark.createDataFrame([(1, "a b c d e f g h")],
+                                  "doc_id int, text string")
+    corpus = spark.createDataFrame([(2, "a b c d e f g h i")],
+                                   "doc_id int, text string")
+    plan = contamination_flags(corpus, "text", "doc_id", bench, "text") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus grams never shuffle to join
+
+
+def test_asof_join_forward_direction(spark):
+    left, right = _asof_frames(spark)
+    out = {r.tag: (r.ts_asof, r.v_asof)
+           for r in asof_join(left, right, "k", "ts", "ts",
+                              value_cols=["v"],
+                              direction="forward").collect()}
+    # earliest right at-or-after: a(10)->right(10) inclusive tie,
+    # b(20)->none after, c(5)->right(6)
+    assert out["a"] == (_ts(10), 100.0)
+    assert out["b"] == (None, None)
+    assert out["c"] == (_ts(6), 7.0)
+
+
+def test_asof_join_tolerance_nulls_far_matches(spark):
+    left, right = _asof_frames(spark)
+    out = {r.tag: (r.ts_asof, r.v_asof)
+           for r in asof_join(left, right, "k", "ts", "ts",
+                              value_cols=["v"],
+                              tolerance="2 minutes").collect()}
+    # a matches at 0 gap; b's nearest backward right is ts(15), 5 min
+    # away -> NULLed by tolerance; c has no backward match at all
+    assert out["a"] == (_ts(10), 100.0)
+    assert out["b"] == (None, None)
+    assert out["c"] == (None, None)
+
+
+def test_asof_join_bad_direction_raises(spark):
+    import pytest as _pytest
+    left, right = _asof_frames(spark)
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", "ts", direction="nearest")

@@ -108,3 +108,42 @@ def test_streaming_exact_dedup_bounded_state(spark, tmp_path):
     assert len(ids) == 5
     # schema passes through unchanged
     assert sorted(got[0].asDict()) == ["doc_id", "text", "ts"]
+
+
+def test_sessionize_streaming_matches_batch_for_closed_sessions(spark, tmp_path):
+    """sessionize() is the same expression batch and streaming: under a
+    watermark + append mode, Structured Streaming emits exactly the
+    sessions whose expiry precedes the final watermark — which must
+    equal the batch sessionize of the same rows (the late sentinel's
+    still-open session is withheld, the standard append contract)."""
+    import datetime as dt
+
+    from sparkschema.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = ([(1, t0 + dt.timedelta(minutes=m)) for m in (0, 10, 20)]
+            + [(2, t0), (2, t0 + dt.timedelta(minutes=45))]
+            # sentinel 12h later: pushes the final watermark past every
+            # other session's expiry so they all close and emit
+            + [(99, t0 + dt.timedelta(hours=12))])
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id int, ts timestamp") \
+         .write.parquet(src)
+
+    stream = spark.readStream.schema("user_id int, ts timestamp").parquet(src)
+    sessions = sessionize(stream.withWatermark("ts", "1 hour"),
+                          "user_id", "ts", "30 minutes")
+    q = (sessions.writeStream.outputMode("append")
+         .format("memory").queryName("sess_stream")
+         .option("checkpointLocation", str(tmp_path / "ck_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.user_id, r.session_start, r.session_end, r.n_events)
+                 for r in spark.sql("select * from sess_stream").collect())
+
+    batch = sessionize(
+        spark.createDataFrame(rows, "user_id int, ts timestamp"),
+        "user_id", "ts", "30 minutes")
+    want = sorted((r.user_id, r.session_start, r.session_end, r.n_events)
+                  for r in batch.collect() if r.user_id != 99)
+    assert got == want and len(got) == 3
