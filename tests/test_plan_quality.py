@@ -137,3 +137,31 @@ def test_events_variant_query_materializes_parses_once(spark):
     # no variant-typed attribute may survive past the second barrier
     post_agg = plan.split("HashAggregate")[0]
     assert "variant" not in post_agg.lower(), post_agg
+
+
+def test_sessionize_single_exchange_on_user_key(spark, tmp_path):
+    from sparkschema.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(i % 7, __import__("datetime").datetime(2024, 1, 1, 0, i % 60))
+         for i in range(100)], "user_id int, ts timestamp")
+    plan = _plan(sessionize(df, "user_id", "ts", "30 minutes"))
+    # one hash exchange keyed by the user; session merge happens inside
+    # the aggregate, never a window sort over the whole table
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_right_payload_crosses_exchange_once(spark, tmp_path):
+    from sparkschema.operators.sessions import asof_join
+
+    import datetime as dt
+    left = spark.createDataFrame(
+        [(i, i % 5, dt.datetime(2024, 1, 1, 0, i % 60)) for i in range(50)],
+        "eid int, k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(i % 5, dt.datetime(2024, 1, 1, 0, i % 60), float(i))
+         for i in range(40)], "k int, ts timestamp, v double")
+    plan = _plan(asof_join(left, right, "k", "ts", "ts", value_cols=["v"]))
+    assert plan.count("Exchange hashpartitioning") == 1  # the union, keyed
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
