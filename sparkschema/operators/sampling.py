@@ -71,7 +71,11 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float,
     """Deterministic ``fraction`` sample: keeps rows whose hash fraction
     falls below ``fraction``. Supersets nest: a 1% sample is a subset of
     the same salt's 10% sample (the property ad-hoc ``sample()`` calls
-    lose), so dev slices at increasing sizes stay comparable."""
+    lose), so dev slices at increasing sizes stay comparable.
+
+    NULL-id rows are EXCLUDED from every sample (their hash fraction is
+    NULL, which no threshold admits) — a row without a stable id cannot
+    be sampled reproducibly; assign ids first if those rows matter."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
     return df.where(hash_fraction(F.col(id_col), salt) < F.lit(fraction))
