@@ -1044,6 +1044,23 @@ def _q_hash_split_documents(spark, sf):
                   F.max("doc_id").cast("long").alias("max_doc")))
 
 
+def _q_cap_per_source_documents(spark, sf):
+    """Domain balancing: keep at most 10 documents per source, selected
+    by deterministic md5(doc_id) priority, then witness the exact
+    survivor set per source (count + sum/min/max of kept ids — sum
+    pins the membership, not just the size). DuckDB replays the same
+    row_number-over-md5-priority selection bit-for-bit."""
+    from sparkschema.operators.sampling import cap_per_group
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    kept = cap_per_group(d, "source", "doc_id", 10)
+    return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                     F.sum("doc_id").cast("long").alias("sum_doc"),
+                     F.min("doc_id").cast("long").alias("min_doc"),
+                     F.max("doc_id").cast("long").alias("max_doc")))
+
+
 def _q_contamination_documents(spark, sf):
     """Benchmark decontamination: documents sharing any word-8-gram with
     the 'benchmark' slice (doc_id < 10) are flagged with their distinct
@@ -1086,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi_lineitem": _q_drift_psi_lineitem,
         "url_domains_documents": _q_url_domains_documents,
         "hash_split_documents": _q_hash_split_documents,
+        "cap_per_source_documents": _q_cap_per_source_documents,
         "contamination_documents": _q_contamination_documents,
         "events_json_invalid": _q_events_json_invalid,
         "embedding_topk": _q_embedding_topk,
@@ -2012,6 +2030,24 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(doc_id) as bigint) as min_doc,
                    cast(max(doc_id) as bigint) as max_doc
             from s group by split, lang
+        """,
+        # the identical row_number-over-md5-priority selection; NULL
+        # priorities sort last on both engines (asc_nulls_last / DuckDB
+        # ASC default), though documents.doc_id is never NULL
+        "cap_per_source_documents": """
+            with r as (
+              select source, doc_id,
+                     row_number() over (
+                       partition by source
+                       order by md5(cast(doc_id as varchar)) asc,
+                                doc_id asc) as rn
+              from documents)
+            select source,
+                   cast(count(*) as bigint) as n_kept,
+                   cast(sum(doc_id) as bigint) as sum_doc,
+                   cast(min(doc_id) as bigint) as min_doc,
+                   cast(max(doc_id) as bigint) as max_doc
+            from r where rn <= 10 group by source
         """,
         # normalization -> word 8-grams -> distinct -> join, replayed in
         # DuckDB list ops over the same _NORM twin

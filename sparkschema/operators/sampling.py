@@ -66,6 +66,44 @@ def hash_split(df: DataFrame, id_col: str,
                                    .otherwise(assigned))
 
 
+def cap_per_group(df: DataFrame, group_col: str, id_col: str, k: int,
+                  salt: str = "") -> DataFrame:
+    """Keep at most ``k`` rows per ``group_col`` value, chosen by
+    deterministic hash priority — the standard domain-balancing pass
+    (cap documents per source/domain so no single crawl host dominates
+    the corpus). Selection is ``row_number()`` ordered by
+    ``md5(id || salt)`` then ``id``: same ids + salt ⇒ same survivors on
+    every run, at any parallelism, on either engine (md5, like
+    :func:`hash_fraction`, exists bit-identically in Spark and DuckDB so
+    the whole selection is oracle-checkable).
+
+    NULL ``id_col`` hashes to NULL priority; NULLs sort LAST on both
+    engines (``asc_nulls_last`` here, DuckDB's ASC default) so NULL-id
+    rows are the first evicted and the tiebreak stays deterministic.
+    NULL groups form one group of their own (both engines agree).
+
+    Scale: one hash exchange on the group key, then a per-group sort —
+    the same shape as any windowed top-k. A pathologically hot group
+    (one domain = 20% of the corpus) serializes that group's sort into
+    one task; because the priority is a uniform hash, a pre-filter
+    ``hash_fraction < (c·k / est_group_count)`` can shrink such groups
+    before the exchange without changing the survivor set as long as
+    the threshold keeps ≥ k rows — left to callers since it needs a
+    group-size estimate.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    prio = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = (Window.partitionBy(group_col)
+               .orderBy(prio.asc_nulls_last(),
+                        F.col(id_col).asc_nulls_last()))
+    return (df.withColumn("__cap_rn", F.row_number().over(w))
+              .where(F.col("__cap_rn") <= k)
+              .drop("__cap_rn"))
+
+
 def hash_sample(df: DataFrame, id_col: str, fraction: float,
                 salt: str = "") -> DataFrame:
     """Deterministic ``fraction`` sample: keeps rows whose hash fraction

@@ -39,6 +39,8 @@ DOC_QUERIES = [
     "vocab_topk_documents",
     "url_domains_documents",
     "contamination_documents",
+    "hash_split_documents",
+    "cap_per_source_documents",
 ]
 
 _FIXED = [

@@ -5,8 +5,8 @@ pin the properties the oracle can't isolate)."""
 import pytest
 from pyspark.sql import functions as F
 
-from sparkschema.operators.sampling import (hash_fraction, hash_sample,
-                                            hash_split)
+from sparkschema.operators.sampling import (cap_per_group, hash_fraction,
+                                            hash_sample, hash_split)
 
 
 def _ids(spark, n=2000):
@@ -61,6 +61,38 @@ def test_null_id_gets_null_split_and_bad_weights_raise(spark):
         hash_split(df, "doc_id", {"x": 0.5})
     with pytest.raises(ValueError):
         hash_sample(df, "doc_id", 1.5)
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark):
+    df = _ids(spark).withColumn("grp", (F.col("doc_id") % 3).cast("string"))
+    kept = cap_per_group(df, "grp", "doc_id", 10)
+    counts = {r.grp: r.n for r in
+              kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    assert counts == {"0": 10, "1": 10, "2": 10}
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in
+         cap_per_group(df.repartition(17), "grp", "doc_id", 10).collect()}
+    assert a == b  # survivor set independent of partitioning
+    # a group smaller than k survives whole
+    small = spark.createDataFrame([("g", i) for i in range(3)],
+                                  "grp string, doc_id int")
+    assert cap_per_group(small, "grp", "doc_id", 10).count() == 3
+    with pytest.raises(ValueError):
+        cap_per_group(df, "grp", "doc_id", 0)
+
+
+def test_cap_per_group_salt_and_null_id_evicted_first(spark):
+    df = _ids(spark, 200).withColumn("grp", F.lit("g"))
+    a = {r.doc_id for r in cap_per_group(df, "grp", "doc_id", 20).collect()}
+    c = {r.doc_id for r in
+         cap_per_group(df, "grp", "doc_id", 20, salt="v2").collect()}
+    assert a != c  # salt reshuffles priority
+    withnull = spark.createDataFrame(
+        [("g", 1), ("g", 2), ("g", None)], "grp string, doc_id int")
+    kept = {r.doc_id for r in
+            cap_per_group(withnull, "grp", "doc_id", 2).collect()}
+    assert kept == {1, 2}  # NULL priority sorts last => evicted first
 
 
 def test_hash_fraction_range_and_plan_is_pure_filter(spark):
