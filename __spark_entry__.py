@@ -231,12 +231,23 @@ def _q_quality_components_documents(spark, sf):
 def _q_quality_score_documents(spark, sf):
     """Full composite quality score (operators.text.quality_score): the
     DuckDB oracle recomputes the entire documented formula — length band,
-    mean word length band, stopword saturation, punct/digit/upper penalty."""
+    mean word length band, stopword saturation, punct/digit/upper penalty.
+
+    The 6-decimal operator output is re-rounded to 4 via an explicit
+    ``floor(x·10⁴ + 0.5)/10⁴`` rather than ``round(x, 4)``: a 6-place
+    score ending in "…50" is an exact decimal tie at the 4th place, and
+    the engines' round() primitives break such ties differently (Spark
+    HALF_UP on the double's shortest decimal repr vs DuckDB's scaled
+    std::round on the binary value — multi-seed fuzz find r5, seed 202
+    hit 0.378750 → 0.3788 vs 0.3787). floor on the bit-identical double
+    is deterministic on both engines; the SQL twin uses the same form."""
     from sparkschema.operators.text import quality_score
 
     d = spark.read.parquet(_t(sf, "documents"))
-    return d.select("doc_id",
-                    F.round(quality_score(F.col("text")), 4).alias("q_score"))
+    q6 = quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        (F.floor(q6 * 10000 + F.lit(0.5)) / 10000).alias("q_score"))
 
 
 def _q_fingerprint_documents(spark, sf):
@@ -1492,13 +1503,13 @@ def oracle_sql() -> dict[str, str]:
               from f)
             select doc_id,
                    case when n_chars is null then null else
-                   round(round(greatest(least(
+                   floor(round(greatest(least(
                      0.3 * (case when n_chars >= 20 and n_chars <= 20000 then 1.0
                                  when n_chars > 0 then 0.5 else 0.0 end)
                      + 0.2 * (case when mwl >= 2.5 and mwl <= 12 then 1.0 else 0.3 end)
                      + 0.3 * least(stop_hits / 3.0, 1.0)
                      + 0.2 * (1.0 - least(punct_ratio * 1.5 + digit_ratio + upper_ratio,
-                                          1.0)), 1.0), 0.0), 6), 4)
+                                          1.0)), 1.0), 0.0), 6) * 10000 + 0.5) / 10000
                    end as q_score
             from g
         """,
