@@ -92,6 +92,11 @@ _ALPHABETS = [
     "\"'\\/(){}[]<> a",
     "́̂a e ",
     "0123456789. ",
+    # quality score lands exactly on a "…50" 6-decimal boundary — the
+    # cross-engine round-tie regression (Spark HALF_UP on shortest repr
+    # vs DuckDB scaled std::round gave 0.3788 vs 0.3787 before the
+    # floor-based tie-break in _q_quality_score_documents)
+    "áếa ̂́a a   ̂   aa  á̂̂́ ́́ aá  a ̂e  é ́a   ́   â  ̂âee   é   eeá̂    ̂́ê   é̂ ̂",
 ]
 
 
