@@ -386,7 +386,21 @@ def _build_events_json_invalid(spark, sf):
     # the oracle's bigint try_cast NULLs it — a fractional props.k would
     # desync the arm counts (ADVICE r3 low)
     k_int = kstr.rlike(r"^-?\d{1,14}$")
-    armed = k_int & F.col("value").isNotNull()
+    # arms exist only where a derived JSON document exists: NaN/±Inf have
+    # no JSON rendering (Spark casts them to 'NaN'/'Infinity', which
+    # try_parse_json rejects), so non-finite rows are unarmed rather than
+    # "invalid because the harness couldn't build the document" — the
+    # DuckDB twin gates on isfinite(value) identically (events fuzz find).
+    # Spark NaN ordering makes abs(NaN) != inf TRUE, hence the isnan arm.
+    finite = ~F.isnan("value") & (F.abs(F.col("value")) != F.lit(float("inf")))
+    # get_json_object is Jackson-lenient (accepts {'k': 7} single quotes);
+    # the reference's parser and the DuckDB twin are strict RFC 8259 — arm
+    # only rows whose props is STRICT-valid JSON so a lenient-only k never
+    # arms the engine alone (events fuzz find). try_parse_json here is an
+    # extra per-row parse of a tiny string, same cost class as the
+    # get_json_object call beside it.
+    armed = (k_int & F.col("value").isNotNull() & finite
+             & F.try_parse_json("props").isNotNull())
     armed2 = armed & F.col("event_type").isNotNull()
     vstr = F.col("value").cast("string")
     big = (knum * F.lit(_Dec(10 ** 24))).cast("decimal(38,0)").cast("string")
@@ -1571,17 +1585,41 @@ def oracle_sql() -> dict[str, str]:
             -- derived JSON). Arms count only rows where k parses and
             -- value is non-null — the engine gates identically.
             select cast(count(*) as bigint) as total_rows,
-                   cast(sum(case when k is null or k < 0 or k > 50
-                            then 1 else 0 end) as bigint) as invalid_rows,
+                   -- SPEC_OK twin, type-aware (events fuzz find): the old
+                   -- try_cast(ks as bigint) ROUNDED '4.5'→5 and accepted
+                   -- string-typed '"12"', both of which JSON-Schema
+                   -- type:integer rejects. Valid iff props is an OBJECT
+                   -- whose k exists, is integer-typed (native int or a
+                   -- whole double, the reference's isWhole rule), and
+                   -- lies in [0, 50].
+                   cast(sum(case when coalesce(
+                              jt = 'OBJECT' and kt is not null and
+                              ((kt in ('UBIGINT', 'BIGINT')
+                                  and k between 0 and 50)
+                               or (kt = 'DOUBLE' and kd = floor(kd)
+                                   and kd between 0 and 50)), false)
+                            then 0 else 1 end) as bigint) as invalid_rows,
                    cast(sum(case when armed and k % 7 != 0
                             then 1 else 0 end) as bigint) as inv_k_mo7,
-                   cast(sum(case when armed and (cast(k as hugeint)
+                   -- ka (k gated on armed) keeps the hugeint product in
+                   -- INT128 range: an unarmed 15+-digit k would overflow
+                   -- the multiplication DuckDB evaluates eagerly inside
+                   -- the conjunction (events fuzz find)
+                   cast(sum(case when armed and (cast(ka as hugeint)
                               * cast('1000000000000000000000000' as hugeint))
                               % 3 != 0 then 1 else 0 end)
                         as bigint) as inv_big_mo3,
+                   -- multipleOf 0.25 over the decimal VIEW of the double
+                   -- (BigDecimal-of-shortest-repr, the reference rule).
+                   -- decimal(38,18) covers |v| < 1e20; larger doubles are
+                   -- all integers (multiples of 0.25 — valid, and the
+                   -- try_cast NULL falls through to valid); nonzero
+                   -- |v| < 1e-18 underflows the scale to a false 0 — the
+                   -- explicit tiny-guard counts those invalid, matching
+                   -- the engine's exact-decimal remainder (fuzz find)
                    cast(sum(case when armed and
-                              try_cast(cast(value as varchar)
-                                       as decimal(38,18)) % 0.25 != 0
+                              ((value != 0 and abs(value) < 1e-18)
+                               or qd % 0.25 != 0)
                             then 1 else 0 end)
                         as bigint) as inv_q_mo25,
                    -- r3b twins over the second derived document
@@ -1589,30 +1627,54 @@ def oracle_sql() -> dict[str, str]:
                    -- patternProperties ^[kq]$ maximum 50; schema-form
                    -- additionalProperties (extras = k, q) minimum 1;
                    -- tuple items [multipleOf 2, maxLength 5] +
-                   -- additionalItems maximum 100; const pair [42,"a"]
-                   cast(sum(case when armed2 and (k > 50 or qd > 50)
+                   -- additionalItems maximum 100; const pair [42,"a"].
+                   -- Bounds compare the DOUBLE directly (exact: the
+                   -- engine's reparsed q equals value bit-for-bit since
+                   -- shortest-repr round-trips; the old decimal detour
+                   -- NULLed out 1e308 and under-counted — fuzz find)
+                   cast(sum(case when armed2 and (k > 50 or value > 50)
                             then 1 else 0 end) as bigint) as inv_patprops,
-                   cast(sum(case when armed2 and (k < 1 or qd < 1)
+                   cast(sum(case when armed2 and (k < 1 or value < 1)
                             then 1 else 0 end) as bigint) as inv_ap_min,
                    cast(sum(case when armed2 and (k % 2 != 0
-                              or length(event_type) > 5 or qd > 100)
+                              or length(event_type) > 5 or value > 100)
                             then 1 else 0 end) as bigint) as inv_tuple,
                    cast(sum(case when armed2 and k != 42
                             then 1 else 0 end) as bigint) as inv_pair_const
-            from (select try_cast(json_extract_string(props, '$.k') as bigint) as k,
-                         value, event_type,
+            from (select try_cast(ks as bigint) as k,
+                         case when regexp_matches(ks, '^-?\\d{1,14}$')
+                              then try_cast(ks as bigint) end as ka,
+                         try_cast(json_extract(p, '$.k') as double) as kd,
+                         jt, kt, value, event_type,
                          try_cast(cast(value as varchar)
                                   as decimal(38,18)) as qd,
                          -- exact integer-text arm, shared verbatim with
-                         -- the engine's rlike gate (ADVICE r3 low)
-                         (regexp_matches(json_extract_string(props, '$.k'),
-                                         '^-?\\d{1,14}$')
-                            and value is not null) as armed,
-                         (regexp_matches(json_extract_string(props, '$.k'),
-                                         '^-?\\d{1,14}$')
+                         -- the engine's rlike gate (ADVICE r3 low); the
+                         -- isfinite gate mirrors the engine's "no JSON
+                         -- rendering exists for NaN/Inf ⇒ unarmed"
+                         (regexp_matches(ks, '^-?\\d{1,14}$')
                             and value is not null
+                            and isfinite(value)) as armed,
+                         (regexp_matches(ks, '^-?\\d{1,14}$')
+                            and value is not null and isfinite(value)
                             and event_type is not null) as armed2
-                  from events)
+                  from (select value, event_type, p,
+                               -- Spark get_json_object returns NULL on
+                               -- malformed JSON; DuckDB json_extract_string
+                               -- THROWS — guard with json_valid so the twin
+                               -- tolerates hostile props (events fuzz find)
+                               case when p is not null
+                                    then json_extract_string(p, '$.k')
+                               end as ks,
+                               case when p is not null
+                                    then json_type(p) end as jt,
+                               case when p is not null
+                                    then json_type(p, '$.k') end as kt
+                        from (select value, event_type,
+                                     case when props is not null
+                                               and json_valid(props)
+                                          then props end as p
+                              from events)))
         """,
         "embedding_topk": """
             select q.vec_id as query_id, c.vec_id as neighbor_id,
