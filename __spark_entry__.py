@@ -1101,6 +1101,21 @@ def _q_contamination_documents(spark, sf):
                       "n_hits")
 
 
+def _q_line_dedup_documents(spark, sf):
+    """Corpus-wide line-level exact dedup (C4/RefinedWeb boilerplate
+    scrub): per-document report of original vs surviving line counts and
+    the md5 of the rebuilt text (16 bytes/row — safe to materialize at
+    any scale). The oracle independently replays split → first-occurrence
+    row_number → string_agg reassembly in DuckDB."""
+    from sparkschema.operators.dedup import line_dedup
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    out = line_dedup(d, "text", "doc_id")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "n_lines", "n_kept",
+                      F.md5(F.col("text").cast("binary")).alias("kept_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_fraction_orders": _q_null_fraction_orders,
@@ -1130,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": _q_hash_split_documents,
         "cap_per_source_documents": _q_cap_per_source_documents,
         "contamination_documents": _q_contamination_documents,
+        "line_dedup_documents": _q_line_dedup_documents,
         "events_json_invalid": _q_events_json_invalid,
         "embedding_topk": _q_embedding_topk,
         "ngram_jaccard_sample": _q_ngram_jaccard_sample,
@@ -2124,6 +2140,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # normalization -> word 8-grams -> distinct -> join, replayed in
         # DuckDB list ops over the same _NORM twin
+        "line_dedup_documents": """
+            -- independent replay of line_dedup: split on chr(10) (both
+            -- engines keep trailing empty fields), first occurrence =
+            -- min (doc_id, pos) per exact line, empty lines exempt
+            -- (length >= 1 gate == the engine's min_chars default),
+            -- reassembly via order-preserving string_agg; md5 compares
+            -- the rebuilt text without shipping it
+            with l as (
+              -- unnest + generate_subscripts expand in lockstep (DuckDB
+              -- has no WITH ORDINALITY)
+              select doc_id,
+                     unnest(string_split(text, chr(10))) as line,
+                     generate_subscripts(string_split(text, chr(10)), 1)
+                       as pos
+              from documents where text is not null
+            ),
+            m as (
+              select doc_id, pos, line,
+                     case when length(line) >= 1 then
+                       row_number() over (partition by line
+                                          order by doc_id, pos)
+                     else cast(1 as bigint) end as rn
+              from l
+            ),
+            r as (
+              select doc_id,
+                     string_agg(line, chr(10) order by pos) as t,
+                     count(*) as n_kept
+              from m where rn = 1 group by doc_id
+            ),
+            c as (select doc_id, count(*) as n_lines from l
+                  group by doc_id)
+            select cast(c.doc_id as bigint) as doc_id,
+                   cast(c.n_lines as bigint) as n_lines,
+                   cast(coalesce(r.n_kept, 0) as bigint) as n_kept,
+                   md5(coalesce(r.t, '')) as kept_md5
+            from c left join r using (doc_id)
+        """,
         "contamination_documents": """
             with corpus as (
               select doc_id, NORMEXPR as nt from documents),

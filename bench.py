@@ -375,6 +375,9 @@ def bench_queries(spark, sf_dir: str, cpus: int,
                      "embedding_topk",
                      "hll_distinct_lineitem",
                      "pii_redaction_documents", "vocab_topk_documents",
+                     # corpus-wide line dedup (r5): explode -> key agg ->
+                     # winners join -> per-doc reassembly, 5k report rows
+                     "line_dedup_documents",
                      # event-time ops (r5): session_window agg and the
                      # union+window as-of join — the two shuffle-heavy
                      # additions; results are ~100k/20k rows at sf0.1

@@ -778,3 +778,83 @@ def near_dup_dedup(df: DataFrame, pairs: DataFrame, id_col: str,
     drop = (comps.where(F.col("id") != F.col("component"))
                  .select(F.col("id").alias(id_col)))
     return df.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# cross-document line-level exact dedup (C4/RefinedWeb-style boilerplate
+# removal)
+
+
+def line_dedup(df: DataFrame, text_col: str, id_col: str,
+               min_chars: int = 1) -> DataFrame:
+    """Corpus-wide line-level exact deduplication — the standard
+    boilerplate scrub (C4 removed repeated spans; RefinedWeb/Dolma drop
+    exact duplicated lines): every line of every document is kept only
+    at its FIRST occurrence in the corpus (minimum ``(id, position)``),
+    and documents are reassembled from their surviving lines.
+
+    Returns one row per non-NULL-text input document:
+    ``(id_col, text_col, n_lines, n_kept)`` where ``text_col`` is the
+    rebuilt text (surviving lines rejoined with ``\\n`` in original
+    order; ``''`` when every line was dropped), ``n_lines`` the original
+    line count and ``n_kept`` the surviving count. NULL-text documents
+    carry no line facts and are omitted (callers union them back
+    untouched if they matter — same contract as the batch dedup family).
+
+    Lines shorter than ``min_chars`` characters are EXEMPT — always
+    kept, never deduplicated. The default (1) exempts only empty lines,
+    which would otherwise form one corpus-spanning hot group and carry
+    no dup signal (blank separators are formatting, not content).
+
+    Comparison is exact (byte-for-byte): line dedup targets literal
+    boilerplate (headers, footers, cookie banners), where normalization
+    would merge genuinely distinct renderings; run
+    :func:`normalized_text` upstream to opt in.
+
+    Scale shape (three exchanges, all skew-tolerant):
+
+    1. ``posexplode(split(text))`` — stateless;
+    2. first-occurrence per line: hash-aggregate ``min(struct(id, pos))``
+       keyed by ``sha2(line)`` — map-side combinable, so a line repeated
+       10^9 times collapses to one partial per input partition (this is
+       why it is NOT a ``row_number()`` window, which would sort the
+       hottest line's every occurrence in one task);
+    3. winners join back on the 8-byte-ish hash key (line text crosses
+       this exchange once; AQE skew-join splits hot probe partitions);
+    4. per-document reassembly: ``collect_list`` bounded by document
+       size, the same bound the input row already occupies.
+    """
+    text, did = F.col(text_col), F.col(id_col)
+    lines = (df.where(text.isNotNull())
+               .select(did.alias("__id"),
+                       F.posexplode(F.split(text, r"\n", -1))
+                        .alias("__pos", "__line")))
+    dedupable = F.length("__line") >= min_chars
+    key = F.sha2(F.col("__line").cast("binary"), 256)
+    cand = lines.where(dedupable).withColumn("__k", key)
+    winners = (cand.groupBy("__k")
+                   .agg(F.min(F.struct("__id", "__pos")).alias("__w")))
+    kept_cand = (cand.join(winners, "__k")
+                     .where((F.col("__id") == F.col("__w.__id"))
+                            & (F.col("__pos") == F.col("__w.__pos")))
+                     .select("__id", "__pos", "__line"))
+    kept = kept_cand.unionByName(
+        lines.where(~dedupable).select("__id", "__pos", "__line"))
+    rebuilt = (kept.groupBy("__id")
+                   .agg(F.array_join(
+                            F.transform(
+                                F.array_sort(F.collect_list(
+                                    F.struct("__pos", "__line"))),
+                                lambda s: s["__line"]),
+                            "\n").alias("__text"),
+                        F.count(F.lit(1)).cast("long").alias("n_kept")))
+    # documents whose every line was dropped vanish from `kept`; a left
+    # join from the per-doc line counts restores them with '' text
+    counts = (lines.groupBy("__id")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n_lines")))
+    return (counts.join(rebuilt, "__id", "left")
+                  .select(F.col("__id").alias(id_col),
+                          F.coalesce("__text", F.lit("")).alias(text_col),
+                          "n_lines",
+                          F.coalesce("n_kept", F.lit(0)).cast("long")
+                           .alias("n_kept")))

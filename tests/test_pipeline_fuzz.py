@@ -41,6 +41,7 @@ DOC_QUERIES = [
     "contamination_documents",
     "hash_split_documents",
     "cap_per_source_documents",
+    "line_dedup_documents",
 ]
 
 _FIXED = [
@@ -102,6 +103,15 @@ _FIXED = [
     "555-010.1234 mixed separators",              # [-.] per position
     "5 55-010-1234 and 555-0101234 malformed",    # near-miss phones
     "123-45-6789",                                # ssn IS the whole doc
+    # --- multi-line docs with cross-document boilerplate lines
+    # (line_dedup_documents: shared headers/footers, blank separators,
+    # trailing newlines, a doc whose every line is a dup) ---
+    "SITE HEADER\nunique article one\n\nSITE FOOTER\n",
+    "SITE HEADER\nunique article two\n\nSITE FOOTER",
+    "SITE HEADER\nSITE FOOTER",                   # all lines are dups
+    "\n\n\n",                                     # only empty lines
+    "repeated line\nrepeated line\nrepeated line",  # intra-doc dups
+    "unique article one",                         # dup of a LINE above
     # --- URL-shaped adversarial strings (url_domains_documents) ---
     "http://EXAMPLE.com:8080/a?b=c#d uppercase host with port",
     "see https://example.com. and (http://paren.org/x) wrapped",

@@ -437,3 +437,42 @@ def test_near_dup_dedup_keeps_one_per_cluster(spark):
     kept = dedup.near_dup_dedup(
         df, _pairs(spark, [(1, 2), (2, 3), (9, 4)]), "doc_id")
     assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 7]
+
+
+def test_line_dedup_first_occurrence_and_exemption(spark):
+    df = spark.createDataFrame(
+        [(1, "HEADER\nbody one\n\nFOOTER\n"),
+         (2, "HEADER\nbody two\n\nFOOTER"),
+         (3, "HEADER\nFOOTER"),      # every line is a dup -> '' survives?
+         (4, None),                  # NULL text: omitted from the report
+         (5, "")],                   # one empty (exempt) line
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            dedup.line_dedup(df, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2, 3, 5}
+    # doc 1 saw every line first: unchanged text, trailing newline makes
+    # a 5th (empty, exempt) line
+    assert rows[1].text == "HEADER\nbody one\n\nFOOTER\n"
+    assert (rows[1].n_lines, rows[1].n_kept) == (5, 5)
+    # doc 2 keeps its unique body and its own (exempt) blank line
+    assert rows[2].text == "body two\n"
+    assert (rows[2].n_lines, rows[2].n_kept) == (4, 2)
+    # doc 3 loses everything
+    assert rows[3].text == ""
+    assert (rows[3].n_lines, rows[3].n_kept) == (2, 0)
+    assert rows[5].text == ""
+    assert (rows[5].n_lines, rows[5].n_kept) == (1, 1)
+
+
+def test_line_dedup_intra_document_and_min_chars(spark):
+    df = spark.createDataFrame(
+        [(1, "dup\ndup\nab\nunique"),
+         (2, "ab\ndup")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            dedup.line_dedup(df, "text", "doc_id", min_chars=3).collect()}
+    # intra-doc repeat collapses to the first occurrence; 2-char 'ab'
+    # is exempt at min_chars=3 and survives in BOTH docs
+    assert rows[1].text == "dup\nab\nunique"
+    assert rows[2].text == "ab"
+    assert (rows[2].n_lines, rows[2].n_kept) == (2, 1)
