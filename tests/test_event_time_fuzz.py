@@ -141,3 +141,50 @@ def test_asof_join_forward_fuzz_vs_duckdb(spark):
         from l asof left join r on l.k = r.k and l.ts <= r.ts
     """).fetchall()), key=lambda t: t[0])
     assert got == want
+
+
+def test_asof_join_tolerance_fuzz_vs_duckdb(spark):
+    # tolerance = post-filter on the matched gap (pandas merge_asof
+    # contract); DuckDB ASOF has no tolerance parameter, so the twin
+    # NULLs matches farther than the interval in a post-projection —
+    # a DIFFERENT mechanism than the engine's when()-guard over the
+    # running-last struct. The 5-minute grid makes gaps land exactly ON
+    # the tolerance bound constantly (<= must keep them).
+    rng = random.Random(SEED + 3)
+    tol_min = 15
+    left_rows = [(i, rng.randrange(6), _grid_ts(rng)) for i in range(300)]
+    seen, right_rows = set(), []
+    for _ in range(200):
+        k, ts = rng.randrange(6), _grid_ts(rng)
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        v = None if rng.random() < 0.15 else round(rng.uniform(0, 9), 3)
+        right_rows.append((k, ts, v))
+
+    left = spark.createDataFrame(left_rows, "eid int, k int, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k int, ts timestamp, v double")
+
+    con = duckdb.connect()
+    con.execute("create table l (eid int, k int, ts timestamp)")
+    con.executemany("insert into l values (?,?,?)", left_rows)
+    con.execute("create table r (k int, ts timestamp, v double)")
+    con.executemany("insert into r values (?,?,?)", right_rows)
+
+    for direction, cmp, gap in (
+            ("backward", "l.ts >= r.ts", "l.ts - r.ts"),
+            ("forward", "l.ts <= r.ts", "r.ts - l.ts")):
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                        value_cols=["v"], direction=direction,
+                        tolerance=f"{tol_min} minutes")
+        got = sorted(((r.eid, r.ts_asof, r.v_asof) for r in out.collect()),
+                     key=lambda t: t[0])
+        want = sorted((tuple(r) for r in con.execute(f"""
+            select l.eid,
+                   case when {gap} <= interval '{tol_min} minutes'
+                        then r.ts end,
+                   case when {gap} <= interval '{tol_min} minutes'
+                        then r.v end
+            from l asof left join r on l.k = r.k and {cmp}
+        """).fetchall()), key=lambda t: t[0])
+        assert got == want, direction
