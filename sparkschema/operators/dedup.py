@@ -811,6 +811,11 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
     would merge genuinely distinct renderings; run
     :func:`normalized_text` upstream to opt in.
 
+    ``id_col`` values must be non-NULL: the first-occurrence winner is
+    the minimum ``(id, pos)``, and a NULL id has no defined rank (the
+    same stable-id contract as :func:`~sparkschema.operators.sampling.
+    hash_sample` — assign ids before deduplicating).
+
     Scale shape (three exchanges, all skew-tolerant):
 
     1. ``posexplode(split(text))`` — stateless;
