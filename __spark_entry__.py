@@ -1116,6 +1116,26 @@ def _q_line_dedup_documents(spark, sf):
                       F.md5(F.col("text").cast("binary")).alias("kept_md5"))
 
 
+def _q_curation_report_documents(spark, sf):
+    """End-to-end corpus-curation plan (plans/curation_run.py): the
+    one-row drop-stage attribution report for the standard pipeline
+    (NULL gate -> exact dedup -> language -> quality -> token floor ->
+    benchmark decontamination -> per-source cap). The oracle replays
+    every stage flag and the precedence CASE in one DuckDB query from
+    the already-twinned per-stage fragments."""
+    from sparkschema.plans.curation_run import curate_corpus
+
+    d = (spark.read.parquet(_t(sf, "documents"))
+              .select("doc_id", "text", "source"))
+    ev = d.where(F.col("doc_id") < 10).select("doc_id", "text")
+    res = curate_corpus(
+        d, "text", "doc_id",
+        languages=["en", "de"], min_quality=0.45, min_tokens=10,
+        exact=True, eval_df=ev, eval_text_col="text",
+        per_source_cap=15, source_col="source")
+    return res.report
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_fraction_orders": _q_null_fraction_orders,
@@ -1146,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_source_documents": _q_cap_per_source_documents,
         "contamination_documents": _q_contamination_documents,
         "line_dedup_documents": _q_line_dedup_documents,
+        "curation_report_documents": _q_curation_report_documents,
         "events_json_invalid": _q_events_json_invalid,
         "embedding_topk": _q_embedding_topk,
         "ngram_jaccard_sample": _q_ngram_jaccard_sample,
@@ -2140,6 +2161,127 @@ def oracle_sql() -> dict[str, str]:
         """,
         # normalization -> word 8-grams -> distinct -> join, replayed in
         # DuckDB list ops over the same _NORM twin
+        "curation_report_documents": f"""
+            -- independent replay of the curation pipeline's drop-stage
+            -- attribution: every stage flag is the already-twinned
+            -- fragment (exact-dup winners, lang_id argmax, 4-decimal
+            -- floor-tied quality, token regex, 8-gram contamination,
+            -- md5-priority source cap) composed through the same
+            -- precedence CASE, aggregated to the one report row
+            with base as (
+              select doc_id, text, source from documents),
+            win as (
+              select true as keep_exact, min(doc_id) as doc_id
+              from base where text is not null
+              group by sha256({norm_text})),
+            ws as (
+              select doc_id,
+                     list_distinct(string_split({norm_text}, ' ')) as w
+              from base),
+            lng as (
+              select doc_id, case
+                when w is null then null
+                when greatest(s_de, s_en, s_es, s_fr) = 0 then 'und'
+                when s_de = greatest(s_de, s_en, s_es, s_fr) then 'de'
+                when s_en = greatest(s_de, s_en, s_es, s_fr) then 'en'
+                when s_es = greatest(s_de, s_en, s_es, s_fr) then 'es'
+                else 'fr' end as lg
+              from (select doc_id, w,
+                len(list_intersect(w, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) as s_de,
+                len(list_intersect(w, ['the','and','of','to','in','is','that','it','was','for'])) as s_en,
+                len(list_intersect(w, ['de','la','que','el','en','los','del','las','por','un'])) as s_es,
+                len(list_intersect(w, ['le','la','les','des','est','dans','que','une','pour','qui'])) as s_fr
+                from ws)),
+            qf as (
+              select doc_id,
+                     length(text) as n_chars,
+                     regexp_extract_all(text, '{_TOKRE}') as toks,
+                     list_filter(regexp_extract_all(text, '{_TOKRE}'),
+                                 x -> regexp_matches(x, '^[A-Za-z0-9]+$')) as words,
+                     len(list_intersect(list_distinct(string_split({norm_text}, ' ')),
+                         ['the','and','of','to','in','is','that','it','was','for']))
+                       as stop_hits,
+                     length(regexp_replace(text, '[^A-Z]', '', 'g')) as n_upper,
+                     length(regexp_replace(text, '[^0-9]', '', 'g')) as n_digit
+              from base),
+            qg as (
+              select doc_id, n_chars, len(toks) as n_tokens,
+                     case when len(words) > 0 then
+                       list_sum(list_transform(words, x -> length(x)))
+                         / cast(len(words) as double) else 0.0 end as mwl,
+                     case when len(toks) > 0 then
+                       (len(toks) - len(words)) / cast(len(toks) as double)
+                       else 0.0 end as punct_ratio,
+                     stop_hits,
+                     case when n_chars > 0 then n_upper / cast(n_chars as double)
+                          else 0.0 end as upper_ratio,
+                     case when n_chars > 0 then n_digit / cast(n_chars as double)
+                          else 0.0 end as digit_ratio
+              from qf),
+            qq as (
+              select doc_id, n_tokens,
+                   floor(round(greatest(least(
+                     0.3 * (case when n_chars >= 20 and n_chars <= 20000 then 1.0
+                                 when n_chars > 0 then 0.5 else 0.0 end)
+                     + 0.2 * (case when mwl >= 2.5 and mwl <= 12 then 1.0 else 0.3 end)
+                     + 0.3 * least(stop_hits / 3.0, 1.0)
+                     + 0.2 * (1.0 - least(punct_ratio * 1.5 + digit_ratio + upper_ratio,
+                                          1.0)), 1.0), 0.0), 6) * 10000 + 0.5) / 10000
+                     as q4
+              from qg),
+            cg as (
+              select doc_id,
+                     unnest(list_distinct(
+                       case when len(wl) >= 8
+                            then list_transform(range(1, len(wl) - 6),
+                                   i -> array_to_string(
+                                          list_slice(wl, i, i + 7), ' '))
+                            else [] end)) as gram
+              from (select doc_id, string_split({norm_text}, ' ') as wl
+                    from base where text is not null)),
+            contam as (
+              select distinct g.doc_id from cg g
+              join (select distinct gram from cg where doc_id < 10) b
+                using (gram)),
+            st0 as (
+              select b.doc_id, b.source, case
+                when b.text is null then 'null_text'
+                when coalesce(e.keep_exact, false) = false then 'exact_dup'
+                when l.lg not in ('en', 'de') then 'language'
+                when q.q4 < 0.45 then 'quality'
+                when q.n_tokens < 10 then 'min_tokens'
+                when c.doc_id is not null then 'contaminated'
+              end as stage
+              from base b
+              left join win e using (doc_id)
+              left join lng l using (doc_id)
+              left join qq q using (doc_id)
+              left join contam c using (doc_id)),
+            rn as (
+              select doc_id,
+                     row_number() over (
+                       partition by source
+                       order by md5(cast(doc_id as varchar)) asc,
+                                doc_id asc) as rn
+              from st0 where stage is null),
+            st as (
+              select s.doc_id,
+                     coalesce(s.stage,
+                              case when r.rn > 15 then 'source_cap' end)
+                       as stage
+              from st0 s left join rn r using (doc_id))
+            select cast(count(*) as bigint) as n_input,
+                   cast(sum(case when stage = 'null_text' then 1 else 0 end) as bigint) as n_null_text,
+                   cast(sum(case when stage = 'exact_dup' then 1 else 0 end) as bigint) as n_exact_dup,
+                   cast(0 as bigint) as n_near_dup,
+                   cast(sum(case when stage = 'language' then 1 else 0 end) as bigint) as n_language,
+                   cast(sum(case when stage = 'quality' then 1 else 0 end) as bigint) as n_quality,
+                   cast(sum(case when stage = 'min_tokens' then 1 else 0 end) as bigint) as n_min_tokens,
+                   cast(sum(case when stage = 'contaminated' then 1 else 0 end) as bigint) as n_contaminated,
+                   cast(sum(case when stage = 'source_cap' then 1 else 0 end) as bigint) as n_source_cap,
+                   cast(sum(case when stage is null then 1 else 0 end) as bigint) as n_kept
+            from st
+        """,
         "line_dedup_documents": """
             -- independent replay of line_dedup: split on chr(10) (both
             -- engines keep trailing empty fields), first occurrence =

@@ -378,6 +378,11 @@ def bench_queries(spark, sf_dir: str, cpus: int,
                      # corpus-wide line dedup (r5): explode -> key agg ->
                      # winners join -> per-doc reassembly, 5k report rows
                      "line_dedup_documents",
+                     # composed curation pipeline (r5): exact-dedup agg +
+                     # id joins + broadcast contamination + source-cap
+                     # window + row-local lang/quality/token flags, one
+                     # report row
+                     "curation_report_documents",
                      # event-time ops (r5): session_window agg and the
                      # union+window as-of join — the two shuffle-heavy
                      # additions; results are ~100k/20k rows at sf0.1

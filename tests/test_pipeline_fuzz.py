@@ -42,6 +42,7 @@ DOC_QUERIES = [
     "hash_split_documents",
     "cap_per_source_documents",
     "line_dedup_documents",
+    "curation_report_documents",
 ]
 
 _FIXED = [
