@@ -165,3 +165,44 @@ def test_asof_join_right_payload_crosses_exchange_once(spark, tmp_path):
     plan = _plan(asof_join(left, right, "k", "ts", "ts", value_cols=["v"]))
     assert plan.count("Exchange hashpartitioning") == 1  # the union, keyed
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_line_dedup_uses_agg_then_join_not_window(spark, tmp_path):
+    from sparkschema.operators.dedup import line_dedup
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"HEADER\nbody {i}\nFOOTER") for i in range(200)],
+        "doc_id long, text string").write.parquet(path)
+    plan = _plan(line_dedup(spark.read.parquet(path), "text", "doc_id"))
+    # first-occurrence selection must be the map-side-combinable
+    # min(struct) aggregate + join, never a row_number window (which
+    # would sort every occurrence of the hottest line in one task)
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_report_is_one_aggregate_with_broadcast_contamination(
+        spark, tmp_path):
+    from sparkschema.plans.curation_run import curate_corpus
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"document number {i} with plenty of the and of words in it "
+             f"to clear the thresholds {i}", f"s{i % 3}")
+         for i in range(300)],
+        "doc_id long, text string, source string").write.parquet(path)
+    d = spark.read.parquet(path)
+    res = curate_corpus(
+        d, "text", "doc_id",
+        languages=["en"], min_quality=0.3, min_tokens=3,
+        eval_df=d.where(F.col("doc_id") < 5),
+        per_source_cap=50, source_col="source")
+    plan = _plan(res.report)
+    # the eval-set gram side broadcasts (corpus grams never shuffle to
+    # the contamination join) and the attribution report collapses to
+    # ONE final single-partition aggregate
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
