@@ -1136,6 +1136,85 @@ def _q_curation_report_documents(spark, sf):
     return res.report
 
 
+def _q_pack_layout_documents(spark, sf):
+    """Sequence packing (pack-and-chop at a 2048-token context cap over
+    8 md5 buckets): per-bucket layout report plus an assignment witness
+    (sum of doc_id·pack_first pins every document's window, not just
+    the totals). The oracle replays bucket → id-ordered cumulative sum
+    → floor-division window indexes in DuckDB. fill_ppm uses exact
+    integer-fed IEEE division on both engines (no round() tie hazard)."""
+    from sparkschema.operators.packing import pack_sequences, pack_stats
+    from sparkschema.operators.text import whitespace_token_count
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    toks = d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("bigint")
+         .alias("tokens"))
+    packed = pack_sequences(toks, "doc_id", "tokens",
+                            cap=2048, n_buckets=8)
+    stats = pack_stats(packed, "tokens", cap=2048)
+    wit = (packed.groupBy("bucket")
+           .agg(F.sum(F.col("doc_id") * F.col("pack_first")).cast("long")
+                 .alias("assign_witness"),
+                F.max("pack_last").cast("long").alias("max_pack")))
+    return (stats.join(wit, "bucket")
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    "n_docs", "total_tokens", "n_straddles", "n_packs",
+                    F.floor(F.col("total_tokens") * F.lit(1000000) /
+                            (F.col("n_packs") * F.lit(2048)))
+                     .cast("long").alias("fill_ppm"),
+                    "assign_witness", "max_pack"))
+
+
+def _q_weighted_mix_documents(spark, sf):
+    """Dataset mixing: per-source deterministic keep fractions
+    (src0=1.0, src1=0.5, src2=0.1, every other source the 0.3 default),
+    witnessed per source by count + sum/min/max of kept ids — sum pins
+    the exact survivor set. DuckDB replays every md5 hash-fraction
+    threshold comparison bit-for-bit."""
+    from sparkschema.operators.sampling import weighted_sample_by_group
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    kept = weighted_sample_by_group(
+        d, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default=0.3)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 F.sum("doc_id").cast("long").alias("sum_doc"),
+                 F.min("doc_id").cast("long").alias("min_doc"),
+                 F.max("doc_id").cast("long").alias("max_doc")))
+
+
+def _q_normalize_documents(spark, sf):
+    """Unicode hygiene: doc_id-keyed injection of decomposed sequences
+    (combining acute, combining ring, Hangul jamo L+V+T) plus a C0
+    control char, then NFC normalization (Arrow pandas_udf) and the
+    control scrub, reported as per-doc changed flag / codepoint counts
+    / md5 of the result. DuckDB replays the injection with chr() and
+    normalizes via utf8proc's nfc_normalize — two independent
+    normalizer implementations agreeing under Unicode's NFC stability
+    policy."""
+    from sparkschema.operators.normalize import (nfc_normalize_col,
+                                                 scrub_control_chars)
+
+    d = spark.read.parquet(_t(sf, "documents"))
+    inj = F.element_at(
+        F.array(F.lit(""),
+                F.lit(" cafe\u0301"),      # e + COMBINING ACUTE
+                F.lit(" A\u030a"),         # A + COMBINING RING ABOVE
+                F.lit(" \u1100\u1161\u11a8\x01")),  # jamo L+V+T + C0
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"))
+    raw = F.concat(F.col("text"), inj)
+    norm = scrub_control_chars(nfc_normalize_col(raw))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (~norm.eqNullSafe(raw)).alias("changed"),
+        F.length(raw).cast("long").alias("n_before"),
+        F.length(norm).cast("long").alias("n_after"),
+        F.md5(norm.cast("binary")).alias("norm_md5"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "null_fraction_orders": _q_null_fraction_orders,
@@ -1167,6 +1246,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": _q_contamination_documents,
         "line_dedup_documents": _q_line_dedup_documents,
         "curation_report_documents": _q_curation_report_documents,
+        "pack_layout_documents": _q_pack_layout_documents,
+        "weighted_mix_documents": _q_weighted_mix_documents,
+        "normalize_documents": _q_normalize_documents,
         "events_json_invalid": _q_events_json_invalid,
         "embedding_topk": _q_embedding_topk,
         "ngram_jaccard_sample": _q_ngram_jaccard_sample,
@@ -2158,6 +2240,100 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(doc_id) as bigint) as min_doc,
                    cast(max(doc_id) as bigint) as max_doc
             from r where rn <= 10 group by source
+        """,
+        # pack-and-chop layout replay: same md5 bucket, same id-ordered
+        # cumulative token sum, same floor-division window indexes.
+        # fill_ppm feeds exact integers into one IEEE division on both
+        # engines, so floor() cannot disagree.
+        "pack_layout_documents": """
+            with t as (
+              select doc_id,
+                     cast(case when trim(text) = '' then 0
+                          else len(regexp_split_to_array(trim(text),
+                                                         '\\s+')) end
+                          as bigint) as tokens,
+                     cast(('0x' || substring(md5(cast(doc_id as varchar)),
+                                             1, 8))::bigint % 8 as int)
+                       as bucket
+              from documents
+              where doc_id is not null and text is not null),
+            p as (
+              select bucket, doc_id, tokens,
+                     sum(tokens) over (
+                       partition by bucket order by doc_id
+                       rows between unbounded preceding and current row)
+                       as cum
+              from t),
+            l as (
+              select bucket, doc_id, tokens,
+                     cast(floor((cum - tokens) / 2048.0) as bigint)
+                       as pack_first,
+                     cast(case when tokens > 0
+                          then floor((cum - 1) / 2048.0)
+                          else floor((cum - tokens) / 2048.0) end
+                          as bigint) as pack_last
+              from p)
+            select bucket,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(tokens) as bigint) as total_tokens,
+                   cast(sum(pack_last - pack_first) as bigint)
+                     as n_straddles,
+                   cast(ceil(sum(tokens) / 2048.0) as bigint) as n_packs,
+                   cast(floor(sum(tokens) * 1000000 /
+                              (ceil(sum(tokens) / 2048.0) * 2048))
+                        as bigint) as fill_ppm,
+                   cast(sum(doc_id * pack_first) as bigint)
+                     as assign_witness,
+                   cast(max(pack_last) as bigint) as max_pack
+            from l group by bucket
+        """,
+        # per-source threshold replay; sources absent from the CASE (and
+        # a NULL source) fall to the 0.3 default on both engines
+        "weighted_mix_documents": """
+            with h as (
+              select doc_id, source,
+                     ('0x' || substring(md5(cast(doc_id as varchar)), 1, 8))
+                       ::bigint / 4294967296.0 as frac
+              from documents)
+            select source,
+                   cast(count(*) as bigint) as n_kept,
+                   cast(sum(doc_id) as bigint) as sum_doc,
+                   cast(min(doc_id) as bigint) as min_doc,
+                   cast(max(doc_id) as bigint) as max_doc
+            from h
+            where frac < case source when 'src0' then 1.0
+                                     when 'src1' then 0.5
+                                     when 'src2' then 0.1
+                                     else 0.3 end
+            group by source
+        """,
+        # injection replayed via chr(); utf8proc nfc_normalize is the
+        # independent twin of CPython's unicodedata (engine side) —
+        # Unicode's NFC stability policy pins both to the same output
+        # for assigned codepoints. length() is codepoints on both.
+        "normalize_documents": """
+            with r as (
+              select doc_id,
+                     text || case cast(doc_id % 4 as int)
+                       when 1 then ' cafe' || chr(769)
+                       when 2 then ' A' || chr(778)
+                       when 3 then ' ' || chr(4352) || chr(4449) ||
+                                   chr(4520) || chr(1)
+                       else '' end as raw
+              from documents),
+            n as (
+              select doc_id, raw,
+                     regexp_replace(
+                       nfc_normalize(raw),
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '',
+                       'g') as norm
+              from r)
+            select doc_id,
+                   (norm is distinct from raw) as changed,
+                   cast(length(raw) as bigint) as n_before,
+                   cast(length(norm) as bigint) as n_after,
+                   md5(norm) as norm_md5
+            from n
         """,
         # normalization -> word 8-grams -> distinct -> join, replayed in
         # DuckDB list ops over the same _NORM twin

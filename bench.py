@@ -386,7 +386,14 @@ def bench_queries(spark, sf_dir: str, cpus: int,
                      # event-time ops (r5): session_window agg and the
                      # union+window as-of join — the two shuffle-heavy
                      # additions; results are ~100k/20k rows at sf0.1
-                     "sessions_events", "asof_events"):
+                     "sessions_events", "asof_events",
+                     # r5b: pack-and-chop layout (window cumsum per md5
+                     # bucket, 8 report rows), per-source mix (pure
+                     # codegen filter), NFC normalization (the engine's
+                     # only string pandas_udf — tracks Arrow round-trip
+                     # cost on the text column, 5k report rows)
+                     "pack_layout_documents", "weighted_mix_documents",
+                     "normalize_documents"):
             fn = qs[name]
             r[name] = timed(lambda f=fn: f(spark, sf_dir).collect(), runs=2)
         # events is memoized (compile-once-run-many): time a FRESH plan

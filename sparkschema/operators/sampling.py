@@ -104,6 +104,69 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str, k: int,
               .drop("__cap_rn"))
 
 
+def weighted_sample_by_group(df: DataFrame, id_col: str, group_col: str,
+                             fractions: dict[str, float],
+                             default: float = 0.0,
+                             salt: str = "") -> DataFrame:
+    """Dataset mixing: keep a DIFFERENT deterministic fraction of each
+    ``group_col`` value (source/domain) — the standard way to reweight
+    a multi-source corpus (e.g. upweight books, downsample crawl)
+    without losing reproducibility. A row survives iff its md5 hash
+    fraction (see :func:`hash_fraction`) is below its group's fraction;
+    groups absent from ``fractions`` (and the NULL group) use
+    ``default``.
+
+    Like :func:`hash_sample`, samples NEST per group across runs and
+    fraction changes (raising a group's fraction only ADDS documents),
+    and NULL-id rows are excluded (NULL hash admits no threshold).
+
+    Scale: a pure filter — zero exchange, whole-stage codegen; the
+    per-group thresholds compile to a literal CASE chain (sources are
+    low-cardinality by nature). For a high-cardinality weight table,
+    broadcast-join the weights instead; the CASE form is kept here
+    because it is predicate-pushdown friendly and oracle-replayable.
+    """
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} is {frac}, "
+                             "outside [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default fraction {default} outside [0, 1]")
+    g = F.col(group_col)
+    chain = None
+    for name, frac in fractions.items():
+        cond = g == F.lit(name)
+        chain = F.when(cond, F.lit(float(frac))) if chain is None \
+            else chain.when(cond, F.lit(float(frac)))
+    threshold = (F.lit(float(default)) if chain is None
+                 else chain.otherwise(F.lit(float(default))))
+    return df.where(hash_fraction(F.col(id_col), salt) < threshold)
+
+
+def temperature_fractions(counts: dict[str, int], tau: float,
+                          ) -> dict[str, float]:
+    """Per-source keep fractions for temperature-based mixing: sampled
+    mass for source *i* is proportional to ``n_i**tau`` (τ=1 keeps the
+    natural distribution, τ→0 flattens toward uniform), scaled so the
+    LARGEST resulting fraction is exactly 1.0 — i.e. no source is
+    upsampled, the others are downsampled to match the temperature
+    curve (hash sampling cannot duplicate rows; duplication-based
+    upsampling is a separate epoch-repeat concern). Driver-side pure
+    Python over the (small) source-count dict; feed the result to
+    :func:`weighted_sample_by_group`."""
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    pos = {k: v for k, v in counts.items() if v > 0}
+    if not pos:
+        return {k: 0.0 for k in counts}
+    # keep fraction ∝ n^(tau-1); normalize so max == 1.0
+    raw = {k: v ** (tau - 1.0) for k, v in pos.items()}
+    peak = max(raw.values())
+    out = {k: raw[k] / peak for k in raw}
+    out.update({k: 0.0 for k in counts if k not in pos})
+    return out
+
+
 def hash_sample(df: DataFrame, id_col: str, fraction: float,
                 salt: str = "") -> DataFrame:
     """Deterministic ``fraction`` sample: keeps rows whose hash fraction

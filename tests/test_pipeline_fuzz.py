@@ -18,7 +18,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SEED = 20260822
+SEED = 20260823
 
 # documents-only oracle queries (read {sf}/documents.parquet and nothing
 # else; verified against the oracle_sql bodies — the image queries read
@@ -43,6 +43,9 @@ DOC_QUERIES = [
     "cap_per_source_documents",
     "line_dedup_documents",
     "curation_report_documents",
+    "pack_layout_documents",
+    "weighted_mix_documents",
+    "normalize_documents",
 ]
 
 _FIXED = [
@@ -119,6 +122,18 @@ _FIXED = [
     "no scheme www.example.com bare host",
     "http://1.2.3.4/path numeric host and ftp://x.y short",
     "https://xn--bcher-kva.example punycode and http://a_b.tld under",
+    # --- normalization-hostile strings (normalize_documents: CPython
+    # unicodedata vs utf8proc nfc_normalize; these probe the canonical
+    # composition edges: singletons, composition exclusions, reordering
+    # of combining marks by CCC, jamo, lone marks at string start) ---
+    "\u212b angstrom SIGN composes to \u00c5",   # singleton -> U+00C5
+    "\u0958 devanagari qa DECOMPOSES under NFC",  # composition exclusion
+    "q\u0307\u0323 marks reorder by ccc q\u0323\u0307",  # canonical order
+    "\u0301 lone leading mark",                   # no base to attach
+    "\u1100\u1161\u11a8 jamo and \uac01 precomposed",
+    "e\u0301\u0301 double acute stack e\u0301",
+    "\u00c5 already-NFC \u00e9 stays put",
+    "a\u0328\u0301 ogonek+acute vs a\u0301\u0328",  # same NFC target
 ]
 
 _ALPHABETS = [

@@ -206,3 +206,46 @@ def test_curation_report_is_one_aggregate_with_broadcast_contamination(
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange SinglePartition") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_exchange_no_python(spark):
+    from sparkschema.operators.packing import pack_sequences
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id") \
+              .withColumn("tokens", (F.col("doc_id") % 37).cast("bigint"))
+    plan = _plan(pack_sequences(df, "doc_id", "tokens", 128, 8))
+    # one hash exchange on the md5 bucket feeds the per-bucket window;
+    # the layout itself is pure expression work — no Python stage
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_weighted_mix_is_pushdown_filter(spark, tmp_path):
+    from sparkschema.operators.sampling import weighted_sample_by_group
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(200).withColumnRenamed("id", "doc_id") \
+         .withColumn("source", F.concat(F.lit("s"),
+                                        (F.col("doc_id") % 3))) \
+         .write.parquet(p)
+    kept = weighted_sample_by_group(
+        spark.read.parquet(p), "doc_id", "source",
+        {"s0": 0.5, "s1": 0.9}, default=0.1)
+    plan = _plan(kept)
+    # a mix is a pure filter fused into the scan stage: zero exchanges,
+    # zero Python, threshold CASE evaluated in whole-stage codegen
+    assert "Exchange" not in plan and "Python" not in plan
+    assert "CASE WHEN" in plan
+
+
+def test_normalize_single_arrow_stage_no_exchange(spark):
+    from sparkschema.operators.normalize import (nfc_normalize_col,
+                                                 scrub_control_chars)
+
+    df = spark.range(100).withColumn("text", F.lit("á b"))
+    out = df.select(scrub_control_chars(
+        nfc_normalize_col(F.col("text"))).alias("s"))
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1   # one batched UDF stage
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan        # never row-at-a-time
