@@ -938,6 +938,102 @@ def _q_image_container_meta(spark, sf):
     return container_meta_verdict(spark.read.parquet(path))
 
 
+def _quality_images_export(spark) -> str:
+    """Shared seeded image slice for the quality-gate and caption-dup
+    oracles: elevated anomaly rates so every gate class has members."""
+    from sparkschema.sources.synthetic import images_df
+
+    imgs = images_df(spark, 1500, with_bytes=True, dup_fraction=0.01,
+                     corrupt_fraction=0.03, caption_anomaly_fraction=0.05,
+                     orphan_fmt_fraction=0.01, partitions=8)
+    path = f"{_ORACLE_EXPORT}/quality_images"
+    _export_once(imgs, path)
+    return path
+
+
+def _q_image_quality_images(spark, sf):
+    """LAION-style image quality gates with a full DuckDB twin.
+
+    The engine synthesizes a seeded slice (planted truncations, orphan
+    fmt labels, NULL/empty captions), exports the raw rows, and computes
+    the precedence-attributed drop report from the read-back export; the
+    oracle replays every gate (dims, aspect ratio, bytes-per-pixel band
+    on octet_length, trimmed caption length / token count / printable
+    ratio) and the precedence CASE in SQL. Thresholds chosen so each
+    gate class is non-empty on this slice: min_dim=128 drops the 64-px
+    tier, max_aspect=3 drops the 4:1 pairs, the [2.0, 3.5] bpp band
+    drops truncated payloads and zlib-compressed rawz.
+
+    Reference parity: the image-table analog of the scalar keyword gates
+    (NumberConstraints minimum/maximum, StringValidators minLength)."""
+    from sparkschema.operators.imagequality import image_quality_report
+
+    path = _quality_images_export(spark)
+    return image_quality_report(
+        spark.read.parquet(path), min_dim=128, max_aspect=3.0,
+        min_bpp=2.0, max_bpp=3.5)
+
+
+def _q_caption_dups_images(spark, sf):
+    """Boilerplate-caption groups (same normalized caption on distinct
+    images) over the shared quality export. The oracle replays the
+    engine-canonical normalization (_NORM), sha256 keying, and the
+    n_rows/n_images/min_id aggregation."""
+    from sparkschema.operators.imagequality import duplicate_caption_groups
+
+    path = _quality_images_export(spark)
+    return duplicate_caption_groups(spark.read.parquet(path))
+
+
+def _phash_drift_export(spark) -> str:
+    """Two-slice pHash export for the drift oracle: a seeded reference
+    slice plus a "current" slice with planted drift (30% of rows get the
+    low pHash byte forced to all-ones, shifting the Hamming-weight
+    distribution up). Both sides live in one export with a ``side``
+    discriminator so the oracle replays everything from the same rows."""
+    from sparkschema.sources.synthetic import images_df
+
+    imgs = images_df(spark, 4000, partitions=8).select("image_id", "phash")
+    hot = F.abs(F.xxhash64("image_id", F.lit("drift"))) % 10 < 3
+    cur = imgs.select(
+        "image_id",
+        F.when(hot, F.col("phash").bitwiseOR(F.lit(255)))
+         .otherwise(F.col("phash")).alias("phash"))
+    both = (imgs.select(F.lit("ref").alias("side"), "image_id", "phash")
+                .unionByName(cur.select(F.lit("cur").alias("side"),
+                                        "image_id", "phash")))
+    path = f"{_ORACLE_EXPORT}/phash_drift"
+    _export_once(both, path)
+    return path
+
+
+def _q_phash_drift_images(spark, sf):
+    """pHash-distribution drift between two image slices — the
+    north-star "phash distribution histograms" per-partition stat wired
+    into the drift family. Each side reduces to a ≤65-bucket
+    Hamming-weight histogram (bit_count(phash), one map-side-combined
+    agg); KS + chi² + PSI then come from ONE Catalyst plan
+    (drift_statistics_histograms — no driver arithmetic). The oracle
+    replays bit_count histograms, the window-cumsum KS, the 0.5-floored
+    chi² and PSI from the exported rows.
+
+    Reference parity: the two-sample analog of the reference's per-run
+    stat accumulation (Results.merge, SchemaValidatorSpec) applied to
+    the image axis."""
+    from sparkschema.operators.drift import drift_statistics_histograms
+    from sparkschema.operators.imagedup import phash_weight_histogram
+
+    both = spark.read.parquet(_phash_drift_export(spark))
+    h_cur = phash_weight_histogram(both.where(F.col("side") == "cur"))
+    h_ref = phash_weight_histogram(both.where(F.col("side") == "ref"))
+    return drift_statistics_histograms(h_cur, h_ref).select(
+        F.round("ks", 6).alias("ks"),
+        F.round("chi2", 4).alias("chi2"),
+        "dof",
+        F.round("psi", 6).alias("psi"),
+        "n_obs", "n_exp")
+
+
 def _q_ann_lsh_embeddings(spark, sf):
     """LSH ANN with a deterministic derived check: recall of the LSH top-5
     against the exact brute-force top-5 (the already-oracled
@@ -1270,6 +1366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_extendedprice": _q_quantiles_extendedprice,
         "image_phash_neardup": _q_image_phash_neardup,
         "image_container_meta": _q_image_container_meta,
+        "image_quality_images": _q_image_quality_images,
+        "caption_dups_images": _q_caption_dups_images,
+        "phash_drift_images": _q_phash_drift_images,
     }
 
 
@@ -2115,6 +2214,120 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cast(sum(case when header_ok and not length_ok
                             then 1 else 0 end) as bigint), 0) as bad_length
             from k
+        """.format(export=_ORACLE_EXPORT),
+        # replays the imagequality gates on the engine-exported slice:
+        # dims/aspect on w,h; bpp band on octet_length(bytes); ASCII-
+        # space trim + \s+ token split + control-char printable ratio on
+        # the caption; then the documented precedence CASE
+        # (dims → aspect → bpp → caption) and the one-row report.
+        "image_quality_images": """
+            with imgs as (
+              select w, h, caption,
+                     octet_length(bytes) as blen
+              from '{export}/quality_images/*.parquet'),
+            g as (
+              select *,
+                coalesce(w >= 128 and h >= 128
+                         and cast(w as bigint) * h <= 16777216,
+                         false) as dims_ok,
+                coalesce(cast(greatest(w, h) as double) / least(w, h)
+                         <= 3.0, false) as aspect_ok,
+                coalesce(cast(blen as double) / (cast(w as bigint) * h)
+                           >= 2.0
+                         and cast(blen as double) / (cast(w as bigint) * h)
+                           <= 3.5, true) as bpp_ok,
+                regexp_replace(caption, '^ +| +$', '', 'g') as ctrim,
+                case when length(caption) = 0 then 1.0
+                     else 1.0 - cast(length(caption) - length(regexp_replace(
+                            caption,
+                            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '',
+                            'g')) as double) / length(caption)
+                end as pratio
+              from imgs),
+            k as (
+              select dims_ok, aspect_ok, bpp_ok,
+                     coalesce(length(ctrim) >= 8
+                              and len(regexp_split_to_array(ctrim, '\\s+'))
+                                >= 2
+                              and pratio >= 0.9, false) as caption_ok
+              from g),
+            r as (
+              select case when not dims_ok then 'dims'
+                          when not aspect_ok then 'aspect'
+                          when not bpp_ok then 'bpp'
+                          when not caption_ok then 'caption' end as reason
+              from k)
+            select cast(count(*) as bigint) as total,
+                   coalesce(cast(sum(case when reason is null then 1 else 0
+                            end) as bigint), 0) as kept,
+                   coalesce(cast(sum(case when reason = 'dims' then 1 else 0
+                            end) as bigint), 0) as drop_dims,
+                   coalesce(cast(sum(case when reason = 'aspect' then 1
+                            else 0 end) as bigint), 0) as drop_aspect,
+                   coalesce(cast(sum(case when reason = 'bpp' then 1 else 0
+                            end) as bigint), 0) as drop_bpp,
+                   coalesce(cast(sum(case when reason = 'caption' then 1
+                            else 0 end) as bigint), 0) as drop_caption
+            from r
+        """.format(export=_ORACLE_EXPORT),
+        # replays duplicate_caption_groups: engine-canonical _NORM
+        # normalization, sha256 key, NULL/empty exclusion, group agg.
+        "caption_dups_images": """
+            with norm as (
+              select image_id,
+                     {norm} as ncap
+              from '{export}/quality_images/*.parquet'
+              where caption is not null),
+            keyed as (
+              select sha256(ncap) as caption_hash, image_id
+              from norm where length(ncap) > 0)
+            select caption_hash,
+                   cast(count(*) as bigint) as n_rows,
+                   cast(count(distinct image_id) as bigint) as n_images,
+                   min(image_id) as min_id
+            from keyed
+            group by caption_hash
+            having count(*) >= 2
+        """.format(export=_ORACLE_EXPORT,
+                   norm=_NORM.format(c="caption")),
+        # replays phash_weight_histogram + drift_statistics_histograms:
+        # bit_count Hamming-weight buckets per side, full-outer join,
+        # window-cumsum KS, chi-square on 0.5-floored scaled
+        # expectations, PSI with the 0.5 floor in proportion numerators
+        "phash_drift_images": """
+            with t as (
+              select side, bit_count(phash) as bucket
+              from '{export}/phash_drift/*.parquet'
+              where phash is not null),
+            o as (select bucket, count(*) as o from t
+                  where side = 'cur' group by bucket),
+            e as (select bucket, count(*) as e from t
+                  where side = 'ref' group by bucket),
+            j as (select coalesce(o.bucket, e.bucket) as bucket,
+                         coalesce(o.o, 0) as o, coalesce(e.e, 0) as e
+                  from o full outer join e on o.bucket = e.bucket),
+            w as (select bucket, o, e,
+                         cast(sum(o) over () as double) as n_o,
+                         cast(sum(e) over () as double) as n_e,
+                         cast(sum(o) over (order by bucket) as double) as co,
+                         cast(sum(e) over (order by bucket) as double) as ce
+                  from j),
+            terms as (
+              select o, e,
+                     abs(co / n_o - ce / n_e) as ks_t,
+                     pow(o - greatest(e * (n_o / n_e), 0.5), 2)
+                       / greatest(e * (n_o / n_e), 0.5) as chi_t,
+                     (greatest(o, 0.5) / n_o - greatest(e, 0.5) / n_e)
+                       * ln((greatest(o, 0.5) / n_o)
+                            / (greatest(e, 0.5) / n_e)) as psi_t
+              from w)
+            select round(max(ks_t), 6) as ks,
+                   round(sum(chi_t), 4) as chi2,
+                   cast(count(*) - 1 as bigint) as dof,
+                   round(sum(psi_t), 6) as psi,
+                   cast(sum(o) as bigint) as n_obs,
+                   cast(sum(e) as bigint) as n_exp
+            from terms
         """.format(export=_ORACLE_EXPORT),
         # Spark session_window cross-checked by the declarative gap
         # rule: new session iff inter-event gap > 30 min (the merge

@@ -100,6 +100,49 @@ def psi_histograms(obs: DataFrame, exp: DataFrame) -> DataFrame:
                        F.sum("e").cast("long").alias("n_exp")))
 
 
+def drift_statistics_histograms(obs: DataFrame, exp: DataFrame) -> DataFrame:
+    """All three drift statistics in ONE Catalyst plan — no driver
+    arithmetic, no ``collect()``: returns a single row ``(ks, chi2,
+    dof, psi, n_obs, n_exp)`` from two bucket-count frames
+    ``(bucket, cnt)``.
+
+    Statistic definitions are IDENTICAL to :func:`ks_histograms`,
+    :func:`chi_square_histograms` (0.5 Laplace floor on scaled
+    expectations) and :func:`psi_histograms` (0.5 floor in the
+    proportion numerators only) — this is the composition a pipeline
+    runs when it wants the whole drift verdict as a DataFrame it can
+    union into a report, e.g. per-slice pHash-weight drift at 10^12
+    images. Window functions run over ≤ a few hundred joined bucket
+    rows (one final partition), so the single-partition window is a
+    bounded driver-sized stage, not a scale hazard. An empty side
+    degrades every ratio to NULL via ``try_divide`` instead of raising.
+    """
+    o = obs.groupBy("bucket").agg(F.sum("cnt").alias("o"))
+    e = exp.groupBy("bucket").agg(F.sum("cnt").alias("e"))
+    joined = o.join(e, "bucket", "full_outer").fillna(0, ["o", "e"])
+    tot = Window.partitionBy()
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    n_o = F.sum("o").over(tot)
+    n_e = F.sum("e").over(tot)
+    scale = F.try_divide(n_o, n_e)
+    e_scaled = F.greatest(F.col("e") * scale, F.lit(0.5))
+    chi_t = F.pow(F.col("o") - e_scaled, 2) / e_scaled
+    p_o = F.try_divide(F.greatest(F.col("o"), F.lit(0.5)), n_o)
+    p_e = F.try_divide(F.greatest(F.col("e"), F.lit(0.5)), n_e)
+    psi_t = (p_o - p_e) * F.log(p_o / p_e)
+    ks_t = F.abs(F.try_divide(F.sum("o").over(cum), n_o)
+                 - F.try_divide(F.sum("e").over(cum), n_e))
+    terms = joined.select("o", "e", chi_t.alias("chi_t"),
+                          psi_t.alias("psi_t"), ks_t.alias("ks_t"))
+    return terms.agg(
+        F.max("ks_t").alias("ks"),
+        F.sum("chi_t").alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.sum("psi_t").alias("psi"),
+        F.sum("o").cast("long").alias("n_obs"),
+        F.sum("e").cast("long").alias("n_exp"))
+
+
 def _drift_verdict(h_cur: DataFrame, h_ref: DataFrame, column: str,
                    chi2_threshold: float | None,
                    ks_threshold: float | None) -> dict:

@@ -88,3 +88,24 @@ def image_phash_dedup(df: DataFrame, bytes_col: str = "bytes",
     pairs = image_phash_pairs(df, bytes_col, id_col, **pair_kwargs)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def phash_weight_histogram(df: DataFrame,
+                           phash_col: str = "phash") -> DataFrame:
+    """Hamming-weight histogram of a 64-bit perceptual-hash column:
+    ``(bucket, cnt)`` where ``bucket = bit_count(phash)`` ∈ [0, 64].
+
+    This is the "phash distribution histogram" per-partition stat
+    (BASELINE.json north_star): a corpus slice's pHash population-count
+    distribution is a cheap, mergeable signature of its visual texture
+    mix — a scraper bug or a source swap that floods the corpus with
+    flat/synthetic images shifts the weight distribution long before any
+    per-image gate fires. One map-side-combined aggregation over ≤ 65
+    buckets (whole-stage codegen, O(65)-row exchange); feed two slices'
+    histograms to :func:`sparkschema.operators.drift.
+    drift_statistics_histograms` for the two-sample verdict. NULL
+    hashes (undecodable buffers) are excluded — they belong to the
+    corrupt-bytes violation, not the distribution."""
+    return (df.where(F.col(phash_col).isNotNull())
+              .groupBy(F.bit_count(F.col(phash_col)).alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("cnt")))

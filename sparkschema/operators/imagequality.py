@@ -1,0 +1,163 @@
+"""Image-corpus quality gates — pure Catalyst, zero decode, zero shuffle.
+
+The standard pre-training image-filter battery (LAION/DataComp-style)
+re-expressed as whole-stage-codegen column predicates over the
+input_hint table ``(image_id, bytes, w, h, fmt, caption, phash)``:
+
+- **dims**: both sides ≥ ``min_dim``; total pixels ≤ ``max_pixels``
+  (tiny thumbnails and decompression bombs out at scan speed),
+- **aspect**: max(w,h)/min(w,h) ≤ ``max_aspect`` (banner/sliver art),
+- **bpp**: bytes-per-pixel plausibility band when a byte column is
+  present — a 4 KB "4096×4096 png" is a lie worth catching BEFORE the
+  Arrow decode pays for it,
+- **caption**: non-NULL, ≥ ``min_caption_chars`` after trim, ≥
+  ``min_caption_tokens`` whitespace tokens, and mostly printable
+  (non-control ratio ≥ 0.9).
+
+Each gate is independent; ``drop_reason`` reports the FIRST failing gate
+in the documented precedence (dims → aspect → bpp → caption) so stage
+attribution sums to the drop count — same contract as
+``plans/curation_run.curate_corpus``. At 10^12 rows this is a single
+projection fused into the scan: no Python, no exchange, and with
+``bytes_col=None`` Catalyst never reads the byte column at all
+(ReadSchema pruning).
+
+Reference parity: these are the image-table analogs of the scalar
+keyword gates (minimum/maximum: NumberConstraints, minLength:
+StringValidators.scala) applied to the container columns instead of
+JSON scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java∩RE2-safe control-character class (same dialect contract as
+# operators/pii.py): C0 controls minus \t\n\r, plus DEL.
+_CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def caption_printable_ratio(caption: Column) -> Column:
+    """Fraction of characters that are not control characters.
+
+    Empty captions score 1.0 (the length gates own emptiness); NULL
+    propagates."""
+    n = F.length(caption)
+    ctrl = n - F.length(F.regexp_replace(caption, _CTRL_CLASS, ""))
+    return F.when(n == 0, F.lit(1.0)).otherwise(
+        1.0 - ctrl.cast("double") / n.cast("double"))
+
+
+def image_quality_frame(
+    df: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    caption_col: str = "caption",
+    bytes_col: str | None = "bytes",
+    min_dim: int = 64,
+    max_pixels: int = 16_777_216,
+    max_aspect: float = 4.0,
+    min_bpp: float = 0.05,
+    max_bpp: float = 16.0,
+    min_caption_chars: int = 8,
+    min_caption_tokens: int = 2,
+    min_printable_ratio: float = 0.9,
+) -> DataFrame:
+    """Append per-gate booleans + ``drop_reason`` + ``keep`` to ``df``.
+
+    NULL ``w``/``h`` fails the dims gate (an image row without dims is
+    unusable); NULL ``bytes`` passes the bpp gate (byte presence is the
+    ``required`` keyword's business upstream — this gate only judges
+    bytes that exist); NULL caption fails the caption gate.
+    """
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    dims_ok = F.coalesce(
+        (w >= min_dim) & (h >= min_dim) & (w * h <= max_pixels),
+        F.lit(False))
+    aspect = F.greatest(w, h).cast("double") / F.least(w, h).cast("double")
+    aspect_ok = F.coalesce(aspect <= max_aspect, F.lit(False))
+
+    if bytes_col is not None:
+        bpp = (F.octet_length(F.col(bytes_col)).cast("double")
+               / (w * h).cast("double"))
+        bpp_ok = F.coalesce((bpp >= min_bpp) & (bpp <= max_bpp), F.lit(True))
+    else:
+        bpp_ok = F.lit(True)
+
+    cap = F.col(caption_col)
+    cap_trim = F.trim(cap)
+    # split on runs of whitespace; empty-after-trim yields one empty
+    # token, handled by the char gate which fails first in the AND
+    tok_n = F.size(F.split(cap_trim, "\\s+"))
+    caption_ok = F.coalesce(
+        (F.length(cap_trim) >= min_caption_chars)
+        & (tok_n >= min_caption_tokens)
+        & (caption_printable_ratio(cap) >= min_printable_ratio),
+        F.lit(False))
+
+    drop_reason = (
+        F.when(~dims_ok, "dims")
+         .when(~aspect_ok, "aspect")
+         .when(~bpp_ok, "bpp")
+         .when(~caption_ok, "caption")
+         .otherwise(F.lit(None).cast("string")))
+    return (df.withColumn("dims_ok", dims_ok)
+              .withColumn("aspect_ok", aspect_ok)
+              .withColumn("bpp_ok", bpp_ok)
+              .withColumn("caption_ok", caption_ok)
+              .withColumn("drop_reason", drop_reason)
+              .withColumn("keep", drop_reason.isNull()))
+
+
+def image_quality_report(df: DataFrame, **kwargs) -> DataFrame:
+    """One-row attribution report: total, kept, and per-reason drops.
+
+    Precedence-attributed (each dropped row counts once, under its FIRST
+    failing gate) so ``kept + dims + aspect + bpp + caption == total`` —
+    one aggregate pass, no per-stage count() jobs."""
+    f = image_quality_frame(df, **kwargs)
+
+    def n(reason: str) -> Column:
+        return F.coalesce(
+            F.sum((F.col("drop_reason") == reason).cast("long")), F.lit(0))
+
+    return f.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias("kept"),
+        n("dims").alias("drop_dims"),
+        n("aspect").alias("drop_aspect"),
+        n("bpp").alias("drop_bpp"),
+        n("caption").alias("drop_caption"),
+    )
+
+
+def duplicate_caption_groups(df: DataFrame, caption_col: str = "caption",
+                             id_col: str = "image_id",
+                             min_group: int = 2) -> DataFrame:
+    """Boilerplate-caption detection: the same caption attached to many
+    DISTINCT images ("stock photo", SEO spam, scraper placeholders) is a
+    strong curation signal even when every image is unique.
+
+    Returns ``(caption_hash, n_rows, n_images, min_id)`` for normalized
+    captions appearing ≥ ``min_group`` times. One map-side-combined hash
+    aggregation on a 32-byte key — captions themselves never shuffle.
+    NULL / empty-after-trim captions are excluded (they are the caption
+    quality gate's business, not duplication). Normalization is the
+    engine-canonical ``dedup.normalized_text`` (lower → collapse
+    whitespace → ASCII-space trim), so dedup keys agree across text and
+    caption operators and the DuckDB ``_NORM`` twin replays it exactly.
+    """
+    from sparkschema.operators.dedup import normalized_text
+
+    cap = normalized_text(F.col(caption_col))
+    return (
+        df.where(F.col(caption_col).isNotNull() & (F.length(cap) > 0))
+          .select(F.sha2(cap, 256).alias("caption_hash"), F.col(id_col))
+          .groupBy("caption_hash")
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               F.count_distinct(F.col(id_col)).alias("n_images"),
+               F.min(id_col).alias("min_id"))
+          .where(F.col("n_rows") >= min_group)
+    )

@@ -145,6 +145,36 @@ def test_phash_thin_images_area_reduce_per_axis(spark):
         assert bin(base ^ other).count("1") > 10, name
 
 
+def test_phash_weight_histogram_buckets_and_drift(spark):
+    """Hamming-weight buckets stay in [0, 64], NULL hashes are excluded,
+    counts conserve, and a planted low-byte-forced shift is visible to
+    the one-plan drift statistics."""
+    from sparkschema.operators.drift import drift_statistics_histograms
+    from sparkschema.operators.imagedup import phash_weight_histogram
+    from sparkschema.sources.synthetic import images_df
+
+    imgs = images_df(spark, 800, partitions=4).select("image_id", "phash")
+    h = phash_weight_histogram(imgs)
+    rows = h.collect()
+    assert all(0 <= r.bucket <= 64 for r in rows)
+    assert sum(r.cnt for r in rows) == 800
+
+    withnull = imgs.withColumn(
+        "phash", F.when(F.col("image_id").endswith("0"), None)
+                  .otherwise(F.col("phash")))
+    n_null = withnull.where(F.col("phash").isNull()).count()
+    assert n_null > 0
+    h2 = phash_weight_histogram(withnull)
+    assert sum(r.cnt for r in h2.collect()) == 800 - n_null
+
+    shifted = imgs.select(F.col("phash").bitwiseOR(F.lit(255)).alias("phash"))
+    stat = drift_statistics_histograms(
+        phash_weight_histogram(shifted), h).collect()[0]
+    same = drift_statistics_histograms(h, h).collect()[0]
+    assert stat["ks"] > same["ks"] and stat["ks"] > 0.1
+    assert same["ks"] == 0.0 and same["psi"] == pytest.approx(0.0, abs=1e-12)
+
+
 def test_decode_bounds_rawz_expansion():
     """Review find r4: a crafted rawz blob expanding ~1000:1 allocated
     gigabytes before the length check; decompression is now capped at

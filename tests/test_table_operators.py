@@ -103,6 +103,36 @@ def test_drift_shifted_distribution_fails(lineitem):
     assert not res["pass"] and res["ks"] > 0.1
 
 
+def test_drift_statistics_histograms_matches_verdict_math(lineitem, spark):
+    """The one-plan DataFrame variant must agree with the driver-side
+    verdict arithmetic (_drift_verdict) statistic for statistic, and
+    with psi_histograms, on the same bucket frames."""
+    from sparkschema.operators.stats import histogram
+
+    a = lineitem.where(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.withColumn("l_extendedprice", F.col("l_extendedprice") * 2) \
+                .where(F.col("l_orderkey") % 2 == 1)
+    ha = histogram(a, "l_extendedprice", 0, 100000, 32)
+    hb = histogram(b, "l_extendedprice", 0, 100000, 32)
+    row = drift.drift_statistics_histograms(ha, hb).collect()[0]
+    ref = drift._drift_verdict(ha, hb, "x", None, None)
+    assert row["ks"] == pytest.approx(ref["ks"], rel=1e-12)
+    assert row["chi2"] == pytest.approx(ref["chi2"], rel=1e-12)
+    assert row["dof"] == ref["dof"]
+    psi = drift.psi_histograms(ha, hb).collect()[0]
+    assert row["psi"] == pytest.approx(psi["statistic"], rel=1e-12)
+    assert (row["n_obs"], row["n_exp"]) == (psi["n_obs"], psi["n_exp"])
+    # planted 2x shift is loud on every statistic
+    assert row["ks"] > 0.1 and row["psi"] > 0.25
+
+
+def test_drift_statistics_histograms_empty_side_degrades(spark):
+    ha = spark.createDataFrame([(1, 10), (2, 5)], "bucket int, cnt long")
+    he = spark.createDataFrame([], "bucket int, cnt long")
+    row = drift.drift_statistics_histograms(ha, he).collect()[0]
+    assert row["ks"] is None and row["n_exp"] == 0 and row["n_obs"] == 15
+
+
 def test_ks_exact_by_group(spark):
     import numpy as np
     rng = np.random.default_rng(42)
