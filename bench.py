@@ -274,11 +274,20 @@ def bench_queries(spark, sf_dir: str, cpus: int,
     from sparkschema.compiler.table import compile_table_spec
     cts = compile_table_spec(FLAGSHIP_SPEC, imgs, key_cols=["image_id"])
 
+    from sparkschema.operators.imagequality import image_quality_report
+
     def g_flagship_table() -> dict[str, float]:
         warm_page_cache(IMAGE_TABLE)
         return {
             "flagship_violations": timed(lambda: cts.violations(imgs).count()),
             "flagship_verdicts": timed(lambda: cts.verdicts(imgs).count()),
+            # the LAION-style metadata quality gate over the full 20 M-row
+            # table (bytes_col=None: the report must run at scan speed off
+            # dims+caption alone — the pre-decode filter a 10^12-row
+            # pipeline runs first)
+            "image_quality_gate": timed(
+                lambda: image_quality_report(
+                    imgs, bytes_col=None).collect()),
             "image_uniqueness_salted": timed(
                 lambda: duplicate_keys(imgs, "image_id").count()),
             "image_ref_anti_join": timed(

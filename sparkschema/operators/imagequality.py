@@ -76,12 +76,19 @@ def image_quality_frame(
     dims_ok = F.coalesce(
         (w >= min_dim) & (h >= min_dim) & (w * h <= max_pixels),
         F.lit(False))
-    aspect = F.greatest(w, h).cast("double") / F.least(w, h).cast("double")
+    # try_divide, not /: under ANSI (Spark 4 default) a single zero-dim
+    # row would crash the WHOLE gate job with DIVIDE_BY_ZERO — found by
+    # the hostile differential fuzz. NULL ratios then take each gate's
+    # documented NULL default (aspect: fail, bpp: pass), which is also
+    # exactly DuckDB's float-division-by-zero semantics, keeping the
+    # oracle twin engine-independent row by row.
+    aspect = F.try_divide(F.greatest(w, h).cast("double"),
+                          F.least(w, h).cast("double"))
     aspect_ok = F.coalesce(aspect <= max_aspect, F.lit(False))
 
     if bytes_col is not None:
-        bpp = (F.octet_length(F.col(bytes_col)).cast("double")
-               / (w * h).cast("double"))
+        bpp = F.try_divide(F.octet_length(F.col(bytes_col)).cast("double"),
+                           (w * h).cast("double"))
         bpp_ok = F.coalesce((bpp >= min_bpp) & (bpp <= max_bpp), F.lit(True))
     else:
         bpp_ok = F.lit(True)

@@ -116,3 +116,105 @@ def test_bytes_col_none_prunes_byte_read(spark, tmp_path):
     import re
     schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
     assert "bytes" not in schema  # the binary column is pruned from the scan
+
+
+# ---------------- hostile differential fuzz vs DuckDB ----------------
+#
+# Every reseed of the pipeline fuzzers has found a real bug; the quality
+# gates get their own lane — and its FIRST run found one: under ANSI
+# (Spark 4 default) the aspect/bpp `/` raised DIVIDE_BY_ZERO on a
+# zero-dim row, crashing the whole gate job. The operator now uses
+# try_divide, whose NULL-on-zero-divisor semantics equal DuckDB float
+# division exactly, so every gate boolean, drop_reason, keep, and the
+# one-row report are compared row-by-row. Corpus: NULL / zero /
+# negative / overflow-scale dims, extreme aspects, truncated and
+# oversized payloads, control-char / whitespace-only / emoji / 1-char /
+# 5k-char captions.
+
+_FUZZ_SEED = 20260825
+
+
+def _hostile_rows():
+    import random
+    rng = random.Random(_FUZZ_SEED)
+    caps = [
+        None, "", " ", "   ", "\t\t", "\n", "a", "ab cd ef gh",
+        "one", "one two", "x" * 5000, "x " * 40,
+        "ctrl\x00\x01\x02 chars here", "\x00\x01\x02\x03\x04\x05\x06",
+        "mostly printable with one \x7f del", "caption\twith\ttabs ok",
+        "\U0001f600 emoji caption words", "你好 世界 caption",
+        " leading and trailing  ", "ALL CAPS FINE CAPTION",
+    ]
+    dims = [None, 0, -5, 1, 63, 64, 65, 127, 128, 4096, 16384, 2_000_000]
+    rows = []
+    i = 0
+    for cap in caps:
+        for _ in range(3):
+            w = rng.choice(dims)
+            h = rng.choice(dims)
+            blen = rng.choice([None, 0, 10, 9 + 64 * 64 * 3,
+                               rng.randint(1, 200_000)])
+            b = None if blen is None else bytearray(b"\x5a" * blen)
+            rows.append((f"f-{i:04d}", b, w, h, "raw", cap))
+            i += 1
+    return rows
+
+
+def test_quality_gates_hostile_fuzz_vs_duckdb(spark, tmp_path):
+    import duckdb
+
+    path = str(tmp_path / "hostile_imgs")
+    _frame(spark, _hostile_rows()).repartition(4).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    kw = dict(min_dim=64, max_aspect=4.0, min_bpp=0.05, max_bpp=16.0,
+              min_caption_chars=8, min_caption_tokens=2,
+              min_printable_ratio=0.9)
+    got = {r["image_id"]: (r["dims_ok"], r["aspect_ok"], r["bpp_ok"],
+                           r["caption_ok"], r["drop_reason"], r["keep"])
+           for r in image_quality_frame(df, **kw).collect()}
+    report = image_quality_report(df, **kw).collect()[0]
+
+    con = duckdb.connect()
+    sql = f"""
+        with g as (
+          select image_id,
+            coalesce(w >= 64 and h >= 64
+                     and cast(w as bigint) * h <= 16777216, false) as d_ok,
+            coalesce(cast(greatest(w, h) as double)
+                     / least(w, h) <= 4.0, false) as a_ok,
+            coalesce(cast(octet_length(bytes) as double)
+                       / (cast(w as bigint) * h) >= 0.05
+                     and cast(octet_length(bytes) as double)
+                       / (cast(w as bigint) * h) <= 16.0, true) as b_ok,
+            regexp_replace(caption, '^ +| +$', '', 'g') as ctrim,
+            case when length(caption) = 0 then 1.0
+                 else 1.0 - cast(length(caption) - length(regexp_replace(
+                        caption,
+                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '',
+                        'g')) as double) / length(caption) end as pr
+          from '{path}/*.parquet'),
+        k as (
+          select image_id, d_ok, a_ok, b_ok,
+                 coalesce(length(ctrim) >= 8
+                          and len(regexp_split_to_array(ctrim, '\\s+')) >= 2
+                          and pr >= 0.9, false) as c_ok
+          from g)
+        select image_id, d_ok, a_ok, b_ok, c_ok,
+               case when not d_ok then 'dims'
+                    when not a_ok then 'aspect'
+                    when not b_ok then 'bpp'
+                    when not c_ok then 'caption' end as reason
+        from k
+    """
+    want = {r[0]: (r[1], r[2], r[3], r[4], r[5], r[5] is None)
+            for r in con.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    diffs = [(k, got[k], want[k]) for k in got if got[k] != want[k]]
+    assert not diffs, diffs[:5]
+    reasons = [v[4] for v in want.values()]
+    assert report["total"] == len(want)
+    assert report["kept"] == sum(1 for v in reasons if v is None)
+    for reason in ("dims", "aspect", "bpp", "caption"):
+        assert report[f"drop_{reason}"] == sum(
+            1 for v in reasons if v == reason), reason
