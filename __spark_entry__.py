@@ -1034,6 +1034,108 @@ def _q_phash_drift_images(spark, sf):
         "n_obs", "n_exp")
 
 
+def _image_curation_export(spark) -> tuple[str, str]:
+    """Deterministic image-curation slice + its pHash signature table.
+
+    Base: 800 synthetic images with UNIQUE ids (dup_fraction=0 — the
+    generator reuses image_id for its dup rows, which would violate the
+    curation plan's unique-id contract), truncation corruption (raw →
+    structural bad-length; rawz → passes structure, fails decode =
+    undecodable), orphan 'tiff' fmt labels and caption anomalies.
+    Planted on top, all driver-built at 128x128 so they clear the
+    dims/aspect gates:
+
+    - exact byte duplicates: every base row whose md5 lands under ~5%
+      re-exported under ``<id>-x`` with identical bytes,
+    - 25 near-dup pairs: the same pixels encoded raw (``nd-a-*``) and
+      6-bit-quantized jpg (``nd-b-*``) — small pHash Hamming distance,
+      distinct bytes,
+    - 12 boilerplate-caption rows sharing one normalized caption for the
+      caption_cap stage.
+
+    The signature export is ONE Arrow decode pass over every byte row —
+    the persisted signature table both the engine (``phash_sigs=``) and
+    the DuckDB twin consume, so near-dup replay is exact."""
+    from sparkschema.functions.imagecodec import encode, synth_pixels
+    from sparkschema.operators.imagedup import image_phash_frame
+    from sparkschema.sources.synthetic import images_df
+
+    raw_path = f"{_ORACLE_EXPORT}/curate_images_raw"
+    sig_path = f"{_ORACLE_EXPORT}/curate_images_sigs"
+    if not __import__("os").path.exists(f"{raw_path}/_SUCCESS"):
+        base = images_df(spark, 800, with_bytes=True, dup_fraction=0.0,
+                         corrupt_fraction=0.04,
+                         caption_anomaly_fraction=0.06,
+                         orphan_fmt_fraction=0.03, partitions=8)
+        dups = (base.where(
+                    F.conv(F.substring(F.md5(F.col("image_id")), 1, 4),
+                           16, 10).cast("long") % 100 < 5)
+                .withColumn("image_id", F.concat("image_id", F.lit("-x"))))
+        extra = []
+        for i in range(25):
+            px = synth_pixels(f"cur-nd-{i}", 128, 128)
+            cap = f"a planted near duplicate pair number {i}"
+            extra.append((f"nd-a-{i:03d}", bytearray(encode(px, "raw")),
+                          128, 128, "raw", cap))
+            extra.append((f"nd-b-{i:03d}", bytearray(encode(px, "jpg")),
+                          128, 128, "jpg", cap + " prime"))
+        for i in range(12):
+            px = synth_pixels(f"cur-cc-{i}", 128, 128)
+            extra.append((f"cc-{i:03d}", bytearray(encode(px, "raw")),
+                          128, 128, "raw",
+                          "Stock   Photo Placeholder Image"))
+        from sparkschema.functions.imagecodec import FMT_CODES, MAGIC
+        rawz_hdr = (MAGIC + (128).to_bytes(2, "little")
+                    + (128).to_bytes(2, "little")
+                    + bytes([FMT_CODES["rawz"]]))
+        for i in range(5):
+            # null payloads (null_bytes stage) and structurally-sound
+            # rawz containers whose payload is half the plausible size
+            # (bpp stage: 0.5 B/px < the 1.0 floor)
+            extra.append((f"nb-{i:03d}", None, 128, 128, "raw",
+                          f"a null payload planted row {i}"))
+            extra.append((f"bp-{i:03d}",
+                          bytearray(rawz_hdr + b"\x22" * (128 * 128 // 2)),
+                          128, 128, "rawz",
+                          f"a low bpp planted row {i}"))
+        extra_df = spark.createDataFrame(
+            extra, "image_id string, bytes binary, w int, h int, "
+                   "fmt string, caption string") \
+            .select("image_id", "bytes", "w", "h", "fmt", "caption",
+                    F.lit(None).cast("long").alias("phash"))
+        _export_once(base.unionByName(dups).unionByName(extra_df)
+                     .repartition(8), raw_path)
+    if not __import__("os").path.exists(f"{sig_path}/_SUCCESS"):
+        sigs = image_phash_frame(spark.read.parquet(raw_path),
+                                 spread_partitions=8)
+        _export_once(sigs, sig_path)
+    return raw_path, sig_path
+
+
+def _q_image_curation_report(spark, sf):
+    """The end-to-end image-corpus curation plan's one-row drop-stage
+    report, fully replayed in DuckDB: structural byte checks (hex
+    arithmetic), dims/aspect/bpp/caption gates, exact byte dedup
+    (group-by-blob), undecodability from the shared signature export,
+    chunk-pigeonhole Hamming pairs + recursive-CTE transitive closure
+    for the near-dup clusters, and the md5-priority caption cap — every
+    stage attributed by the same precedence CASE.
+
+    Reference parity: the image-axis composition of the per-keyword
+    verdicts (SchemaValidatorSpec's pass/fail + violation accumulation)
+    into one curation run."""
+    from sparkschema.plans.image_curation import curate_images
+
+    raw_path, sig_path = _image_curation_export(spark)
+    res = curate_images(
+        spark.read.parquet(raw_path),
+        phash_sigs=spark.read.parquet(sig_path),
+        min_dim=128, max_aspect=3.0, min_bpp=1.0, max_bpp=3.5,
+        exact=True, phash_near_dup=True, hamming_max=10,
+        caption_cap=2)
+    return res.report
+
+
 def _q_ann_lsh_embeddings(spark, sf):
     """LSH ANN with a deterministic derived check: recall of the LSH top-5
     against the exact brute-force top-5 (the already-oracled
@@ -1369,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_images": _q_image_quality_images,
         "caption_dups_images": _q_caption_dups_images,
         "phash_drift_images": _q_phash_drift_images,
+        "image_curation_report": _q_image_curation_report,
     }
 
 
@@ -2329,6 +2432,171 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(e) as bigint) as n_exp
             from terms
         """.format(export=_ORACLE_EXPORT),
+        # full replay of the image-curation pipeline: structural hex
+        # checks, quality gates (min_dim=128, aspect<=3, bpp in [1,3.5],
+        # caption 8/2/0.9), exact dedup by group-by-blob, undecodable
+        # from the shared signature export, chunk-pigeonhole pairs +
+        # recursive transitive closure, md5-priority caption cap (k=2),
+        # then the stage-precedence CASE and the one-row report
+        "image_curation_report": """
+            with recursive raw as (
+              select image_id, bytes, w, h, fmt, caption,
+                     octet_length(bytes) as len, hex(bytes) as hx
+              from '{export}/curate_images_raw/*.parquet'),
+            sg as (select id, phash
+                   from '{export}/curate_images_sigs/*.parquet'),
+            st as (
+              select *,
+                coalesce(len >= 9 and substring(hx, 1, 8) = '53534931',
+                         false) as header_ok,
+                case when len >= 9 then
+                  ('0x' || substring(hx, 9, 2))::int
+                    + ('0x' || substring(hx, 11, 2))::int * 256 end as w_hdr,
+                case when len >= 9 then
+                  ('0x' || substring(hx, 13, 2))::int
+                    + ('0x' || substring(hx, 15, 2))::int * 256 end as h_hdr,
+                case when len >= 9 then
+                  ('0x' || substring(hx, 17, 2))::int end as code
+              from raw),
+            meta as (
+              select *,
+                header_ok
+                and coalesce(header_ok and w_hdr = w and h_hdr = h, false)
+                and coalesce(header_ok and code = (case fmt
+                      when 'raw' then 0 when 'rawz' then 1
+                      when 'jpg' then 2 when 'png' then 3 end), false)
+                and coalesce(header_ok and
+                      (case when fmt in ('raw', 'jpg', 'png')
+                            then len = 9 + cast(w as bigint)
+                                       * cast(h as bigint) * 3
+                            else true end), false) as meta_ok
+              from st),
+            g as (
+              select *,
+                coalesce(w >= 128 and h >= 128
+                         and cast(w as bigint) * h <= 16777216,
+                         false) as dims_ok,
+                coalesce(cast(greatest(w, h) as double) / least(w, h)
+                         <= 3.0, false) as aspect_ok,
+                coalesce(cast(len as double) / (cast(w as bigint) * h)
+                           >= 1.0
+                         and cast(len as double) / (cast(w as bigint) * h)
+                           <= 3.5, true) as bpp_ok,
+                regexp_replace(caption, '^ +| +$', '', 'g') as ctrim,
+                case when length(caption) = 0 then 1.0
+                     else 1.0 - cast(length(caption)
+                            - length(regexp_replace(caption,
+                                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                                '', 'g')) as double) / length(caption)
+                end as pr
+              from meta),
+            pre as (
+              select image_id, bytes, caption,
+                case when bytes is null then 'null_bytes'
+                     when not meta_ok then 'structural'
+                     when not dims_ok then 'dims'
+                     when not aspect_ok then 'aspect'
+                     when not bpp_ok then 'bpp'
+                     when not coalesce(length(ctrim) >= 8
+                              and len(regexp_split_to_array(ctrim, '\\s+'))
+                                >= 2
+                              and pr >= 0.9, false) then 'caption'
+                end as p
+              from g),
+            winners as (
+              select min(image_id) as wid
+              from pre where p is null group by bytes),
+            s1 as (
+              select image_id, caption,
+                case when p is not null then p
+                     when image_id in (select wid from winners) then null
+                     else 'exact_dup' end as s
+              from pre),
+            asig as (
+              select a.image_id, a.caption, sg.phash
+              from s1 a left join sg on a.image_id = sg.id
+              where a.s is null),
+            s2 as (
+              select image_id, caption,
+                case when s is not null then s
+                     when image_id in (select image_id from asig
+                                       where phash is null)
+                       then 'undecodable' end as s
+              from s1),
+            nodes as (select image_id as id, phash from asig
+                      where phash is not null),
+            p0 as (
+              select a.id as id_a, b.id as id_b
+              from nodes a join nodes b on a.id < b.id
+              where (((a.phash >> 0) & 255) = ((b.phash >> 0) & 255)
+                 or ((a.phash >> 8) & 255) = ((b.phash >> 8) & 255)
+                 or ((a.phash >> 16) & 255) = ((b.phash >> 16) & 255)
+                 or ((a.phash >> 24) & 255) = ((b.phash >> 24) & 255)
+                 or ((a.phash >> 32) & 255) = ((b.phash >> 32) & 255)
+                 or ((a.phash >> 40) & 255) = ((b.phash >> 40) & 255)
+                 or ((a.phash >> 48) & 255) = ((b.phash >> 48) & 255)
+                 or ((a.phash >> 56) & 255) = ((b.phash >> 56) & 255))
+                and bit_count(xor(a.phash, b.phash)) <= 10),
+            edges as (select id_a as u, id_b as v from p0
+                      union
+                      select id_b as u, id_a as v from p0),
+            reach as (
+              select u, u as v from (select distinct u from edges)
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u),
+            nd_drop as (
+              select u as id from reach group by u
+              having u <> min(v)),
+            s3 as (
+              select image_id, caption,
+                case when s is not null then s
+                     when image_id in (select id from nd_drop)
+                       then 'near_dup' end as s
+              from s2),
+            cand as (
+              select image_id, {norm} as nc
+              from s3
+              where s is null and caption is not null
+                and length({norm}) > 0),
+            ranked as (
+              select image_id,
+                     row_number() over (partition by nc
+                                        order by md5(image_id), image_id)
+                       as rn
+              from cand),
+            final as (
+              select image_id,
+                case when s is not null then s
+                     when image_id in (select image_id from ranked
+                                       where rn > 2)
+                       then 'caption_cap' end as s
+              from s3)
+            select cast(count(*) as bigint) as n_input,
+                   coalesce(cast(sum(case when s = 'null_bytes' then 1
+                            else 0 end) as bigint), 0) as n_null_bytes,
+                   coalesce(cast(sum(case when s = 'structural' then 1
+                            else 0 end) as bigint), 0) as n_structural,
+                   coalesce(cast(sum(case when s = 'dims' then 1 else 0
+                            end) as bigint), 0) as n_dims,
+                   coalesce(cast(sum(case when s = 'aspect' then 1 else 0
+                            end) as bigint), 0) as n_aspect,
+                   coalesce(cast(sum(case when s = 'bpp' then 1 else 0
+                            end) as bigint), 0) as n_bpp,
+                   coalesce(cast(sum(case when s = 'caption' then 1 else 0
+                            end) as bigint), 0) as n_caption,
+                   coalesce(cast(sum(case when s = 'exact_dup' then 1
+                            else 0 end) as bigint), 0) as n_exact_dup,
+                   coalesce(cast(sum(case when s = 'undecodable' then 1
+                            else 0 end) as bigint), 0) as n_undecodable,
+                   coalesce(cast(sum(case when s = 'near_dup' then 1
+                            else 0 end) as bigint), 0) as n_near_dup,
+                   coalesce(cast(sum(case when s = 'caption_cap' then 1
+                            else 0 end) as bigint), 0) as n_caption_cap,
+                   coalesce(cast(sum(case when s is null then 1 else 0
+                            end) as bigint), 0) as n_kept
+            from final
+        """.format(export=_ORACLE_EXPORT,
+                   norm=_NORM.format(c="caption")),
         # Spark session_window cross-checked by the declarative gap
         # rule: new session iff inter-event gap > 30 min (the merge
         # bound is closed); window end = last event ts + gap.
