@@ -249,3 +249,36 @@ def test_normalize_single_arrow_stage_no_exchange(spark):
     assert plan.count("ArrowEvalPython") == 1   # one batched UDF stage
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan        # never row-at-a-time
+
+
+def test_quality_report_single_aggregation_exchange(spark, tmp_path):
+    """The 12-gate quality report over the metadata table must be one
+    partial->final aggregate: exactly one exchange carrying one row per
+    partition, gates fused into the scan by codegen."""
+    from sparkschema.operators.imagequality import image_quality_report
+
+    path = str(tmp_path / "imgq")
+    images_df(spark, 1000, partitions=4).write.parquet(path)
+    rep = image_quality_report(spark.read.parquet(path), bytes_col=None)
+    rep.collect()  # finalize AQE so codegen markers render
+    # the finalized AQE string repeats the plan under "== Initial Plan ==";
+    # count exchanges in the final section only
+    plan = _plan(rep).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+    assert "*(" in plan
+
+
+def test_drift_statistics_bucket_windows_only(spark):
+    """drift_statistics_histograms runs its windows over the joined
+    bucket frame (<= ~65 rows) — no Python, and the full-frame window is
+    a single bounded partition, not a per-row sort of the input."""
+    from sparkschema.operators.drift import drift_statistics_histograms
+    from sparkschema.operators.imagedup import phash_weight_histogram
+
+    imgs = images_df(spark, 2000, partitions=4)
+    h1 = phash_weight_histogram(imgs.where(F.col("w") >= 128))
+    h2 = phash_weight_histogram(imgs.where(F.col("w") < 128))
+    plan = _plan(drift_statistics_histograms(h1, h2))
+    assert "Python" not in plan
+    assert "Window" in plan

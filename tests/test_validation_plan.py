@@ -199,3 +199,61 @@ def test_resumable_units_stable_under_new_files(spark, tmp_path, images):
     # committed unit skips
     assert r2.processed_units == 1
     assert r2.skipped_units in (r1.processed_units - 1, r1.processed_units)
+
+
+def test_manifest_phash_histogram_drifts_next_run(spark, tmp_path, images):
+    """North-star composition: each resumable unit's metrics carry the
+    unit's pHash Hamming-weight histogram (per-partition "phash
+    distribution histogram"); the NEXT run drifts its own distribution
+    against the manifest's stored histograms via
+    drift_check_vs_histogram — drift against last run's snapshot with
+    no live reference table."""
+    from sparkschema.operators.drift import drift_check_vs_histogram
+    from sparkschema.operators.imagedup import phash_weight_histogram
+    from sparkschema.streaming.checkpoint import run_resumable
+
+    data_dir = str(tmp_path / "imgs")
+    images.repartition(4).write.parquet(data_dir)
+    manifest_dir = str(tmp_path / "manifest")
+
+    def process(df, files):
+        # +1 aligns the raw Hamming weights (0..64) with
+        # stats.histogram's bucket numbering over [0, 65) in 65 unit
+        # buckets (value v -> bucket v+1; 0 and 66 are the
+        # under/overflow rails), so the stored histogram keys match
+        # what drift_check_vs_histogram computes on the current side
+        hist = [(r["bucket"] + 1, r["cnt"])
+                for r in phash_weight_histogram(df).collect()]
+        return {"rows": df.count(), "phash_hist": hist}
+
+    r1 = run_resumable(spark, data_dir, manifest_dir, process,
+                       files_per_unit=2)
+    stored = []
+    for m in r1.unit_metrics:
+        assert m["phash_hist"], "unit histogram missing"
+        stored += [tuple(x) for x in m["phash_hist"]]
+    assert sum(c for _, c in stored) == images.count()
+
+    # same distribution -> no drift
+    cur = spark.read.parquet(data_dir)
+    same = drift_check_vs_histogram(
+        cur.select(F.bit_count("phash").alias("bw")), "bw",
+        stored, lo=0, hi=65, buckets=65, ks_threshold=0.05)
+    assert same["pass"] and same["ks"] < 0.01
+
+    # planted low-byte shift -> loud drift vs the stored histograms
+    shifted = cur.select(
+        F.bit_count(F.col("phash").bitwiseOR(F.lit(255))).alias("bw"))
+    bad = drift_check_vs_histogram(shifted, "bw", stored,
+                                   lo=0, hi=65, buckets=65,
+                                   ks_threshold=0.05)
+    assert not bad["pass"] and bad["ks"] > 0.05
+
+    # restart: histograms come back from the manifest, identical
+    r2 = run_resumable(spark, data_dir, manifest_dir, process,
+                       files_per_unit=2)
+    assert r2.processed_units == 0
+    replayed = []
+    for m in r2.unit_metrics:
+        replayed += [tuple(x) for x in m["phash_hist"]]
+    assert sorted(replayed) == sorted(stored)
