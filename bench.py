@@ -484,6 +484,27 @@ def bench_queries(spark, sf_dir: str, cpus: int,
             lambda: container_meta_verdict(bimgs).collect(), runs=2,
             prewarm=lambda: warm_page_cache(IMAGE_BYTES_TABLE))
         release_default_cache()
+        # the composed image-curation pipeline over the 20k byte corpus:
+        # structural + quality gates (codegen), exact byte dedup (digest
+        # agg), pHash near-dup (the ONLY Arrow decode, survivors only),
+        # one-aggregate report — the image twin of
+        # curation_report_documents. Fresh CacheScope per attempt: the
+        # operator persists its signature frame, and reusing attempt 1's
+        # cache would measure a cached-signature run.
+        from sparkschema.operators.caching import CacheScope
+        from sparkschema.plans.image_curation import curate_images
+
+        def run_curation() -> None:
+            scope = CacheScope()
+            try:
+                curate_images(bimgs, phash_near_dup=True,
+                              caption_cap=4, scope=scope).report.collect()
+            finally:
+                scope.release()
+
+        r["image_curation_20k"] = timed(
+            run_curation, runs=2,
+            prewarm=lambda: warm_page_cache(IMAGE_BYTES_TABLE))
         return r
 
     out.update(probed_group("image", g_image, probes))

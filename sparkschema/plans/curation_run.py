@@ -111,6 +111,14 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
     ``id_col`` values must be non-NULL and unique (the stable-id
     contract shared by the dedup/sampling family).
 
+    **Cache lifecycle:** the id-only flag tables (exact winners,
+    contamination hits, near-dup drops, cap keepers) and the operators'
+    signature frames persist into ``scope``; with ``scope=None`` they
+    land in the process-wide default scope and stay pinned until
+    ``release_default_cache()`` — long-lived sessions should pass their
+    own :class:`~sparkschema.operators.caching.CacheScope` and release
+    it when done with every returned frame.
+
     Returns :class:`CurationResult`; ``report`` has the fixed schema
     ``(n_input, n_null_text, n_exact_dup, n_near_dup, n_language,
     n_quality, n_min_tokens, n_contaminated, n_source_cap, n_kept)``
@@ -126,21 +134,27 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
 
     flagged = df
     # --- join-shaped flags -------------------------------------------
+    # id-only side tables are scope-persisted: each is tiny, but its
+    # lineage contains a full corpus scan + normalization/shingling —
+    # unpersisted, every downstream action (near-dup, cap, report,
+    # curated consumers) re-executes that upstream (the 15x blowup the
+    # image twin measured on its byte corpus; same class here)
     if exact:
-        winners = (df.where(text.isNotNull())
-                     .groupBy(F.sha2(normalized_text(text), 256).alias("__h"))
-                     .agg(F.min(did).alias(id_col))
-                     .select(id_col, F.lit(True).alias("__keep_exact")))
+        winners = cache_scope.persist(
+            df.where(text.isNotNull())
+              .groupBy(F.sha2(normalized_text(text), 256).alias("__h"))
+              .agg(F.min(did).alias(id_col))
+              .select(id_col, F.lit(True).alias("__keep_exact")))
         flagged = flagged.join(winners, on=id_col, how="left")
     else:
         flagged = flagged.withColumn("__keep_exact", F.lit(True))
 
     if eval_df is not None:
         from sparkschema.operators.text import contamination_flags
-        hits = contamination_flags(
+        hits = cache_scope.persist(contamination_flags(
             df, text_col, id_col, eval_df,
             eval_text_col if eval_text_col is not None else text_col,
-            n=contamination_n).select(id_col, F.lit(True).alias("__contam"))
+            n=contamination_n).select(id_col, F.lit(True).alias("__contam")))
         flagged = flagged.join(hits, on=id_col, how="left")
     else:
         flagged = flagged.withColumn("__contam", F.lit(False))
@@ -171,9 +185,10 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
                                   scope=cache_scope)
         comps = near_dup_components(pairs, id_a="id_a", id_b="id_b",
                                     scope=cache_scope)
-        nd_drop = (comps.where(F.col("id") != F.col("component"))
-                        .select(F.col("id").alias(id_col),
-                                F.lit(True).alias("__nd")))
+        nd_drop = cache_scope.persist(
+            comps.where(F.col("id") != F.col("component"))
+                 .select(F.col("id").alias(id_col),
+                         F.lit(True).alias("__nd")))
         flagged = flagged.join(nd_drop, on=id_col, how="left")
     else:
         flagged = flagged.withColumn("__nd", F.lit(False))
@@ -194,9 +209,10 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
         from sparkschema.operators.sampling import cap_per_group
         alive = flagged.where(F.col("__stage").isNull()) \
                        .select(id_col, source_col)
-        keep = (cap_per_group(alive, source_col, id_col,
-                              per_source_cap, salt=salt)
-                .select(id_col, F.lit(True).alias("__cap_keep")))
+        keep = cache_scope.persist(
+            cap_per_group(alive, source_col, id_col,
+                          per_source_cap, salt=salt)
+            .select(id_col, F.lit(True).alias("__cap_keep")))
         flagged = (flagged.join(keep, on=id_col, how="left")
                           .withColumn("__stage", F.coalesce(
                               F.col("__stage"),

@@ -218,3 +218,34 @@ def test_quality_gates_hostile_fuzz_vs_duckdb(spark, tmp_path):
     for reason in ("dims", "aspect", "bpp", "caption"):
         assert report[f"drop_{reason}"] == sum(
             1 for v in reasons if v == reason), reason
+
+
+def test_quality_frame_is_streaming_safe(spark, tmp_path):
+    """The gates are stateless Column expressions, so the SAME
+    image_quality_frame call works under readStream (the shape a
+    continuous ingest pipeline uses to quarantine rows before they ever
+    land): streaming per-row verdicts must equal the batch run."""
+    src = str(tmp_path / "src")
+    _frame(spark, [
+        GOOD,
+        ("dim-1", None, 16, 64, "raw", "a fine caption here"),
+        ("cap-1", None, 64, 64, "raw", None),
+        ("asp-1", None, 512, 64, "raw", "a fine caption here"),
+    ]).write.parquet(src)
+
+    batch = {r["image_id"]: (r["drop_reason"], r["keep"])
+             for r in image_quality_frame(spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string").parquet(src)
+    q = (image_quality_frame(stream)
+         .select("image_id", "drop_reason", "keep")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("imgq_stream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["image_id"]: (r["drop_reason"], r["keep"])
+           for r in spark.sql("select * from imgq_stream").collect()}
+    assert got == batch
