@@ -1640,6 +1640,188 @@ def _sql_minhash_superset() -> str:
     """
 
 
+def _sql_image_curation(raw_glob: str, sigs_glob: str, *, min_dim: int = 128,
+                        max_aspect: float = 3.0, min_bpp: float = 1.0,
+                        max_bpp: float = 3.5, hamming_max: int = 10,
+                        caption_cap: int = 2,
+                        row_level: bool = False) -> str:
+    """Independent DuckDB replay of the WHOLE image-curation pipeline
+    (plans/image_curation.curate_images), parameterized on input globs
+    and thresholds so the randomized fuzz lane
+    (tests/test_image_curation.py) can drive it over arbitrary corpora;
+    the oracle entry binds it to the deterministic export slice.
+    ``row_level=True`` returns ``(image_id, drop_stage)`` per row
+    instead of the one-row report."""
+    body = """
+            with recursive raw as (
+              select image_id, bytes, w, h, fmt, caption,
+                     octet_length(bytes) as len, hex(bytes) as hx
+              from '{raw_glob}'),
+            sg as (select id, phash
+                   from '{sigs_glob}'),
+            st as (
+              select *,
+                coalesce(len >= 9 and substring(hx, 1, 8) = '53534931',
+                         false) as header_ok,
+                case when len >= 9 then
+                  ('0x' || substring(hx, 9, 2))::int
+                    + ('0x' || substring(hx, 11, 2))::int * 256 end as w_hdr,
+                case when len >= 9 then
+                  ('0x' || substring(hx, 13, 2))::int
+                    + ('0x' || substring(hx, 15, 2))::int * 256 end as h_hdr,
+                case when len >= 9 then
+                  ('0x' || substring(hx, 17, 2))::int end as code
+              from raw),
+            meta as (
+              select *,
+                header_ok
+                and coalesce(header_ok and w_hdr = w and h_hdr = h, false)
+                and coalesce(header_ok and code = (case fmt
+                      when 'raw' then 0 when 'rawz' then 1
+                      when 'jpg' then 2 when 'png' then 3 end), false)
+                and coalesce(header_ok and
+                      (case when fmt in ('raw', 'jpg', 'png')
+                            then len = 9 + cast(w as bigint)
+                                       * cast(h as bigint) * 3
+                            else true end), false) as meta_ok
+              from st),
+            g as (
+              select *,
+                coalesce(w >= {min_dim} and h >= {min_dim}
+                         and cast(w as bigint) * h <= 16777216,
+                         false) as dims_ok,
+                coalesce(cast(greatest(w, h) as double) / least(w, h)
+                         <= {max_aspect}, false) as aspect_ok,
+                coalesce(cast(len as double) / (cast(w as bigint) * h)
+                           >= {min_bpp}
+                         and cast(len as double) / (cast(w as bigint) * h)
+                           <= {max_bpp}, true) as bpp_ok,
+                regexp_replace(caption, '^ +| +$', '', 'g') as ctrim,
+                case when length(caption) = 0 then 1.0
+                     else 1.0 - cast(length(caption)
+                            - length(regexp_replace(caption,
+                                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                                '', 'g')) as double) / length(caption)
+                end as pr
+              from meta),
+            pre as (
+              select image_id, bytes, caption,
+                case when bytes is null then 'null_bytes'
+                     when not meta_ok then 'structural'
+                     when not dims_ok then 'dims'
+                     when not aspect_ok then 'aspect'
+                     when not bpp_ok then 'bpp'
+                     when not coalesce(length(ctrim) >= 8
+                              and len(regexp_split_to_array(ctrim, '\\s+'))
+                                >= 2
+                              and pr >= 0.9, false) then 'caption'
+                end as p
+              from g),
+            winners as (
+              select min(image_id) as wid
+              from pre where p is null group by bytes),
+            s1 as (
+              select image_id, caption,
+                case when p is not null then p
+                     when image_id in (select wid from winners) then null
+                     else 'exact_dup' end as s
+              from pre),
+            asig as (
+              select a.image_id, a.caption, sg.phash
+              from s1 a left join sg on a.image_id = sg.id
+              where a.s is null),
+            s2 as (
+              select image_id, caption,
+                case when s is not null then s
+                     when image_id in (select image_id from asig
+                                       where phash is null)
+                       then 'undecodable' end as s
+              from s1),
+            nodes as (select image_id as id, phash from asig
+                      where phash is not null),
+            p0 as (
+              select a.id as id_a, b.id as id_b
+              from nodes a join nodes b on a.id < b.id
+              where (((a.phash >> 0) & 255) = ((b.phash >> 0) & 255)
+                 or ((a.phash >> 8) & 255) = ((b.phash >> 8) & 255)
+                 or ((a.phash >> 16) & 255) = ((b.phash >> 16) & 255)
+                 or ((a.phash >> 24) & 255) = ((b.phash >> 24) & 255)
+                 or ((a.phash >> 32) & 255) = ((b.phash >> 32) & 255)
+                 or ((a.phash >> 40) & 255) = ((b.phash >> 40) & 255)
+                 or ((a.phash >> 48) & 255) = ((b.phash >> 48) & 255)
+                 or ((a.phash >> 56) & 255) = ((b.phash >> 56) & 255))
+                and bit_count(xor(a.phash, b.phash)) <= {hamming_max}),
+            edges as (select id_a as u, id_b as v from p0
+                      union
+                      select id_b as u, id_a as v from p0),
+            reach as (
+              select u, u as v from (select distinct u from edges)
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u),
+            nd_drop as (
+              select u as id from reach group by u
+              having u <> min(v)),
+            s3 as (
+              select image_id, caption,
+                case when s is not null then s
+                     when image_id in (select id from nd_drop)
+                       then 'near_dup' end as s
+              from s2),
+            cand as (
+              select image_id, {norm} as nc
+              from s3
+              where s is null and caption is not null
+                and length({norm}) > 0),
+            ranked as (
+              select image_id,
+                     row_number() over (partition by nc
+                                        order by md5(image_id), image_id)
+                       as rn
+              from cand),
+            final as (
+              select image_id,
+                case when s is not null then s
+                     when image_id in (select image_id from ranked
+                                       where rn > {caption_cap})
+                       then 'caption_cap' end as s
+              from s3)
+            """.format(
+        raw_glob=raw_glob, sigs_glob=sigs_glob, min_dim=min_dim,
+        max_aspect=max_aspect, min_bpp=min_bpp, max_bpp=max_bpp,
+        hamming_max=hamming_max, caption_cap=caption_cap,
+        norm=_NORM.format(c="caption"))
+    if row_level:
+        return body + """
+            select image_id, s as drop_stage from final order by image_id
+        """
+    return body + """            select cast(count(*) as bigint) as n_input,
+                   coalesce(cast(sum(case when s = 'null_bytes' then 1
+                            else 0 end) as bigint), 0) as n_null_bytes,
+                   coalesce(cast(sum(case when s = 'structural' then 1
+                            else 0 end) as bigint), 0) as n_structural,
+                   coalesce(cast(sum(case when s = 'dims' then 1 else 0
+                            end) as bigint), 0) as n_dims,
+                   coalesce(cast(sum(case when s = 'aspect' then 1 else 0
+                            end) as bigint), 0) as n_aspect,
+                   coalesce(cast(sum(case when s = 'bpp' then 1 else 0
+                            end) as bigint), 0) as n_bpp,
+                   coalesce(cast(sum(case when s = 'caption' then 1 else 0
+                            end) as bigint), 0) as n_caption,
+                   coalesce(cast(sum(case when s = 'exact_dup' then 1
+                            else 0 end) as bigint), 0) as n_exact_dup,
+                   coalesce(cast(sum(case when s = 'undecodable' then 1
+                            else 0 end) as bigint), 0) as n_undecodable,
+                   coalesce(cast(sum(case when s = 'near_dup' then 1
+                            else 0 end) as bigint), 0) as n_near_dup,
+                   coalesce(cast(sum(case when s = 'caption_cap' then 1
+                            else 0 end) as bigint), 0) as n_caption_cap,
+                   coalesce(cast(sum(case when s is null then 1 else 0
+                            end) as bigint), 0) as n_kept
+            from final
+        """
+
+
+
 def oracle_sql() -> dict[str, str]:
     from sparkschema.operators.similarity import plane_matrix
     # the SAME pattern string the engine compiles (Java-regex ∩ RE2
@@ -2438,165 +2620,9 @@ def oracle_sql() -> dict[str, str]:
         # from the shared signature export, chunk-pigeonhole pairs +
         # recursive transitive closure, md5-priority caption cap (k=2),
         # then the stage-precedence CASE and the one-row report
-        "image_curation_report": """
-            with recursive raw as (
-              select image_id, bytes, w, h, fmt, caption,
-                     octet_length(bytes) as len, hex(bytes) as hx
-              from '{export}/curate_images_raw/*.parquet'),
-            sg as (select id, phash
-                   from '{export}/curate_images_sigs/*.parquet'),
-            st as (
-              select *,
-                coalesce(len >= 9 and substring(hx, 1, 8) = '53534931',
-                         false) as header_ok,
-                case when len >= 9 then
-                  ('0x' || substring(hx, 9, 2))::int
-                    + ('0x' || substring(hx, 11, 2))::int * 256 end as w_hdr,
-                case when len >= 9 then
-                  ('0x' || substring(hx, 13, 2))::int
-                    + ('0x' || substring(hx, 15, 2))::int * 256 end as h_hdr,
-                case when len >= 9 then
-                  ('0x' || substring(hx, 17, 2))::int end as code
-              from raw),
-            meta as (
-              select *,
-                header_ok
-                and coalesce(header_ok and w_hdr = w and h_hdr = h, false)
-                and coalesce(header_ok and code = (case fmt
-                      when 'raw' then 0 when 'rawz' then 1
-                      when 'jpg' then 2 when 'png' then 3 end), false)
-                and coalesce(header_ok and
-                      (case when fmt in ('raw', 'jpg', 'png')
-                            then len = 9 + cast(w as bigint)
-                                       * cast(h as bigint) * 3
-                            else true end), false) as meta_ok
-              from st),
-            g as (
-              select *,
-                coalesce(w >= 128 and h >= 128
-                         and cast(w as bigint) * h <= 16777216,
-                         false) as dims_ok,
-                coalesce(cast(greatest(w, h) as double) / least(w, h)
-                         <= 3.0, false) as aspect_ok,
-                coalesce(cast(len as double) / (cast(w as bigint) * h)
-                           >= 1.0
-                         and cast(len as double) / (cast(w as bigint) * h)
-                           <= 3.5, true) as bpp_ok,
-                regexp_replace(caption, '^ +| +$', '', 'g') as ctrim,
-                case when length(caption) = 0 then 1.0
-                     else 1.0 - cast(length(caption)
-                            - length(regexp_replace(caption,
-                                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
-                                '', 'g')) as double) / length(caption)
-                end as pr
-              from meta),
-            pre as (
-              select image_id, bytes, caption,
-                case when bytes is null then 'null_bytes'
-                     when not meta_ok then 'structural'
-                     when not dims_ok then 'dims'
-                     when not aspect_ok then 'aspect'
-                     when not bpp_ok then 'bpp'
-                     when not coalesce(length(ctrim) >= 8
-                              and len(regexp_split_to_array(ctrim, '\\s+'))
-                                >= 2
-                              and pr >= 0.9, false) then 'caption'
-                end as p
-              from g),
-            winners as (
-              select min(image_id) as wid
-              from pre where p is null group by bytes),
-            s1 as (
-              select image_id, caption,
-                case when p is not null then p
-                     when image_id in (select wid from winners) then null
-                     else 'exact_dup' end as s
-              from pre),
-            asig as (
-              select a.image_id, a.caption, sg.phash
-              from s1 a left join sg on a.image_id = sg.id
-              where a.s is null),
-            s2 as (
-              select image_id, caption,
-                case when s is not null then s
-                     when image_id in (select image_id from asig
-                                       where phash is null)
-                       then 'undecodable' end as s
-              from s1),
-            nodes as (select image_id as id, phash from asig
-                      where phash is not null),
-            p0 as (
-              select a.id as id_a, b.id as id_b
-              from nodes a join nodes b on a.id < b.id
-              where (((a.phash >> 0) & 255) = ((b.phash >> 0) & 255)
-                 or ((a.phash >> 8) & 255) = ((b.phash >> 8) & 255)
-                 or ((a.phash >> 16) & 255) = ((b.phash >> 16) & 255)
-                 or ((a.phash >> 24) & 255) = ((b.phash >> 24) & 255)
-                 or ((a.phash >> 32) & 255) = ((b.phash >> 32) & 255)
-                 or ((a.phash >> 40) & 255) = ((b.phash >> 40) & 255)
-                 or ((a.phash >> 48) & 255) = ((b.phash >> 48) & 255)
-                 or ((a.phash >> 56) & 255) = ((b.phash >> 56) & 255))
-                and bit_count(xor(a.phash, b.phash)) <= 10),
-            edges as (select id_a as u, id_b as v from p0
-                      union
-                      select id_b as u, id_a as v from p0),
-            reach as (
-              select u, u as v from (select distinct u from edges)
-              union
-              select r.u, e.v from reach r join edges e on r.v = e.u),
-            nd_drop as (
-              select u as id from reach group by u
-              having u <> min(v)),
-            s3 as (
-              select image_id, caption,
-                case when s is not null then s
-                     when image_id in (select id from nd_drop)
-                       then 'near_dup' end as s
-              from s2),
-            cand as (
-              select image_id, {norm} as nc
-              from s3
-              where s is null and caption is not null
-                and length({norm}) > 0),
-            ranked as (
-              select image_id,
-                     row_number() over (partition by nc
-                                        order by md5(image_id), image_id)
-                       as rn
-              from cand),
-            final as (
-              select image_id,
-                case when s is not null then s
-                     when image_id in (select image_id from ranked
-                                       where rn > 2)
-                       then 'caption_cap' end as s
-              from s3)
-            select cast(count(*) as bigint) as n_input,
-                   coalesce(cast(sum(case when s = 'null_bytes' then 1
-                            else 0 end) as bigint), 0) as n_null_bytes,
-                   coalesce(cast(sum(case when s = 'structural' then 1
-                            else 0 end) as bigint), 0) as n_structural,
-                   coalesce(cast(sum(case when s = 'dims' then 1 else 0
-                            end) as bigint), 0) as n_dims,
-                   coalesce(cast(sum(case when s = 'aspect' then 1 else 0
-                            end) as bigint), 0) as n_aspect,
-                   coalesce(cast(sum(case when s = 'bpp' then 1 else 0
-                            end) as bigint), 0) as n_bpp,
-                   coalesce(cast(sum(case when s = 'caption' then 1 else 0
-                            end) as bigint), 0) as n_caption,
-                   coalesce(cast(sum(case when s = 'exact_dup' then 1
-                            else 0 end) as bigint), 0) as n_exact_dup,
-                   coalesce(cast(sum(case when s = 'undecodable' then 1
-                            else 0 end) as bigint), 0) as n_undecodable,
-                   coalesce(cast(sum(case when s = 'near_dup' then 1
-                            else 0 end) as bigint), 0) as n_near_dup,
-                   coalesce(cast(sum(case when s = 'caption_cap' then 1
-                            else 0 end) as bigint), 0) as n_caption_cap,
-                   coalesce(cast(sum(case when s is null then 1 else 0
-                            end) as bigint), 0) as n_kept
-            from final
-        """.format(export=_ORACLE_EXPORT,
-                   norm=_NORM.format(c="caption")),
+        "image_curation_report": _sql_image_curation(
+            f"{_ORACLE_EXPORT}/curate_images_raw/*.parquet",
+            f"{_ORACLE_EXPORT}/curate_images_sigs/*.parquet"),
         # Spark session_window cross-checked by the declarative gap
         # rule: new session iff inter-event gap > 30 min (the merge
         # bound is closed); window end = last event ts + gap.

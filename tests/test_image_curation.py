@@ -154,3 +154,98 @@ def test_decode_only_runs_over_survivors(spark, tmp_path):
         assert "Filter" in plan  # gates pushed below the decode
     finally:
         scope.release()
+
+
+# ------------- randomized full-pipeline differential fuzz -------------
+#
+# The oracle query covers one deterministic slice; this lane drives the
+# SAME parameterized DuckDB replay (__spark_entry__._sql_image_curation)
+# over seeded RANDOM corpora — random dims/fmts, fmt-label lies,
+# truncations, null payloads, exact-dup re-keys, raw/jpg near-dup
+# twins, boilerplate captions, hostile captions — and compares the
+# engine's per-row drop_stage (strictly stronger than the report).
+
+_FUZZ_SEED = 20260825
+
+
+def _random_corpus(rng):
+    import random  # noqa: F401
+
+    caps_pool = [
+        None, "", " ", "one", "a decent caption with words",
+        "another perfectly good caption", "ctrl\x00\x01 chars here",
+        "Stock   Photo Placeholder Image", "short",
+        "a caption that is long enough to pass the char gate",
+    ]
+    rows = []
+    i = 0
+    for _ in range(rng.randint(50, 80)):
+        w = rng.choice([32, 64, 96, 128, 256])
+        h = rng.choice([32, 64, 96, 128, 256])
+        fmt = rng.choice(["raw", "raw", "rawz", "jpg", "png", "tiff"])
+        enc_fmt = fmt if fmt != "tiff" else "raw"
+        buf = bytearray(encode(synth_pixels(f"fz-{i}", w, h), enc_fmt))
+        roll = rng.random()
+        if roll < 0.06:
+            buf = None                              # null_bytes
+        elif roll < 0.14:
+            buf = buf[: max(9, len(buf) // 2)]      # truncation
+        elif roll < 0.18:
+            buf = bytearray(b"ZZZZ") + buf[4:]      # bad magic
+        cap = rng.choice(caps_pool)
+        rows.append((f"fz-{i:04d}", buf, w, h, fmt, cap))
+        i += 1
+    # exact dups: re-key a few rows byte-identically
+    for r in [r for r in list(rows) if r[1] is not None][:5]:
+        rows.append((r[0] + "-x", r[1], r[2], r[3], r[4], r[5]))
+    # near-dup twins: raw + jpg of the same pixels
+    for j in range(6):
+        px = synth_pixels(f"fz-nd-{j}", 128, 128)
+        cap = f"a fuzz planted near duplicate pair {j}"
+        rows.append((f"fz-nda-{j:02d}", bytearray(encode(px, "raw")),
+                     128, 128, "raw", cap))
+        rows.append((f"fz-ndb-{j:02d}", bytearray(encode(px, "jpg")),
+                     128, 128, "jpg", cap + " prime"))
+    return rows
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_image_curation_random_fuzz_vs_duckdb(spark, tmp_path, trial):
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from sparkschema.operators.imagedup import image_phash_frame
+
+    rng = random.Random(_FUZZ_SEED + trial)
+    raw = str(tmp_path / "raw")
+    sigs = str(tmp_path / "sigs")
+    _frame(spark, _random_corpus(rng)).repartition(4).write.parquet(raw)
+    image_phash_frame(spark.read.parquet(raw),
+                      spread_partitions=4).write.parquet(sigs)
+
+    kw = dict(min_dim=rng.choice([64, 96, 128]),
+              max_aspect=rng.choice([2.0, 3.0, 4.0]),
+              min_bpp=rng.choice([0.5, 1.0]),
+              max_bpp=3.5,
+              hamming_max=rng.choice([8, 10, 12]),
+              caption_cap=rng.choice([1, 2, 3]))
+    scope = CacheScope()
+    try:
+        res = curate_images(spark.read.parquet(raw),
+                            phash_sigs=spark.read.parquet(sigs),
+                            exact=True, phash_near_dup=True, **kw)
+        got = sorted((r["image_id"], r["drop_stage"])
+                     for r in res.flagged.collect())
+    finally:
+        scope.release()
+
+    con = duckdb.connect()
+    want = sorted(tuple(r) for r in con.execute(
+        entry_mod._sql_image_curation(
+            f"{raw}/*.parquet", f"{sigs}/*.parquet",
+            row_level=True, **kw)).fetchall())
+    diffs = [(a, b) for a, b in zip(got, want) if a != b]
+    assert len(got) == len(want)
+    assert not diffs, (kw, diffs[:5])
