@@ -1136,6 +1136,29 @@ def _q_image_curation_report(spark, sf):
     return res.report
 
 
+def _q_token_drift_documents(spark, sf):
+    """Token-count-distribution drift between two corpus slices — the
+    text-axis twin of ``phash_drift_images``, composing the already-
+    twinned BPE-ish token counter with histogram binning and the
+    one-plan KS/chi²/PSI statistics (no driver arithmetic). Slices are
+    the doc_id parity split; the oracle replays the token regex, the
+    width_bucket rule, and all three statistics."""
+    from sparkschema.operators.drift import drift_statistics_histograms
+    from sparkschema.operators.stats import histogram
+    from sparkschema.operators.text import token_count
+
+    docs = spark.read.parquet(_t(sf, "documents")) \
+        .select("doc_id", token_count(F.col("text")).alias("tc"))
+    ha = histogram(docs.where(F.col("doc_id") % 2 == 0), "tc", 0, 400, 20)
+    hb = histogram(docs.where(F.col("doc_id") % 2 == 1), "tc", 0, 400, 20)
+    return drift_statistics_histograms(ha, hb).select(
+        F.round("ks", 6).alias("ks"),
+        F.round("chi2", 4).alias("chi2"),
+        "dof",
+        F.round("psi", 6).alias("psi"),
+        "n_obs", "n_exp")
+
+
 def _q_ann_lsh_embeddings(spark, sf):
     """LSH ANN with a deterministic derived check: recall of the LSH top-5
     against the exact brute-force top-5 (the already-oracled
@@ -1472,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_dups_images": _q_caption_dups_images,
         "phash_drift_images": _q_phash_drift_images,
         "image_curation_report": _q_image_curation_report,
+        "token_drift_documents": _q_token_drift_documents,
     }
 
 
@@ -2620,6 +2644,49 @@ def oracle_sql() -> dict[str, str]:
         # from the shared signature export, chunk-pigeonhole pairs +
         # recursive transitive closure, md5-priority caption cap (k=2),
         # then the stage-precedence CASE and the one-row report
+        # replays token_count (BPE-ish regex) -> width_bucket(0,400,20)
+        # histograms per parity slice -> the joined-bucket KS / floored
+        # chi-square / floored PSI, mirroring the phash_drift twin
+        "token_drift_documents": """
+            with tc as (
+              select doc_id,
+                     cast(len(regexp_extract_all(text, '{tokre}'))
+                          as double) as tc
+              from documents where text is not null),
+            o as (select case when tc < 0 then 0 when tc >= 400 then 21
+                              else cast(floor(tc / 20) as int) + 1
+                         end as bucket, count(*) as o
+                  from tc where doc_id % 2 = 0 group by 1),
+            e as (select case when tc < 0 then 0 when tc >= 400 then 21
+                              else cast(floor(tc / 20) as int) + 1
+                         end as bucket, count(*) as e
+                  from tc where doc_id % 2 = 1 group by 1),
+            j as (select coalesce(o.bucket, e.bucket) as bucket,
+                         coalesce(o.o, 0) as o, coalesce(e.e, 0) as e
+                  from o full outer join e on o.bucket = e.bucket),
+            w as (select bucket, o, e,
+                         cast(sum(o) over () as double) as n_o,
+                         cast(sum(e) over () as double) as n_e,
+                         cast(sum(o) over (order by bucket) as double) as co,
+                         cast(sum(e) over (order by bucket) as double) as ce
+                  from j),
+            terms as (
+              select o, e,
+                     abs(co / n_o - ce / n_e) as ks_t,
+                     pow(o - greatest(e * (n_o / n_e), 0.5), 2)
+                       / greatest(e * (n_o / n_e), 0.5) as chi_t,
+                     (greatest(o, 0.5) / n_o - greatest(e, 0.5) / n_e)
+                       * ln((greatest(o, 0.5) / n_o)
+                            / (greatest(e, 0.5) / n_e)) as psi_t
+              from w)
+            select round(max(ks_t), 6) as ks,
+                   round(sum(chi_t), 4) as chi2,
+                   cast(count(*) - 1 as bigint) as dof,
+                   round(sum(psi_t), 6) as psi,
+                   cast(sum(o) as bigint) as n_obs,
+                   cast(sum(e) as bigint) as n_exp
+            from terms
+        """.format(tokre=_TOKRE),
         "image_curation_report": _sql_image_curation(
             f"{_ORACLE_EXPORT}/curate_images_raw/*.parquet",
             f"{_ORACLE_EXPORT}/curate_images_sigs/*.parquet"),

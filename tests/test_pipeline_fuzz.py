@@ -46,6 +46,7 @@ DOC_QUERIES = [
     "pack_layout_documents",
     "weighted_mix_documents",
     "normalize_documents",
+    "token_drift_documents",
 ]
 
 _FIXED = [
