@@ -402,7 +402,10 @@ def bench_queries(spark, sf_dir: str, cpus: int,
                      # only string pandas_udf — tracks Arrow round-trip
                      # cost on the text column, 5k report rows)
                      "pack_layout_documents", "weighted_mix_documents",
-                     "normalize_documents"):
+                     "normalize_documents",
+                     # r5c: token-count drift (histograms + one-plan
+                     # KS/chi2/PSI — O(buckets) exchange)
+                     "token_drift_documents"):
             fn = qs[name]
             r[name] = timed(lambda f=fn: f(spark, sf_dir).collect(), runs=2)
         # events is memoized (compile-once-run-many): time a FRESH plan

@@ -104,9 +104,13 @@ def test_precedence_first_failing_stage_wins(spark):
     # tiny dims AND duplicate bytes AND bad caption -> attributed to dims
     rows = [("a-0", _img("p0", 16, 16), 16, 16, "raw", "x"),
             ("a-1", _img("p0", 16, 16), 16, 16, "raw", "x")]
-    res = curate_images(_frame(spark, rows))
-    got = {r["image_id"]: r["drop_stage"] for r in res.flagged.collect()}
-    assert got == {"a-0": "dims", "a-1": "dims"}
+    scope = CacheScope()
+    try:
+        res = curate_images(_frame(spark, rows), scope=scope)
+        got = {r["image_id"]: r["drop_stage"] for r in res.flagged.collect()}
+        assert got == {"a-0": "dims", "a-1": "dims"}
+    finally:
+        scope.release()
 
 
 def test_precomputed_sigs_match_inplace_decode(spark):
@@ -235,7 +239,8 @@ def test_image_curation_random_fuzz_vs_duckdb(spark, tmp_path, trial):
     try:
         res = curate_images(spark.read.parquet(raw),
                             phash_sigs=spark.read.parquet(sigs),
-                            exact=True, phash_near_dup=True, **kw)
+                            exact=True, phash_near_dup=True, scope=scope,
+                            **kw)
         got = sorted((r["image_id"], r["drop_stage"])
                      for r in res.flagged.collect())
     finally:
