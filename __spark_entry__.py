@@ -1136,6 +1136,23 @@ def _q_image_curation_report(spark, sf):
     return res.report
 
 
+def _q_embedding_drift(spark, sf):
+    """Embedding-space drift between the label-parity slices of the
+    embeddings table: centroid cosine + mean per-dimension |Δmean| —
+    the drift family's member for vector columns. The oracle replays
+    the per-dimension averages (unnest with ordinality), the cosine,
+    and the counts."""
+    from sparkschema.operators.similarity import embedding_centroid_drift
+
+    emb = spark.read.parquet(_t(sf, "embeddings"))
+    a = emb.where(F.col("label") % 2 == 0)
+    b = emb.where(F.col("label") % 2 == 1)
+    return embedding_centroid_drift(a, b, "embedding").select(
+        F.round("centroid_cosine", 5).alias("centroid_cosine"),
+        F.round("mean_abs_diff", 6).alias("mean_abs_diff"),
+        "dims", "n_a", "n_b")
+
+
 def _q_token_drift_documents(spark, sf):
     """Token-count-distribution drift between two corpus slices — the
     text-axis twin of ``phash_drift_images``, composing the already-
@@ -1496,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_drift_images": _q_phash_drift_images,
         "image_curation_report": _q_image_curation_report,
         "token_drift_documents": _q_token_drift_documents,
+        "embedding_drift": _q_embedding_drift,
     }
 
 
@@ -2644,6 +2662,43 @@ def oracle_sql() -> dict[str, str]:
         # from the shared signature export, chunk-pigeonhole pairs +
         # recursive transitive closure, md5-priority caption cap (k=2),
         # then the stage-precedence CASE and the one-row report
+        # replays embedding_centroid_drift: per-dimension slice means via
+        # unnest-with-ordinality (0-based pos = ord - 1), centroid
+        # cosine, mean |delta-mean|, and the per-slice counts
+        "embedding_drift": """
+            with ok as (
+              select label, embedding from embeddings
+              where embedding is not null and len(embedding) > 0
+                and len(list_filter(embedding, x -> x is null)) = 0),
+            t as (
+              select side, u.s.pos as pos, u.s.v as v from (
+                select label % 2 as side,
+                       unnest(list_transform(
+                         embedding,
+                         (x, i) -> struct_pack(pos := i - 1,
+                                               v := cast(x as double)))) as s
+                from ok) u),
+            c as (
+              select pos,
+                     avg(case when side = 0 then v end) as ca,
+                     avg(case when side = 1 then v end) as cb
+              from t group by pos),
+            m as (
+              select sum(ca * cb)
+                       / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))) as cos_,
+                     avg(abs(ca - cb)) as mad,
+                     cast(count(*) as bigint) as dims
+              from c),
+            n as (
+              select cast(sum(case when label % 2 = 0 then 1 else 0
+                           end) as bigint) as n_a,
+                     cast(sum(case when label % 2 = 1 then 1 else 0
+                           end) as bigint) as n_b
+              from ok)
+            select round(cos_, 5) as centroid_cosine,
+                   round(mad, 6) as mean_abs_diff, dims, n_a, n_b
+            from m, n
+        """,
         # replays token_count (BPE-ish regex) -> width_bucket(0,400,20)
         # histograms per parity slice -> the joined-bucket KS / floored
         # chi-square / floored PSI, mirroring the phash_drift twin

@@ -187,3 +187,48 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k))
+
+
+def embedding_centroid_drift(a: DataFrame, b: DataFrame,
+                             vec_col: str = "embedding") -> DataFrame:
+    """Slice-level embedding-space drift: one row
+    ``(centroid_cosine, mean_abs_diff, dims, n_a, n_b)`` comparing two
+    corpus slices — the embedding-axis member of the drift family
+    (numeric: KS/chi²/PSI histograms; pHash: Hamming-weight histograms;
+    this: where the two slices POINT in embedding space).
+
+    ``centroid_cosine`` is the cosine between the slices' mean vectors
+    (1.0 = same direction; an encoder swap, a scraper-source shift, or
+    a poisoning burst pulls it down long before per-row checks fire);
+    ``mean_abs_diff`` is the average per-dimension |Δmean| — sensitive
+    to small coordinate-wise shifts that barely move the angle.
+
+    Scale: ``posexplode`` + per-``pos`` average is a map-side-combined
+    aggregate — the exchange carries ``dims × partitions`` partial rows
+    regardless of corpus size; the final join/statistics run over
+    ``dims`` rows. NULL / empty vectors are excluded (they carry no
+    direction); rows are counted per slice for the caller's minimum-
+    sample gate.
+    """
+    def _ok(c):
+        return _valid_vec(c) & (F.size(c) > 0)
+
+    def centroid(df: DataFrame, name: str) -> DataFrame:
+        return (df.where(_ok(F.col(vec_col)))
+                  .select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                           .alias("pos", "v"))
+                  .groupBy("pos").agg(F.avg("v").alias(name)))
+
+    joined = centroid(a, "ca").join(centroid(b, "cb"), "pos")
+    stats = joined.agg(
+        (F.sum(F.col("ca") * F.col("cb"))
+         / (F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+            * F.sqrt(F.sum(F.col("cb") * F.col("cb")))))
+        .alias("centroid_cosine"),
+        F.avg(F.abs(F.col("ca") - F.col("cb"))).alias("mean_abs_diff"),
+        F.count(F.lit(1)).cast("long").alias("dims"))
+    n_a = a.where(_ok(F.col(vec_col))) \
+           .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    n_b = b.where(_ok(F.col(vec_col))) \
+           .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    return stats.crossJoin(n_a).crossJoin(n_b)

@@ -223,3 +223,23 @@ def test_phash_pairs_compose_with_component_resolution(spark):
     kept = near_dup_dedup(df, pairs, "image_id")
     assert sorted(r.image_id for r in kept.collect()) == \
         sorted(f"a-{i}" for i in range(10))
+
+
+def test_embedding_centroid_drift_identity_and_nulls(spark):
+    """Same slice twice -> cosine 1, zero diff; NULL / NULL-element /
+    empty vectors are excluded from both the centroid and the counts."""
+    from sparkschema.operators.similarity import embedding_centroid_drift
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None),
+            (4, [None, 1.0]), (5, [])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    same = embedding_centroid_drift(df, df).collect()[0]
+    assert same["centroid_cosine"] == pytest.approx(1.0)
+    assert same["mean_abs_diff"] == pytest.approx(0.0)
+    assert same["dims"] == 2 and same["n_a"] == 2 and same["n_b"] == 2
+
+    # orthogonal slices -> cosine 0
+    a = spark.createDataFrame([(1, [1.0, 0.0])], "id long, embedding array<double>")
+    b = spark.createDataFrame([(2, [0.0, 1.0])], "id long, embedding array<double>")
+    orth = embedding_centroid_drift(a, b).collect()[0]
+    assert orth["centroid_cosine"] == pytest.approx(0.0, abs=1e-12)
