@@ -60,12 +60,19 @@ def image_phash_pairs(df: DataFrame, bytes_col: str = "bytes",
                       id_col: str = "image_id", chunks: int = 8,
                       hamming_max: int = 10,
                       spread_partitions: int | None = None,
+                      max_bucket: int | None = None,
                       scope=None) -> DataFrame:
     """Near-duplicate image pairs ``(id_a, id_b, hamming)`` with pHash
     Hamming distance ≤ ``hamming_max`` — the shared chunk-pigeonhole
     bucketing (:func:`sparkschema.operators.dedup.hamming_pairs`; see its
     recall contract: guaranteed below ``chunks``, probabilistic tail up to
-    ``hamming_max``)."""
+    ``hamming_max``). ``max_bucket`` forwards the oversized-bucket cap —
+    at boilerplate scale (one blank/template image re-encoded millions of
+    times, every copy sharing a pHash) a single chunk bucket otherwise
+    self-joins O(N^2). Pairs confined to capped-away buckets are NOT
+    emitted (the documented recall trade; true boilerplate is better
+    handled upstream by exact byte dedup and the caption cap) — the same
+    contract as ``minhash_lsh_pairs``'s bucket cap."""
     from sparkschema.operators.dedup import hamming_pairs
 
     # persist the RAW signature frame and materialize it eagerly: the
@@ -78,7 +85,8 @@ def image_phash_pairs(df: DataFrame, bytes_col: str = "bytes",
         image_phash_frame(df, bytes_col, id_col, spread_partitions))
     raw.count()
     sigs = raw.where(F.col("phash").isNotNull())
-    return hamming_pairs(sigs, "phash", "id", chunks, hamming_max)
+    return hamming_pairs(sigs, "phash", "id", chunks, hamming_max,
+                         max_bucket=max_bucket)
 
 
 def image_phash_dedup(df: DataFrame, bytes_col: str = "bytes",

@@ -76,6 +76,7 @@ def curate_images(df: DataFrame, *,
                   phash_near_dup: bool = False,
                   phash_sigs: DataFrame | None = None,
                   chunks: int = 8, hamming_max: int = 10,
+                  max_bucket: int | None = None,
                   caption_cap: int | None = None,
                   split_weights: dict[str, float] | None = None,
                   salt: str = "",
@@ -209,7 +210,7 @@ def curate_images(df: DataFrame, *,
         pairs = hamming_pairs(
             alive_sigs.where(F.col("phash").isNotNull()),
             hash_col="phash", id_col="id", chunks=chunks,
-            hamming_max=hamming_max)
+            hamming_max=hamming_max, max_bucket=max_bucket)
         comps = near_dup_components(pairs, scope=cache_scope)
         nd_drop = (comps.where(F.col("id") != F.col("component"))
                    .select(F.col("id").alias(id_col),

@@ -243,3 +243,34 @@ def test_embedding_centroid_drift_identity_and_nulls(spark):
     b = spark.createDataFrame([(2, [0.0, 1.0])], "id long, embedding array<double>")
     orth = embedding_centroid_drift(a, b).collect()[0]
     assert orth["centroid_cosine"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_image_phash_pairs_max_bucket_caps_degenerate_hash(spark):
+    """A degenerate corpus (one template image re-encoded under many ids,
+    every copy sharing a pHash) floods every chunk bucket; max_bucket
+    removes the oversized buckets so the self-join stays bounded, at the
+    documented cost of the pairs confined to them. Distinct planted
+    twins in small buckets are still found."""
+    from sparkschema.operators.caching import CacheScope
+    from sparkschema.operators.imagedup import image_phash_pairs
+
+    rows = []
+    template = bytearray(encode(synth_pixels("tmpl", 32, 32), "raw"))
+    for i in range(30):                       # 30 byte-identical copies
+        rows.append((f"t-{i:03d}", template))
+    px = synth_pixels("pair", 32, 32)
+    rows.append(("p-a", bytearray(encode(px, "raw"))))
+    rows.append(("p-b", bytearray(encode(px, "jpg"))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+
+    scope = CacheScope()
+    try:
+        pairs = {(r.id_a, r.id_b) for r in image_phash_pairs(
+            df, hamming_max=10, max_bucket=10, scope=scope).collect()}
+        assert ("p-a", "p-b") in pairs
+        assert not any(a.startswith("t-") for a, _ in pairs), pairs
+        # uncapped: the degenerate cluster produces its full 30*29/2 pairs
+        full = image_phash_pairs(df, hamming_max=10, scope=scope).count()
+        assert full == 30 * 29 // 2 + 1
+    finally:
+        scope.release()
