@@ -135,20 +135,39 @@ def run_validation(
             cfg = req.config if isinstance(req.config, dict) else {}
             dd = dict(drift_defaults or {})
             dd.update(cfg)
+            # "kind": "phash_weight" drifts on the 64-bit hash column's
+            # Hamming-weight DISTRIBUTION (bit_count ∈ [0, 64]) instead
+            # of its raw values — equi-width buckets over a 64-bit hash
+            # space carry no signal, the weight histogram does (the
+            # north-star "phash distribution histogram" stat; see
+            # operators/imagedup.phash_weight_histogram). The fixed
+            # [0, 65)×65 binning makes stored ref_histograms portable
+            # across runs.
+            d_src, r_src, d_col = df, ref, req.column
+            if dd.get("kind") == "phash_weight":
+                d_col = f"__bw_{req.column}"
+                bw = F.bit_count(F.col(req.column)).alias(d_col)
+                d_src = df.select(bw)
+                r_src = ref.select(bw) if ref is not None else None
+                dd.setdefault("lo", 0.0)
+                dd.setdefault("hi", 65.0)
+                dd.setdefault("buckets", 65)
             if "ref_histogram" in dd:
                 # stored-histogram drift: works without a live ref table
                 from sparkschema.operators.drift import drift_check_vs_histogram
-                table_verdicts.append(drift_check_vs_histogram(
-                    df, req.column, dd["ref_histogram"],
+                res = drift_check_vs_histogram(
+                    d_src, d_col, dd["ref_histogram"],
                     lo=float(dd["lo"]), hi=float(dd["hi"]),
                     buckets=int(dd.get("buckets", 64)),
                     ks_threshold=dd.get("ks_threshold", 0.1),
-                    chi2_threshold=dd.get("chi2_threshold")))
+                    chi2_threshold=dd.get("chi2_threshold"))
+                res["check"] = f"drift:{req.column}"
+                table_verdicts.append(res)
                 continue
             if ref is None:
                 continue
-            stats = df.agg(F.min(req.column).cast("double"),
-                           F.max(req.column).cast("double")).collect()[0] \
+            stats = d_src.agg(F.min(d_col).cast("double"),
+                              F.max(d_col).cast("double")).collect()[0] \
                 if ("lo" not in dd or "hi" not in dd) else None
             # an empty / all-NULL column infers min/max as None — fall
             # back to a degenerate [0,1) range; the drift verdict then
@@ -160,10 +179,11 @@ def run_validation(
             if hi is None:
                 hi = (stats[1] if stats and stats[1] is not None else 1.0) \
                     + 1e-9
-            res = drift_check(df, ref, req.column, lo, hi,
+            res = drift_check(d_src, r_src, d_col, lo, hi,
                               buckets=int(dd.get("buckets", 64)),
                               ks_threshold=dd.get("ks_threshold", 0.1),
                               chi2_threshold=dd.get("chi2_threshold"))
+            res["check"] = f"drift:{req.column}"
             table_verdicts.append(res)
 
         elif req.kind == "roundtrip":

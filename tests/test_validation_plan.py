@@ -257,3 +257,37 @@ def test_manifest_phash_histogram_drifts_next_run(spark, tmp_path, images):
     for m in r2.unit_metrics:
         replayed += [tuple(x) for x in m["phash_hist"]]
     assert sorted(replayed) == sorted(stored)
+
+
+def test_x_drift_phash_weight_kind(spark, images):
+    """x-drift {"kind": "phash_weight"} drifts on the Hamming-weight
+    distribution of the 64-bit hash column (equi-width buckets over raw
+    hash values carry no signal). Same distribution passes; a planted
+    low-byte-forced shift fails; the verdict reports the PUBLIC column
+    name, and other requests in the same run are unaffected."""
+    spec = {"properties": {
+        "phash": {"x-drift": {"kind": "phash_weight",
+                              "ks_threshold": 0.05},
+                  "x-unique": ["image_id"]}}}
+    same = run_validation(spec, images, key_cols=["image_id"], ref=images)
+    d = [v for v in same.table_verdicts if v["check"] == "drift:phash"]
+    assert len(d) == 1 and d[0]["pass"] and d[0]["ks"] == 0.0
+
+    shifted = images.withColumn(
+        "phash", F.col("phash").bitwiseOR(F.lit(255)))
+    bad = run_validation(spec, shifted, key_cols=["image_id"], ref=images)
+    db = [v for v in bad.table_verdicts if v["check"] == "drift:phash"]
+    assert len(db) == 1 and not db[0]["pass"] and db[0]["ks"] > 0.05
+
+    # stored-histogram path with the same fixed [0,65)x65 binning
+    from sparkschema.operators.stats import histogram
+    stored = [(r["bucket"], r["cnt"]) for r in histogram(
+        images.select(F.bit_count("phash").alias("bw")),
+        "bw", 0, 65, 65).collect()]
+    spec2 = {"properties": {
+        "phash": {"x-drift": {"kind": "phash_weight",
+                              "ref_histogram": stored,
+                              "ks_threshold": 0.05}}}}
+    again = run_validation(spec2, images, key_cols=["image_id"])
+    d2 = [v for v in again.table_verdicts if v["check"] == "drift:phash"]
+    assert len(d2) == 1 and d2[0]["pass"]
