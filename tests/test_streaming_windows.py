@@ -147,3 +147,60 @@ def test_sessionize_streaming_matches_batch_for_closed_sessions(spark, tmp_path)
     want = sorted((r.user_id, r.session_start, r.session_end, r.n_events)
                   for r in batch.collect() if r.user_id != 99)
     assert got == want and len(got) == 3
+
+
+def test_windowed_phash_weight_counts_match_batch(spark, tmp_path):
+    """Streaming per-window Hamming-weight histograms equal the batch
+    groupBy on the same rows (stateless projection + windowed count under
+    availableNow), and their totals feed the drift twin."""
+    from pyspark.sql import functions as F
+
+    from sparkschema.sources.synthetic import images_df
+    from sparkschema.streaming.validate_stream import \
+        windowed_phash_weight_counts
+
+    src = str(tmp_path / "phash_src")
+    imgs = images_df(spark, 600, partitions=2).select("image_id", "phash")
+    ts = F.timestamp_seconds(
+        F.lit(1_700_000_000)
+        + (F.abs(F.xxhash64("image_id")) % 7200))  # spread over 2 windows
+    withts = imgs.withColumn(
+        "ts", ts).withColumn(
+        "phash", F.when(F.col("image_id").endswith("7"), None)
+                  .otherwise(F.col("phash")))
+    # append mode emits only watermark-CLOSED windows: a far-future
+    # sentinel advances the final watermark past the real windows (its
+    # own window stays open and is excluded from both sides)
+    sentinel = spark.createDataFrame(
+        [("zz-sentinel", 7, 1_700_000_000 + 86_400 * 3)],
+        "image_id string, phash long, epoch long").select(
+        "image_id", "phash", F.timestamp_seconds("epoch").alias("ts"))
+    withts.unionByName(sentinel).write.parquet(src)
+    cutoff = 1_700_000_000 + 86_400
+
+    stream = spark.readStream.schema(
+        "image_id string, phash long, ts timestamp").parquet(src)
+    q = (windowed_phash_weight_counts(stream, "ts", window="1 hour",
+                                      watermark="0 seconds")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("phash_hist_stream")
+         .option("checkpointLocation", str(tmp_path / "ck_ph"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window"]["start"], r["bucket"]): r["cnt"]
+           for r in spark.sql("select * from phash_hist_stream").collect()}
+
+    batch = {(r["w"]["start"], r["bucket"]): r["cnt"]
+             for r in (spark.read.parquet(src)
+                       .where(F.col("phash").isNotNull()
+                              & (F.col("ts")
+                                 < F.timestamp_seconds(F.lit(cutoff))))
+                       .groupBy(F.window("ts", "1 hour").alias("w"),
+                                F.bit_count("phash").alias("bucket"))
+                       .agg(F.count(F.lit(1)).alias("cnt"))).collect()}
+    assert got == batch and len(got) > 10
+    n_valid = (spark.read.parquet(src)
+               .where(F.col("phash").isNotNull()
+                      & (F.col("ts")
+                         < F.timestamp_seconds(F.lit(cutoff)))).count())
+    assert sum(got.values()) == n_valid
