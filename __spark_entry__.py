@@ -1399,8 +1399,13 @@ def _q_pack_layout_documents(spark, sf):
     return (stats.join(wit, "bucket")
             .select(F.col("bucket").cast("int").alias("bucket"),
                     "n_docs", "total_tokens", "n_straddles", "n_packs",
-                    F.floor(F.col("total_tokens") * F.lit(1000000) /
-                            (F.col("n_packs") * F.lit(2048)))
+                    # n_packs=0 (an all-empty-text bucket) must yield
+                    # NULL, not an ANSI DIVIDE_BY_ZERO crash — the same
+                    # guard pack_stats puts on fill_efficiency
+                    # (review find r5)
+                    F.when(F.col("n_packs") > 0,
+                           F.floor(F.col("total_tokens") * F.lit(1000000) /
+                                   (F.col("n_packs") * F.lit(2048))))
                      .cast("long").alias("fill_ppm"),
                     "assign_witness", "max_pack"))
 
@@ -2908,9 +2913,10 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(pack_last - pack_first) as bigint)
                      as n_straddles,
                    cast(ceil(sum(tokens) / 2048.0) as bigint) as n_packs,
-                   cast(floor(sum(tokens) * 1000000 /
-                              (ceil(sum(tokens) / 2048.0) * 2048))
-                        as bigint) as fill_ppm,
+                   cast(case when ceil(sum(tokens) / 2048.0) > 0
+                        then floor(sum(tokens) * 1000000 /
+                                   (ceil(sum(tokens) / 2048.0) * 2048))
+                        end as bigint) as fill_ppm,
                    cast(sum(doc_id * pack_first) as bigint)
                      as assign_witness,
                    cast(max(pack_last) as bigint) as max_pack

@@ -284,6 +284,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
        join, no string arrays yet).
     3. **exact verify** — only surviving pairs join to shingle sets for
        the exact ``|∩|/|∪|``.
+
+    **Reproducibility note on ``signature_impl='auto'`` (the default):**
+    the expr and numpy signature kernels are different hash families, so
+    their LSH candidate recall differs — every emitted pair is still an
+    exact-verified true positive, but the FALSE-NEGATIVE set changes
+    when a growing corpus crosses the 64 MiB auto threshold, and
+    ``minhash_dedup`` survivors can churn between adjacent incremental
+    runs. Pipelines persisting dedup decisions across runs should pin
+    ``signature_impl`` ('expr' or 'numpy') explicitly; 'auto' is for
+    one-shot jobs where only within-run determinism matters.
     """
     rows = num_hashes // bands
 

@@ -33,9 +33,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Java∩RE2-safe control-character class (same dialect contract as
-# operators/pii.py): C0 controls minus \t\n\r, plus DEL.
-_CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+# ONE control-character class for the whole engine: the caption
+# printable-ratio gate must agree character-for-character with the text
+# scrub (and with the DuckDB twin strings) — a second hand-maintained
+# copy here silently desynchronized on the next edit (review find r5).
+from sparkschema.operators.normalize import _CONTROL_CLASS as _CTRL_CLASS
 
 
 def caption_printable_ratio(caption: Column) -> Column:

@@ -240,10 +240,17 @@ def domain_counts(df, text_col: str, id_col: str | None = None):
     space; heavy-hitter domains collapse in the map-side partial).
     NULL/URL-free texts contribute nothing.
     """
-    doc = (F.col(id_col) if id_col is not None
-           else F.monotonically_increasing_id())
-    u = df.select(doc.alias("__doc"),
-                  F.explode(urls(F.col(text_col))).alias("u"))
+    if id_col is not None:
+        base = df.select(F.col(id_col).alias("__doc"), F.col(text_col))
+    else:
+        # the synthetic id must be stamped in a projection BELOW the
+        # explode: inside the same select, ExtractGenerator re-evaluates
+        # the nondeterministic expression once per GENERATED row, so
+        # every URL got a fresh id and n_docs degenerated to n_urls
+        # (review find r5, confirmed live)
+        base = df.select(F.col(text_col)) \
+                 .withColumn("__doc", F.monotonically_increasing_id())
+    u = base.select("__doc", F.explode(urls(F.col(text_col))).alias("u"))
     return (u.select("__doc", url_domain(F.col("u")).alias("domain"))
              .where(F.col("domain") != "")
              .groupBy("domain")
@@ -281,19 +288,22 @@ def contamination_flags(df, text_col: str, id_col: str, bench_df,
     Scale: the benchmark side is small by construction (eval suites are
     thousands of documents, not billions), so its distinct gram set
     broadcasts and the corpus side joins without shuffling its own
-    exploded grams — a billion-document corpus stays map-side. The
-    corpus explode is transient (gram rows never aggregate globally;
-    the groupBy key is the already-partitioned doc id). NULL/short
-    texts produce no grams and cannot be flagged.
+    exploded grams — a billion-document corpus stays map-side. Per-doc
+    gram dedup is ``array_distinct`` BEFORE the explode (row-local, no
+    exchange); a global ``.distinct()`` on the exploded corpus grams
+    would shuffle ~n_tokens rows per document — more than the corpus
+    itself (review find r5). The groupBy key is the doc id, so the only
+    corpus-side exchange carries the (rare) contaminated hits.
+    NULL/short texts produce no grams and cannot be flagged.
     """
     bench_grams = (bench_df
                    .select(F.explode(word_ngrams(F.col(bench_text_col), n))
                             .alias("gram"))
                    .distinct())
-    doc_grams = (df.select(F.col(id_col),
-                           F.explode(word_ngrams(F.col(text_col), n))
-                            .alias("gram"))
-                   .distinct())
+    doc_grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n)))
+         .alias("gram"))
     return (doc_grams.join(F.broadcast(bench_grams), "gram")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))

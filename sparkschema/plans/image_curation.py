@@ -104,7 +104,10 @@ def curate_images(df: DataFrame, *,
       :func:`~sparkschema.operators.dedup.hamming_pairs`) resolved to
       clusters by min-label propagation; each cluster's minimum
       reachable id survives. Pass ``phash_sigs`` (``(id, phash)``) to
-      reuse persisted signatures; otherwise survivors are decoded here.
+      reuse persisted signatures — survivors missing from the table
+      (ingested after it was materialized) are decoded in place, so a
+      stale table costs a decode of the new rows, never a wrong drop;
+      without the argument all survivors are decoded here.
     - ``caption_cap``: keep at most k images per NORMALIZED caption
       (boilerplate "stock photo" captions), deterministic md5 priority
       (:func:`~sparkschema.operators.sampling.cap_per_group`); NULL /
@@ -188,12 +191,24 @@ def curate_images(df: DataFrame, *,
     if phash_near_dup:
         from sparkschema.operators.dedup import (hamming_pairs,
                                                  near_dup_components)
+        from sparkschema.operators.imagedup import image_phash_frame
         alive = flagged.where(F.col("__stage").isNull())
         if phash_sigs is not None:
-            sigs_used = phash_sigs.select(F.col(phash_sigs.columns[0])
-                                          .alias("id"), "phash")
+            provided = phash_sigs.select(F.col(phash_sigs.columns[0])
+                                         .alias("id"), "phash")
+            # survivors ABSENT from the reused table were never decoded
+            # (images ingested after the table was materialized) — decode
+            # exactly those in place; a bare left join classified every
+            # missing id 'undecodable' and silently dropped perfectly
+            # decodable images (review find r5). The anti-join ships ids
+            # only; the decode pays for just the truly-new rows, which is
+            # the incremental bill the materialize-once shape promises.
+            fresh = image_phash_frame(
+                alive.join(provided.select(F.col("id").alias(id_col)),
+                           on=id_col, how="left_anti"),
+                bytes_col=bytes_col, id_col=id_col)
+            sigs_used = provided.unionByName(fresh)
         else:
-            from sparkschema.operators.imagedup import image_phash_frame
             sigs_used = image_phash_frame(alive, bytes_col=bytes_col,
                                           id_col=id_col)
         alive_sigs = cache_scope.persist(

@@ -72,16 +72,14 @@ class Manifest:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(meta, f)
         try:
-            # heal a torn _meta.json left by a pre-link-era crash: unlink
-            # the unparseable file so one racer's link can win cleanly
-            if os.path.exists(final) and not self.meta():
-                try:
-                    os.unlink(final)
-                except OSError:
-                    pass
-            os.link(tmp, final)
-        except FileExistsError:
-            pass
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                # existing pin is either good (normal losing racer) or a
+                # torn file left by a pre-link-era crash — heal the
+                # latter under an exclusive lock (see _heal_torn_meta)
+                if not self.meta():
+                    self._heal_torn_meta(tmp, final)
         finally:
             try:
                 os.unlink(tmp)
@@ -91,6 +89,52 @@ class Manifest:
         # meta() swallows a torn/concurrent read as {} — fall back to our
         # own value rather than proceeding unpinned
         return authoritative if authoritative else meta
+
+    def _heal_torn_meta(self, tmp: str, final: str) -> None:
+        """Repair a torn legacy ``_meta.json`` so a pin can land.
+
+        The heal (unlink the unparseable file, link our complete tmp)
+        must be EXCLUSIVE: with two concurrent healers, B's unlink could
+        remove A's freshly linked GOOD pin and re-open the divergence
+        pinning exists to prevent (review find r5). An ``O_EXCL`` lock
+        file serializes it — exactly one racer heals; losers spin-read
+        until the winner's pin parses (microseconds away). A lock older
+        than 60 s is a healer that died mid-heal: steal it and retry. If
+        no parseable pin appears within the deadline the caller's
+        own-value fallback applies, same residual as any torn read."""
+        lock = final + ".heal.lock"
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if self.meta():
+                    return  # the winning healer's pin landed
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60.0:
+                        os.unlink(lock)  # stale lock: healer crashed
+                        continue
+                except OSError:
+                    continue  # lock vanished between open and stat
+                time.sleep(0.05)
+                continue
+            os.close(fd)
+            try:
+                if not self.meta():  # re-check under the lock
+                    try:
+                        os.unlink(final)
+                    except OSError:
+                        pass
+                    try:
+                        os.link(tmp, final)
+                    except FileExistsError:
+                        pass
+            finally:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+            return
 
     def completed(self) -> dict[str, dict]:
         out = {}
