@@ -2690,7 +2690,8 @@ def oracle_sql() -> dict[str, str]:
               from t group by pos),
             m as (
               select sum(ca * cb)
-                       / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))) as cos_,
+                       / greatest(sqrt(sum(ca * ca)) * sqrt(sum(cb * cb)),
+                                  1e-12) as cos_,
                      avg(abs(ca - cb)) as mad,
                      cast(count(*) as bigint) as dims
               from c),

@@ -220,10 +220,14 @@ def embedding_centroid_drift(a: DataFrame, b: DataFrame,
                   .groupBy("pos").agg(F.avg("v").alias(name)))
 
     joined = centroid(a, "ca").join(centroid(b, "cb"), "pos")
+    # the norm product is floored like cosine_expr's: a degenerate slice
+    # whose per-dimension means all cancel to exactly 0 must yield a
+    # harmless ~0 cosine, not an ANSI DIVIDE_BY_ZERO job crash
     stats = joined.agg(
         (F.sum(F.col("ca") * F.col("cb"))
-         / (F.sqrt(F.sum(F.col("ca") * F.col("ca")))
-            * F.sqrt(F.sum(F.col("cb") * F.col("cb")))))
+         / F.greatest(F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                      * F.sqrt(F.sum(F.col("cb") * F.col("cb"))),
+                      F.lit(1e-12)))
         .alias("centroid_cosine"),
         F.avg(F.abs(F.col("ca") - F.col("cb"))).alias("mean_abs_diff"),
         F.count(F.lit(1)).cast("long").alias("dims"))

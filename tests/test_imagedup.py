@@ -245,6 +245,22 @@ def test_embedding_centroid_drift_identity_and_nulls(spark):
     assert orth["centroid_cosine"] == pytest.approx(0.0, abs=1e-12)
 
 
+def test_embedding_centroid_drift_zero_centroid_no_ansi_crash(spark):
+    """A slice whose vectors cancel to the exact-zero centroid must yield
+    a harmless ~0 cosine (norm product floored at 1e-12, like
+    cosine_expr), not an ANSI DIVIDE_BY_ZERO job crash."""
+    from sparkschema.operators.similarity import embedding_centroid_drift
+
+    zero = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [-1.0, 2.0])],
+        "id long, embedding array<double>")
+    other = spark.createDataFrame(
+        [(3, [1.0, 1.0])], "id long, embedding array<double>")
+    row = embedding_centroid_drift(zero, other).collect()[0]
+    assert row["centroid_cosine"] == pytest.approx(0.0, abs=1e-9)
+    assert row["n_a"] == 2 and row["n_b"] == 1
+
+
 def test_image_phash_pairs_max_bucket_caps_degenerate_hash(spark):
     """A degenerate corpus (one template image re-encoded under many ids,
     every copy sharing a pHash) floods every chunk bucket; max_bucket
