@@ -255,32 +255,53 @@ def test_resize_images_roundtrip(spark):
 def test_cache_scope_releases_operator_caches(spark, documents):
     """VERDICT r3 #3: operator-internal persist() must be releasable — two
     sequential minhash_lsh_pairs runs leave zero cached RDDs after
-    cleanup (explicit CacheScope and the default-scope sweep both)."""
+    cleanup (explicit CacheScope and the default-scope sweep both).
+
+    Tracked by RDD *id set*, not count: CacheScope.__exit__ unpersists
+    non-blocking, and Spark's GC-driven ContextCleaner can drop an
+    unrelated earlier cache entry mid-test — both broke an exact-count
+    baseline comparison (full-suite flake, r5)."""
+    import time
+
     from sparkschema.operators.caching import (CacheScope,
                                                release_default_cache)
 
-    def cached_count():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids() -> set:
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    def wait_released(created: set) -> set:
+        for _ in range(60):              # async unpersist: bounded wait
+            left = persistent_ids() & created
+            if not left:
+                return left
+            time.sleep(0.25)
+        return persistent_ids() & created
 
     release_default_cache(blocking=True)  # start clean
-    base = cached_count()
+    base = persistent_ids()
     df = documents.limit(50).select("doc_id", "text")
 
     with CacheScope() as scope:
         pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=16,
                                         bands=4, scope=scope)
         pairs.count()  # consume inside the scope
-        assert cached_count() > base  # the signature caches exist...
-    assert cached_count() == base     # ...and exit released them
+        created = persistent_ids() - base
+        assert created                 # the signature caches exist...
+    assert wait_released(created) == set()   # ...and exit released them
 
     # default scope: two invocations accumulate, one sweep clears
     dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=16,
                             bands=4).count()
     dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=16,
                             bands=4).count()
-    assert cached_count() > base
+    created = persistent_ids() - base
+    assert created
     release_default_cache(blocking=True)
-    assert cached_count() == base
+    assert wait_released(created) == set()
 
 
 def test_ngram_repetition(spark):
