@@ -985,6 +985,23 @@ def _q_caption_dups_images(spark, sf):
     return duplicate_caption_groups(spark.read.parquet(path))
 
 
+def _q_aspect_buckets_images(spark, sf):
+    """Aspect-ratio training-bucket occupancy over the shared quality
+    export. The nearest-bucket rule is evaluated exactly in int64
+    (geometric-midpoint boundary crossings — no ``ln`` in either plan),
+    so the oracle replays the identical integer CASE sum, the 1-based
+    ``list_extract`` bucket lookup, and the exact-fit cross-product
+    count; all-integer output hashes bit-for-bit. Reference parity:
+    nearest-member assignment over a closed literal set — the graded
+    image-table analog of enum membership
+    (AnyConstraintValidators.scala)."""
+    from sparkschema.operators.imagequality import aspect_bucket_report
+
+    path = _quality_images_export(spark)
+    return aspect_bucket_report(
+        spark.read.parquet(path).select("image_id", "w", "h"))
+
+
 def _phash_drift_export(spark) -> str:
     """Two-slice pHash export for the drift oracle: a seeded reference
     slice plus a "current" slice with planted drift (30% of rows get the
@@ -1515,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_container_meta": _q_image_container_meta,
         "image_quality_images": _q_image_quality_images,
         "caption_dups_images": _q_caption_dups_images,
+        "aspect_buckets_images": _q_aspect_buckets_images,
         "phash_drift_images": _q_phash_drift_images,
         "image_curation_report": _q_image_curation_report,
         "token_drift_documents": _q_token_drift_documents,
@@ -1875,6 +1893,11 @@ def oracle_sql() -> dict[str, str]:
     # common subset — see text.URL_REGEX); embedded verbatim so the
     # two engines can never drift apart silently
     from sparkschema.operators.text import URL_REGEX as _URL_REGEX_SQL
+
+    # the SAME bucket ladder the engine assigns against, so the twin's
+    # integer boundary products can never drift from the operator's
+    from sparkschema.operators.imagequality import (
+        ASPECT_BUCKETS as _ASPECT_BK)
 
     norm_text = _NORM.format(c="text")
     # PII oracle pieces: the SAME pattern strings the engine compiles
@@ -2622,6 +2645,44 @@ def oracle_sql() -> dict[str, str]:
             having count(*) >= 2
         """.format(export=_ORACLE_EXPORT,
                    norm=_NORM.format(c="caption")),
+        # replays aspect_bucket_report: the exact int64 boundary-
+        # crossing sum (geometric midpoints as adjacent cross products —
+        # no floats anywhere), 1-based list_extract bucket lookup, and
+        # the exact-fit cross-product count; invalid dims group under
+        # the NULL-bucket row
+        "aspect_buckets_images": """
+            with imgs as (
+              select w, h from '{export}/quality_images/*.parquet'),
+            a as (
+              select w, h,
+                     case when w is null or h is null or w <= 0 or h <= 0
+                          then null else {terms} end as raw_bucket
+              from imgs),
+            b as (
+              select w, h,
+                     cast(raw_bucket as integer) as bucket_id,
+                     cast(list_extract({ws}, raw_bucket + 1) as integer)
+                       as bucket_w,
+                     cast(list_extract({hs}, raw_bucket + 1) as integer)
+                       as bucket_h
+              from a)
+            select bucket_id, bucket_w, bucket_h,
+                   cast(count(*) as bigint) as n_images,
+                   coalesce(cast(sum(case when cast(w as bigint) * bucket_h
+                                          = cast(h as bigint) * bucket_w
+                                     then 1 else 0 end) as bigint), 0)
+                     as n_exact_fit
+            from b
+            group by bucket_id, bucket_w, bucket_h
+        """.format(
+            export=_ORACLE_EXPORT,
+            terms=" + ".join(
+                "case when cast(w as bigint) * w * {bh} >"
+                " cast(h as bigint) * h * {bw} then 1 else 0 end".format(
+                    bh=ah * bh2, bw=aw * bw2)
+                for (aw, ah), (bw2, bh2) in zip(_ASPECT_BK, _ASPECT_BK[1:])),
+            ws="[" + ", ".join(str(bw) for bw, _ in _ASPECT_BK) + "]",
+            hs="[" + ", ".join(str(bh) for _, bh in _ASPECT_BK) + "]"),
         # replays phash_weight_histogram + drift_statistics_histograms:
         # bit_count Hamming-weight buckets per side, full-outer join,
         # window-cumsum KS, chi-square on 0.5-floored scaled

@@ -274,7 +274,8 @@ def bench_queries(spark, sf_dir: str, cpus: int,
     from sparkschema.compiler.table import compile_table_spec
     cts = compile_table_spec(FLAGSHIP_SPEC, imgs, key_cols=["image_id"])
 
-    from sparkschema.operators.imagequality import image_quality_report
+    from sparkschema.operators.imagequality import (
+        aspect_bucket_report, image_quality_report)
 
     def g_flagship_table() -> dict[str, float]:
         warm_page_cache(IMAGE_TABLE)
@@ -288,6 +289,11 @@ def bench_queries(spark, sf_dir: str, cpus: int,
             "image_quality_gate": timed(
                 lambda: image_quality_report(
                     imgs, bytes_col=None).collect()),
+            # aspect-ratio training-bucket occupancy over the same 20 M
+            # rows: a fixed-size sum of int64 comparisons fused into the
+            # scan plus one tiny (≤k+1 group) aggregation exchange
+            "image_aspect_buckets": timed(
+                lambda: aspect_bucket_report(imgs).collect()),
             "image_uniqueness_salted": timed(
                 lambda: duplicate_keys(imgs, "image_id").count()),
             "image_ref_anti_join": timed(

@@ -170,3 +170,92 @@ def duplicate_caption_groups(df: DataFrame, caption_col: str = "caption",
                F.min(id_col).alias("min_id"))
           .where(F.col("n_rows") >= min_group)
     )
+
+
+# Constant-area training-bucket ladder (the ~1 MPx set used by
+# aspect-bucketed image-model training); override per training recipe.
+ASPECT_BUCKETS: list[tuple[int, int]] = [
+    (512, 2048), (640, 1536), (768, 1344), (896, 1152), (1024, 1024),
+    (1152, 896), (1344, 768), (1536, 640), (2048, 512),
+]
+
+
+def _checked_buckets(buckets) -> list[tuple[int, int]]:
+    bk = [(int(bw), int(bh))
+          for bw, bh in (ASPECT_BUCKETS if buckets is None else buckets)]
+    if not bk or any(bw <= 0 or bh <= 0 for bw, bh in bk):
+        raise ValueError("aspect buckets must be positive (w, h) pairs")
+    # strictly increasing ratios make the boundary rule well-defined;
+    # compare as exact cross products, never floats
+    for (aw, ah), (bw, bh) in zip(bk, bk[1:]):
+        if aw * bh >= bw * ah:
+            raise ValueError(
+                "aspect buckets must be sorted by strictly increasing w/h")
+    return bk
+
+
+def aspect_bucket_assign(df: DataFrame,
+                         buckets: list[tuple[int, int]] | None = None,
+                         w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """Assign each image to its nearest aspect-ratio training bucket.
+
+    Appends ``(bucket_id, bucket_w, bucket_h)``. "Nearest" is in
+    log-ratio space (the symmetric notion: a 2:1 image is as far from
+    1:1 as a 1:2 image), but the comparison is evaluated EXACTLY in
+    int64 — no ``ln`` in the plan, so the assignment can never flip
+    between engines or platforms on a float ulp. With buckets sorted by
+    ratio, nearest-in-log-ratio is equivalent to counting the geometric
+    midpoints the image ratio exceeds::
+
+        |ln r - ln b_j| > |ln r - ln b_{j+1}|   iff   r^2 > b_j * b_{j+1}
+        r^2 > b_j*b_{j+1}   iff   w^2 * bh_j*bh_{j+1} > h^2 * bw_j*bw_{j+1}
+
+    so ``bucket_id = sum_j [w^2*BH_j > h^2*BW_j]`` over the k-1 adjacent
+    products — a fixed-size sum of codegen'd int64 comparisons fused
+    into the scan (w,h <= 65535 and bucket sides <= 2^15 stay far below
+    int64 overflow). Exact boundary ties take the LOWER bucket on every
+    engine (strict >). NULL or non-positive dims get NULL bucket
+    columns — dims validity is the dims gate's business upstream.
+
+    At 10^12 rows: this is a projection (zero exchange, zero Python);
+    follow with ``df.repartition("bucket_id")`` to co-locate each bucket
+    for shard writing, and the per-bucket row counts from
+    :func:`aspect_bucket_report` size that repartition. Reference
+    parity: the nearest-member assignment is the image-table analog of
+    the reference's enum membership over a closed literal set
+    (AnyConstraintValidators.scala enum), graded instead of boolean.
+    """
+    bk = _checked_buckets(buckets)
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    bucket_id = F.lit(0)
+    for (aw, ah), (bw, bh) in zip(bk, bk[1:]):
+        bucket_id = bucket_id + (
+            (w * w * F.lit(ah * bh)) > (h * h * F.lit(aw * bw))
+        ).cast("int")
+    bucket_id = F.when(valid, bucket_id).otherwise(F.lit(None).cast("int"))
+    ws = F.array(*[F.lit(bw) for bw, _ in bk])
+    hs = F.array(*[F.lit(bh) for _, bh in bk])
+    return (df.withColumn("bucket_id", bucket_id)
+              .withColumn("bucket_w", F.get(ws, F.col("bucket_id")))
+              .withColumn("bucket_h", F.get(hs, F.col("bucket_id"))))
+
+
+def aspect_bucket_report(df: DataFrame,
+                         buckets: list[tuple[int, int]] | None = None,
+                         w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """Per-bucket occupancy: ``(bucket_id, bucket_w, bucket_h, n_images,
+    n_exact_fit)`` — one map-side-combined aggregation over at most
+    k+1 groups (invalid-dims rows surface as the NULL-bucket row rather
+    than vanishing). ``n_exact_fit`` counts images already exactly at
+    the bucket ratio (``w*bucket_h == h*bucket_w``, exact int64) — the
+    rows a bucketed resize would not distort. All-integer output, so
+    differential twins hash bit-for-bit."""
+    a = aspect_bucket_assign(df, buckets, w_col=w_col, h_col=h_col)
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    fit = (w * F.col("bucket_h") == h * F.col("bucket_w")).cast("long")
+    return (a.groupBy("bucket_id", "bucket_w", "bucket_h")
+             .agg(F.count(F.lit(1)).alias("n_images"),
+                  F.coalesce(F.sum(fit), F.lit(0)).alias("n_exact_fit")))

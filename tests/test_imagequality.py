@@ -249,3 +249,116 @@ def test_quality_frame_is_streaming_safe(spark, tmp_path):
     got = {r["image_id"]: (r["drop_reason"], r["keep"])
            for r in spark.sql("select * from imgq_stream").collect()}
     assert got == batch
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio training buckets
+
+
+def _dims(spark, rows):
+    return spark.createDataFrame(rows, "image_id string, w int, h int")
+
+
+def _ref_bucket(w, h, buckets):
+    """Exact pure-Python reference: same int boundary-crossing rule."""
+    if w is None or h is None or w <= 0 or h <= 0:
+        return None
+    bid = 0
+    for (aw, ah), (bw, bh) in zip(buckets, buckets[1:]):
+        if w * w * ah * bh > h * h * aw * bw:
+            bid += 1
+    return bid
+
+
+def test_aspect_assign_matches_log_argmin(spark):
+    """The int64 rule IS nearest-in-log-ratio: cross-check every seeded
+    (w, h) against a float argmin over the ladder (away from exact
+    ties, where floats are trustworthy)."""
+    import math
+    import random
+
+    from sparkschema.operators.imagequality import (
+        ASPECT_BUCKETS, aspect_bucket_assign)
+
+    rng = random.Random(20260915)
+    rows = [(f"r-{i}", rng.randint(1, 4096), rng.randint(1, 4096))
+            for i in range(300)]
+    out = {r.image_id: r for r in
+           aspect_bucket_assign(_dims(spark, rows)).collect()}
+    for iid, w, h in rows:
+        got = out[iid].bucket_id
+        assert got == _ref_bucket(w, h, ASPECT_BUCKETS), (iid, w, h)
+        lr = math.log(w / h)
+        d = [abs(lr - math.log(bw / bh)) for bw, bh in ASPECT_BUCKETS]
+        assert got == d.index(min(d)), (iid, w, h)
+        assert (out[iid].bucket_w, out[iid].bucket_h) == ASPECT_BUCKETS[got]
+
+
+def test_aspect_boundary_tie_takes_lower_bucket(spark):
+    """An exact geometric-midpoint tie (r^2 == b_i*b_j) must take the
+    LOWER bucket on every engine — strict >, no float wobble."""
+    from sparkschema.operators.imagequality import aspect_bucket_assign
+
+    out = aspect_bucket_assign(
+        _dims(spark, [("sq", 777, 777)]), buckets=[(1, 2), (2, 1)]
+    ).collect()[0]
+    assert out.bucket_id == 0 and (out.bucket_w, out.bucket_h) == (1, 2)
+
+
+def test_aspect_invalid_dims_get_null_bucket(spark):
+    from sparkschema.operators.imagequality import aspect_bucket_assign
+
+    rows = [("n1", None, 256), ("n2", 256, None), ("z", 0, 100),
+            ("neg", 100, -5), ("ok", 256, 256)]
+    out = {r.image_id: r for r in
+           aspect_bucket_assign(_dims(spark, rows)).collect()}
+    for iid in ("n1", "n2", "z", "neg"):
+        r = out[iid]
+        assert r.bucket_id is None and r.bucket_w is None \
+            and r.bucket_h is None, r
+    assert out["ok"].bucket_id is not None
+
+
+def test_aspect_bucket_validation(spark):
+    from sparkschema.operators.imagequality import aspect_bucket_assign
+
+    df = _dims(spark, [("a", 1, 1)])
+    with pytest.raises(ValueError):
+        aspect_bucket_assign(df, buckets=[(2, 1), (1, 2)])  # unsorted
+    with pytest.raises(ValueError):
+        aspect_bucket_assign(df, buckets=[(1, 1), (1, 1)])  # equal ratio
+    with pytest.raises(ValueError):
+        aspect_bucket_assign(df, buckets=[(1, 1), (0, 2)])  # non-positive
+    with pytest.raises(ValueError):
+        aspect_bucket_assign(df, buckets=[])
+
+
+def test_aspect_report_conserves_and_counts_exact_fits(spark):
+    from sparkschema.operators.imagequality import aspect_bucket_report
+
+    rows = [("a", 64, 512), ("b", 512, 64), ("c", 256, 256),
+            ("d", 128, 256), ("e", None, 9), ("f", 3, 0)]
+    rep = aspect_bucket_report(_dims(spark, rows)).collect()
+    assert sum(r.n_images for r in rep) == len(rows)
+    by_id = {r.bucket_id: r for r in rep}
+    assert by_id[None].n_images == 2 and by_id[None].n_exact_fit == 0
+    # 256x256 sits exactly on the 1024x1024 bucket ratio
+    assert by_id[4].n_exact_fit == 1
+    # 64x512 (1:8) lands in bucket 0 (1:4) but is NOT an exact fit
+    assert by_id[0].n_images == 1 and by_id[0].n_exact_fit == 0
+
+
+def test_aspect_assign_is_shuffle_and_python_free(spark, tmp_path):
+    from sparkschema.operators.imagequality import (
+        aspect_bucket_assign, aspect_bucket_report)
+
+    path = str(tmp_path / "dims")
+    _dims(spark, [("a", 640, 480)]).write.parquet(path)
+    plan = aspect_bucket_assign(spark.read.parquet(path)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    rplan = aspect_bucket_report(spark.read.parquet(path)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert rplan.count("Exchange") <= 2  # partial→final (+AQE read)
+    assert "Python" not in rplan
