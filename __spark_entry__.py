@@ -2656,6 +2656,7 @@ def oracle_sql() -> dict[str, str]:
             a as (
               select w, h,
                      case when w is null or h is null or w <= 0 or h <= 0
+                               or w > 2147483647 or h > 2147483647
                           then null else {terms} end as raw_bucket
               from imgs),
             b as (
@@ -2668,8 +2669,8 @@ def oracle_sql() -> dict[str, str]:
               from a)
             select bucket_id, bucket_w, bucket_h,
                    cast(count(*) as bigint) as n_images,
-                   coalesce(cast(sum(case when cast(w as bigint) * bucket_h
-                                          = cast(h as bigint) * bucket_w
+                   coalesce(cast(sum(case when cast(w as hugeint) * bucket_h
+                                          = cast(h as hugeint) * bucket_w
                                      then 1 else 0 end) as bigint), 0)
                      as n_exact_fit
             from b
@@ -2677,8 +2678,8 @@ def oracle_sql() -> dict[str, str]:
         """.format(
             export=_ORACLE_EXPORT,
             terms=" + ".join(
-                "case when cast(w as bigint) * w * {bh} >"
-                " cast(h as bigint) * h * {bw} then 1 else 0 end".format(
+                "case when cast(w as hugeint) * w * {bh} >"
+                " cast(h as hugeint) * h * {bw} then 1 else 0 end".format(
                     bh=ah * bh2, bw=aw * bw2)
                 for (aw, ah), (bw2, bh2) in zip(_ASPECT_BK, _ASPECT_BK[1:])),
             ws="[" + ", ".join(str(bw) for bw, _ in _ASPECT_BK) + "]",

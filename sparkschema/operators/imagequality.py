@@ -211,11 +211,19 @@ def aspect_bucket_assign(df: DataFrame,
         r^2 > b_j*b_{j+1}   iff   w^2 * bh_j*bh_{j+1} > h^2 * bw_j*bw_{j+1}
 
     so ``bucket_id = sum_j [w^2*BH_j > h^2*BW_j]`` over the k-1 adjacent
-    products — a fixed-size sum of codegen'd int64 comparisons fused
-    into the scan (w,h <= 65535 and bucket sides <= 2^15 stay far below
-    int64 overflow). Exact boundary ties take the LOWER bucket on every
-    engine (strict >). NULL or non-positive dims get NULL bucket
-    columns — dims validity is the dims gate's business upstream.
+    products — a fixed-size sum of codegen'd integer comparisons fused
+    into the scan. Dims at or below the ladder-derived safe bound
+    (``isqrt(int64_max / max_boundary_product)`` — ~1.7 M px for the
+    default ladder, i.e. every real image) take the int64 fast tier;
+    larger dims take an exact ``decimal(38,0)`` tier instead of ANSI
+    ARITHMETIC_OVERFLOW crashing the job (CaseWhen branches evaluate
+    lazily, so the fast tier never touches the oversized rows). Both
+    tiers are the same exact arithmetic: for any int32 dims and int32
+    bucket sides the products stay ≤ ~2.1e37 < 10^38. Exact boundary
+    ties take the LOWER bucket on every engine (strict >). NULL,
+    non-positive, or beyond-int32 dims get NULL bucket columns — dims
+    validity is the dims gate's business upstream (input_hint declares
+    ``w:int32, h:int32``).
 
     At 10^12 rows: this is a projection (zero exchange, zero Python);
     follow with ``df.repartition("bucket_id")`` to co-locate each bucket
@@ -225,16 +233,30 @@ def aspect_bucket_assign(df: DataFrame,
     the reference's enum membership over a closed literal set
     (AnyConstraintValidators.scala enum), graded instead of boolean.
     """
+    import math
+
     bk = _checked_buckets(buckets)
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
-    valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
-    bucket_id = F.lit(0)
+    valid = (w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+             & (w <= 2**31 - 1) & (h <= 2**31 - 1))
+    maxprod = max((max(ah * bh, aw * bw)
+                   for (aw, ah), (bw, bh) in zip(bk, bk[1:])), default=1)
+    safe = math.isqrt((2**63 - 1) // maxprod)
+    wd = F.col(w_col).cast("decimal(19,0)")
+    hd = F.col(h_col).cast("decimal(19,0)")
+    fast = F.lit(0)
+    wide = F.lit(0)
     for (aw, ah), (bw, bh) in zip(bk, bk[1:]):
-        bucket_id = bucket_id + (
+        fast = fast + (
             (w * w * F.lit(ah * bh)) > (h * h * F.lit(aw * bw))
         ).cast("int")
-    bucket_id = F.when(valid, bucket_id).otherwise(F.lit(None).cast("int"))
+        wide = wide + (
+            (wd * wd * F.lit(ah * bh)) > (hd * hd * F.lit(aw * bw))
+        ).cast("int")
+    bucket_id = (F.when(valid & (w <= safe) & (h <= safe), fast)
+                  .when(valid, wide)
+                  .otherwise(F.lit(None).cast("int")))
     ws = F.array(*[F.lit(bw) for bw, _ in bk])
     hs = F.array(*[F.lit(bh) for _, bh in bk])
     return (df.withColumn("bucket_id", bucket_id)
@@ -249,13 +271,15 @@ def aspect_bucket_report(df: DataFrame,
     n_exact_fit)`` — one map-side-combined aggregation over at most
     k+1 groups (invalid-dims rows surface as the NULL-bucket row rather
     than vanishing). ``n_exact_fit`` counts images already exactly at
-    the bucket ratio (``w*bucket_h == h*bucket_w``, exact int64) — the
+    the bucket ratio (``w*bucket_h == h*bucket_w``, exact decimal cross
+    products — overflow-proof for any int32 dims × int32 sides) — the
     rows a bucketed resize would not distort. All-integer output, so
     differential twins hash bit-for-bit."""
     a = aspect_bucket_assign(df, buckets, w_col=w_col, h_col=h_col)
-    w = F.col(w_col).cast("long")
-    h = F.col(h_col).cast("long")
-    fit = (w * F.col("bucket_h") == h * F.col("bucket_w")).cast("long")
+    w = F.col(w_col).cast("decimal(19,0)")
+    h = F.col(h_col).cast("decimal(19,0)")
+    fit = (w * F.col("bucket_h").cast("decimal(19,0)")
+           == h * F.col("bucket_w").cast("decimal(19,0)")).cast("long")
     return (a.groupBy("bucket_id", "bucket_w", "bucket_h")
              .agg(F.count(F.lit(1)).alias("n_images"),
                   F.coalesce(F.sum(fit), F.lit(0)).alias("n_exact_fit")))

@@ -260,8 +260,11 @@ def _dims(spark, rows):
 
 
 def _ref_bucket(w, h, buckets):
-    """Exact pure-Python reference: same int boundary-crossing rule."""
-    if w is None or h is None or w <= 0 or h <= 0:
+    """Exact pure-Python reference: same boundary-crossing rule, with
+    Python's arbitrary-precision ints standing in for the operator's
+    int64/decimal tiers."""
+    if w is None or h is None or w <= 0 or h <= 0 \
+            or w > 2**31 - 1 or h > 2**31 - 1:
         return None
     bid = 0
     for (aw, ah), (bw, bh) in zip(buckets, buckets[1:]):
@@ -331,6 +334,62 @@ def test_aspect_bucket_validation(spark):
         aspect_bucket_assign(df, buckets=[(1, 1), (0, 2)])  # non-positive
     with pytest.raises(ValueError):
         aspect_bucket_assign(df, buckets=[])
+
+
+def test_aspect_overflow_tier_is_exact(spark):
+    """Dims above the int64-safe bound (~1.7 M px on the default
+    ladder) must take the decimal tier and stay EXACT — under ANSI the
+    naive int64 product would crash with ARITHMETIC_OVERFLOW; beyond
+    int32 the row is NULL-bucketed (input_hint declares int32 dims)."""
+    from sparkschema.operators.imagequality import (
+        ASPECT_BUCKETS, aspect_bucket_assign)
+
+    rows = [("big-w", 2_000_000, 1), ("big-h", 1, 2_000_000),
+            ("big-sq", 1_800_000, 1_700_000),
+            ("max32", 2**31 - 1, 2**31 - 1),
+            ("beyond32-w", 2**31, 100), ("beyond32-h", 100, 2**31),
+            ("small", 640, 480)]
+    df = spark.createDataFrame(rows, "image_id string, w long, h long")
+    out = {r.image_id: r.bucket_id
+           for r in aspect_bucket_assign(df).collect()}
+    for iid, w, h in rows:
+        assert out[iid] == _ref_bucket(w, h, ASPECT_BUCKETS), (iid, w, h)
+    assert out["beyond32-w"] is None and out["beyond32-h"] is None
+    assert out["big-w"] == len(ASPECT_BUCKETS) - 1
+    assert out["big-h"] == 0
+
+
+def test_aspect_random_ladders_fuzz_exact(spark):
+    """Seeded fuzz: random strictly-increasing ladders × hostile dims
+    (NULL/zero/negative/1/huge/beyond-int32) vs the arbitrary-precision
+    Python reference — the assignment rule must be exact on BOTH tiers
+    for any ladder a user can configure."""
+    import random
+    from fractions import Fraction
+
+    from sparkschema.operators.imagequality import aspect_bucket_assign
+
+    rng = random.Random(_FUZZ_SEED)
+    hostile = [None, 0, -5, 1, 63, 640, 65535, 2_000_000,
+               2**31 - 1, 2**31]
+    for trial in range(5):
+        raw = {(rng.randint(1, 4096), rng.randint(1, 4096))
+               for _ in range(rng.randint(2, 6))}
+        ladder = sorted(raw, key=lambda p: Fraction(p[0], p[1]))
+        ladder = [p for i, p in enumerate(ladder)
+                  if i == 0 or Fraction(*p) != Fraction(*ladder[i - 1])]
+        if len(ladder) < 2:
+            continue
+        rows = [(f"t{trial}-{i}",
+                 rng.choice(hostile + [rng.randint(1, 2**31 - 1)]),
+                 rng.choice(hostile + [rng.randint(1, 2**31 - 1)]))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "image_id string, w long, h long")
+        out = {r.image_id: r.bucket_id
+               for r in aspect_bucket_assign(df, buckets=ladder).collect()}
+        bad = [(iid, w, h, out[iid], _ref_bucket(w, h, ladder))
+               for iid, w, h in rows if out[iid] != _ref_bucket(w, h, ladder)]
+        assert not bad, (ladder, bad[:5])
 
 
 def test_aspect_report_conserves_and_counts_exact_fits(spark):
