@@ -185,6 +185,9 @@ def _checked_buckets(buckets) -> list[tuple[int, int]]:
           for bw, bh in (ASPECT_BUCKETS if buckets is None else buckets)]
     if not bk or any(bw <= 0 or bh <= 0 for bw, bh in bk):
         raise ValueError("aspect buckets must be positive (w, h) pairs")
+    if any(bw > 2**31 - 1 or bh > 2**31 - 1 for bw, bh in bk):
+        # keeps every decimal(38,0) product below 10^38 for int32 dims
+        raise ValueError("aspect bucket sides must fit int32")
     # strictly increasing ratios make the boundary rule well-defined;
     # compare as exact cross products, never floats
     for (aw, ah), (bw, bh) in zip(bk, bk[1:]):

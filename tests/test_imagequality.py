@@ -131,7 +131,7 @@ def test_bytes_col_none_prunes_byte_read(spark, tmp_path):
 # oversized payloads, control-char / whitespace-only / emoji / 1-char /
 # 5k-char captions.
 
-_FUZZ_SEED = 20260918
+_FUZZ_SEED = 20260921
 
 
 def _hostile_rows():
@@ -334,6 +334,8 @@ def test_aspect_bucket_validation(spark):
         aspect_bucket_assign(df, buckets=[(1, 1), (0, 2)])  # non-positive
     with pytest.raises(ValueError):
         aspect_bucket_assign(df, buckets=[])
+    with pytest.raises(ValueError):
+        aspect_bucket_assign(df, buckets=[(1, 2), (2**31, 1)])  # > int32
 
 
 def test_aspect_overflow_tier_is_exact(spark):
