@@ -985,6 +985,18 @@ def _q_caption_dups_images(spark, sf):
     return duplicate_caption_groups(spark.read.parquet(path))
 
 
+def _q_image_exact_dup(spark, sf):
+    """Byte-identical image groups over the shared quality export — the
+    exact-dedup stage that precedes perceptual near-dup. The engine keys
+    on ``sha2(hex(bytes), 256)`` so the oracle can recompute the digest
+    independently from the raw binary column (DuckDB's sha256 is
+    VARCHAR-only; hex() is byte-identical across both engines)."""
+    from sparkschema.operators.imagedup import exact_image_dup_groups
+
+    path = _quality_images_export(spark)
+    return exact_image_dup_groups(spark.read.parquet(path))
+
+
 def _q_aspect_buckets_images(spark, sf):
     """Aspect-ratio training-bucket occupancy over the shared quality
     export. The nearest-bucket rule is evaluated exactly in int64
@@ -1532,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_container_meta": _q_image_container_meta,
         "image_quality_images": _q_image_quality_images,
         "caption_dups_images": _q_caption_dups_images,
+        "image_exact_dup": _q_image_exact_dup,
         "aspect_buckets_images": _q_aspect_buckets_images,
         "phash_drift_images": _q_phash_drift_images,
         "image_curation_report": _q_image_curation_report,
@@ -2645,6 +2658,19 @@ def oracle_sql() -> dict[str, str]:
             having count(*) >= 2
         """.format(export=_ORACLE_EXPORT,
                    norm=_NORM.format(c="caption")),
+        # independent digest recomputation from the raw binary column:
+        # hex() is byte-identical across Spark and DuckDB (uppercase,
+        # two chars per byte), sha256-of-hex is the engine-canonical key
+        "image_exact_dup": """
+            select sha256(hex(bytes)) as bytes_hash,
+                   cast(count(*) as bigint) as n_rows,
+                   cast(count(distinct image_id) as bigint) as n_images,
+                   min(image_id) as min_id
+            from '{export}/quality_images/*.parquet'
+            where bytes is not null
+            group by 1
+            having count(*) >= 2
+        """.format(export=_ORACLE_EXPORT),
         # replays aspect_bucket_report: the exact int64 boundary-
         # crossing sum (geometric midpoints as adjacent cross products —
         # no floats anywhere), 1-based list_extract bucket lookup, and

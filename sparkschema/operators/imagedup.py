@@ -117,3 +117,51 @@ def phash_weight_histogram(df: DataFrame,
     return (df.where(F.col(phash_col).isNotNull())
               .groupBy(F.bit_count(F.col(phash_col)).alias("bucket"))
               .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def exact_image_dup_groups(df: DataFrame, bytes_col: str = "bytes",
+                           id_col: str = "image_id",
+                           min_group: int = 2) -> DataFrame:
+    """Byte-identical image groups — the exact-dedup stage that runs
+    BEFORE perceptual near-dup (``image_phash_pairs``) in a curation
+    pipeline: re-crawled / mirrored files are byte-equal and need no
+    decode, so catching them on a digest costs one scan and removes
+    them from the O(Σ bucket²) perceptual stage.
+
+    Returns ``(bytes_hash, n_rows, n_images, min_id)`` for digest groups
+    appearing ≥ ``min_group`` times; NULL buffers are excluded (they are
+    the corrupt-bytes violation's business). Mirrors the text-side
+    ``dedup.exact_duplicate_groups`` and the caption-side
+    ``imagequality.duplicate_caption_groups``.
+
+    The curation pipeline (:func:`sparkschema.plans.image_curation.
+    curate_images` ``exact=True``) applies the same dedup as a keep/drop
+    stage keyed on ``sha2(bytes, 256)``; this operator is the standalone
+    GROUP-level diagnostic view of the same duplication (who, how many,
+    canonical id), with a digest every SQL engine can recompute.
+
+    Scale shape: the digest is computed in the scan stage and the
+    aggregation is one map-side-combined hash agg on a 64-char key —
+    the image bytes themselves NEVER cross an exchange. The key is
+    ``sha2(hex(bytes), 256)``: hashing the hex expansion instead of the
+    raw buffer costs one extra linear pass in the same scan task, and
+    buys a digest every SQL engine can replay from the raw column
+    (DuckDB's ``sha256`` accepts VARCHAR only), keeping this operator's
+    oracle an independent recomputation rather than an engine export.
+
+    Reference analog: uniqueness via hash-aggregate on content identity
+    (SchemaValidatorSpec's uniqueItems semantics lifted to the corpus
+    axis), per BASELINE.json north_star's "uniqueness via salted
+    hash-aggregate on image_id/phash" — extended here to the byte
+    payload itself.
+    """
+    digest = F.sha2(F.hex(F.col(bytes_col)), 256)
+    return (
+        df.where(F.col(bytes_col).isNotNull())
+          .select(digest.alias("bytes_hash"), F.col(id_col))
+          .groupBy("bytes_hash")
+          .agg(F.count(F.lit(1)).alias("n_rows"),
+               F.count_distinct(F.col(id_col)).alias("n_images"),
+               F.min(id_col).alias("min_id"))
+          .where(F.col("n_rows") >= min_group)
+    )

@@ -290,3 +290,36 @@ def test_image_phash_pairs_max_bucket_caps_degenerate_hash(spark):
         assert full == 30 * 29 // 2 + 1
     finally:
         scope.release()
+
+
+def test_exact_image_dup_groups_digest_and_semantics(spark):
+    """Byte-identical groups: digest agrees with an independent hashlib
+    recomputation over the hex expansion (the DuckDB-portable key), NULL
+    buffers are excluded, singletons are dropped, and near-but-not-equal
+    re-encodes of the same picture do NOT group."""
+    import hashlib
+
+    from sparkschema.operators.imagedup import exact_image_dup_groups
+
+    px = synth_pixels("pic", 32, 32)
+    raw = bytes(encode(px, "raw"))
+    jpg = bytes(encode(px, "jpg"))        # same picture, different bytes
+    other = bytes(encode(synth_pixels("other", 32, 32), "raw"))
+    rows = [
+        ("a-1", bytearray(raw)), ("a-2", bytearray(raw)),
+        ("a-3", bytearray(raw)),                      # group of 3
+        ("b-1", bytearray(jpg)),                      # singleton (lossy twin)
+        ("c-1", bytearray(other)), ("c-2", bytearray(other)),  # group of 2
+        ("n-1", None),  ("n-2", None),                # NULLs never group
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    got = {r.bytes_hash: r for r in exact_image_dup_groups(df).collect()}
+
+    def key(buf: bytes) -> str:
+        return hashlib.sha256(buf.hex().upper().encode()).hexdigest()
+
+    assert set(got) == {key(raw), key(other)}
+    assert (got[key(raw)].n_rows, got[key(raw)].n_images,
+            got[key(raw)].min_id) == (3, 3, "a-1")
+    assert (got[key(other)].n_rows, got[key(other)].n_images,
+            got[key(other)].min_id) == (2, 2, "c-1")
