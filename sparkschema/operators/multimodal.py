@@ -46,7 +46,11 @@ def extract_image_features(images: DataFrame, batch_hint: int = 2048) -> DataFra
                         # find r4: these reported ok=true with NaN stats)
                         raise CorruptImage("zero-pixel image")
                     m = px.mean(axis=(0, 1))
-                    gray = px.astype(np.float64).mean(axis=2)
+                    # channel-slice adds == mean(axis=2) bit-exactly
+                    # (a+b+c ≤ 765 is exact in f64) without the h×w×3
+                    # float64 materialization — same trick as dct_phash
+                    gray = (px[:, :, 0].astype(np.float64)
+                            + px[:, :, 1] + px[:, :, 2]) / 3.0
                     out["ok"].append(True)
                     out["w"].append(int(px.shape[1]))
                     out["h"].append(int(px.shape[0]))
