@@ -897,8 +897,22 @@ def _q_image_phash_neardup(spark, sf):
     the chunk buckets, bit_count(xor) Hamming distances, and the planted
     flag from the same export in SQL (reference dup-detection contract:
     ArrayConstraintValidators.scala:76-95)."""
-    from sparkschema.functions.imagecodec import encode, synth_pixels
     from sparkschema.operators.dedup import hamming_pairs
+
+    path = _phash_sigs_export(spark)
+    pairs = hamming_pairs(spark.read.parquet(path), "phash", "id",
+                          chunks=8, hamming_max=10)
+    planted = (F.substring("id_a", 3, 3) == F.substring("id_b", 3, 3))
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"),
+        planted.alias("planted"))
+
+
+def _phash_sigs_export(spark) -> str:
+    """Seeded raw/jpg-twin corpus, decoded + pHashed once, exported as the
+    64-bit signature table both pHash oracles read back (pairs AND
+    clusters consume identical rows by construction)."""
+    from sparkschema.functions.imagecodec import encode, synth_pixels
     from sparkschema.operators.imagedup import image_phash_frame
 
     rows = []
@@ -912,12 +926,34 @@ def _q_image_phash_neardup(spark, sf):
         .where(F.col("phash").isNotNull())
     path = f"{_ORACLE_EXPORT}/phash_sigs"
     _export_once(sigs, path)
+    return path
+
+
+def _q_image_neardup_clusters(spark, sf):
+    """Connected-components resolution of the image pHash pair graph —
+    the pairs→DECISION step on the image axis (near-dup similarity is
+    not transitive: raw/jpg twins chain through shared pHash
+    neighborhoods, and a single-link drop-id_b rule can erase a whole
+    chain). The engine derives Hamming pairs from the read-back
+    signature export (same rows as ``image_phash_neardup``) and resolves
+    clusters with ``dedup.near_dup_components`` (iterative min-label
+    propagation, one shuffle join + map-side min-agg per round); the
+    oracle independently recomputes the chunk-pigeonhole buckets, the
+    ``bit_count(xor)`` pair set, AND the transitive closure via a DuckDB
+    recursive CTE, then min-reachable-id per node and a window count for
+    cluster size. Reference analog: ``$ref`` graphs resolve to a
+    fixpoint over edges the same way (``Refs.scala:40-77``)."""
+    from sparkschema.operators.dedup import hamming_pairs, near_dup_components
+    from pyspark.sql import Window
+
+    path = _phash_sigs_export(spark)
     pairs = hamming_pairs(spark.read.parquet(path), "phash", "id",
                           chunks=8, hamming_max=10)
-    planted = (F.substring("id_a", 3, 3) == F.substring("id_b", 3, 3))
-    return pairs.select(
-        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"),
-        planted.alias("planted"))
+    comps = near_dup_components(pairs.select("id_a", "id_b"))
+    size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return comps.select("id", "component",
+                        size.cast("bigint").alias("cluster_size")) \
+                .orderBy("id")
 
 
 def _q_image_container_meta(spark, sf):
@@ -1541,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_embeddings": _q_ann_lsh_embeddings,
         "quantiles_extendedprice": _q_quantiles_extendedprice,
         "image_phash_neardup": _q_image_phash_neardup,
+        "image_neardup_clusters": _q_image_neardup_clusters,
         "image_container_meta": _q_image_container_meta,
         "image_quality_images": _q_image_quality_images,
         "caption_dups_images": _q_caption_dups_images,
@@ -2530,6 +2567,43 @@ def oracle_sql() -> dict[str, str]:
                    (substring(id_a, 3, 3) = substring(id_b, 3, 3)) as planted
             from pairs
             where hamming <= 10
+        """.format(export=_ORACLE_EXPORT),
+        # same exported signature table and pair recomputation as
+        # image_phash_neardup, then an INDEPENDENT transitive closure
+        # (recursive CTE, min-reachable-id per node) — the declarative
+        # twin of the engine's iterative min-label propagation — plus a
+        # window count for cluster size.
+        "image_neardup_clusters": """
+            with recursive sigs as (
+              select id, phash
+              from '{export}/phash_sigs/*.parquet'),
+            cand as (
+              select a.id as id_a, b.id as id_b,
+                     cast(bit_count(xor(a.phash, b.phash)) as int) as hamming
+              from sigs a join sigs b on a.id < b.id
+              where ((a.phash >> 0) & 255) = ((b.phash >> 0) & 255)
+               or ((a.phash >> 8) & 255) = ((b.phash >> 8) & 255)
+               or ((a.phash >> 16) & 255) = ((b.phash >> 16) & 255)
+               or ((a.phash >> 24) & 255) = ((b.phash >> 24) & 255)
+               or ((a.phash >> 32) & 255) = ((b.phash >> 32) & 255)
+               or ((a.phash >> 40) & 255) = ((b.phash >> 40) & 255)
+               or ((a.phash >> 48) & 255) = ((b.phash >> 48) & 255)
+               or ((a.phash >> 56) & 255) = ((b.phash >> 56) & 255)
+            ),
+            pairs as (select id_a, id_b from cand where hamming <= 10),
+            edges as (select id_a as u, id_b as v from pairs
+                      union
+                      select id_b as u, id_a as v from pairs),
+            reach as (
+              select u, u as v from (select distinct u from edges)
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u),
+            comp as (select u as id, min(v) as component
+                     from reach group by u)
+            select id, component,
+                   cast(count(*) over (partition by component) as bigint)
+                     as cluster_size
+            from comp order by id
         """.format(export=_ORACLE_EXPORT),
         # replays every structural byte check of imagemeta.py on the hex
         # rendering of the engine-exported blobs: magic "SSI1"

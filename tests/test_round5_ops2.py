@@ -238,3 +238,23 @@ def test_split_and_mix_are_streaming_safe(spark, tmp_path):
     expected = {(r.doc_id, r.split) for r in
                 batch.select("doc_id", "split").collect()}
     assert got == expected and 0 < len(got) < 400
+
+
+# ------------------------------------------- image near-dup clusters
+
+def test_image_neardup_clusters_planted_twin_structure(spark):
+    """Entry-level structure check for image_neardup_clusters: the seeded
+    corpus plants exactly one raw/jpg twin per base image, so the pair
+    graph must resolve into size-2 components rooted at the a- id, and
+    every node's component must be its own twin (values are separately
+    hash-matched against the DuckDB recursive-CTE closure in
+    test_entry_contract)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["image_neardup_clusters"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "planted twins must produce at least one cluster"
+    for r in rows:
+        assert r.cluster_size == 2
+        assert r.component == "a-" + r.id[2:]
+        assert r.component.startswith("a-")
