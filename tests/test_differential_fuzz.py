@@ -21,7 +21,7 @@ from sparkschema.compiler.columns import ColumnCompiler
 from sparkschema.spec.interpreter import Validator
 from sparkschema.spec.jsonvalue import parse_json
 
-SEED = 20261001
+SEED = 20261008
 
 
 def _gen_values(rng: random.Random) -> list:

@@ -22,7 +22,7 @@ import duckdb
 
 from sparkschema.operators.sessions import asof_join, sessionize
 
-SEED = 20261001
+SEED = 20261008
 T0 = dt.datetime(2024, 1, 1)
 GAP_MIN = 10  # coarse grid step == 5 min, so diffs hit exactly GAP often
 

@@ -26,7 +26,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SEED = 20261001
+SEED = 20261008
 
 _FIXED_PROPS = [
     None, "", "null", "42", "[1, 2]", "not json", "{}", "{'k': 7}",

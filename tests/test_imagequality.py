@@ -131,7 +131,7 @@ def test_bytes_col_none_prunes_byte_read(spark, tmp_path):
 # oversized payloads, control-char / whitespace-only / emoji / 1-char /
 # 5k-char captions.
 
-_FUZZ_SEED = 20261001
+_FUZZ_SEED = 20261008
 
 
 def _hostile_rows():

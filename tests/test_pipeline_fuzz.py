@@ -18,7 +18,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SEED = 20261001
+SEED = 20261008
 
 # documents-only oracle queries (read {sf}/documents.parquet and nothing
 # else; verified against the oracle_sql bodies — the image queries read
