@@ -37,6 +37,45 @@ def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+#: primary key per table — the deterministic spread key for `_read`
+_SPREAD_KEYS = {"documents": "doc_id", "events": "event_id",
+                "embeddings": "vec_id", "orders": "o_orderkey",
+                "customer": "c_custkey", "part": "p_partkey"}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, spreading SMALL single-file tables across
+    the session's cores (guide §2: scale-adaptive partitioning).
+
+    The sf documents/events/embeddings tables arrive as one parquet file
+    a few MB in size; Spark's split packing then plans 1-4 scan tasks,
+    so every regex/HOF-heavy per-row stage runs on 2 of 32 cores
+    (measured: pii_redaction 2.8 s → 0.46 s once spread). The
+    repartition is SIZE-GATED — a table that already splits into ≥
+    cores-worth of scan work passes through untouched, so at real scale
+    this is a no-op and nothing ever blanket-shuffles a big corpus. The
+    spread key is the table's primary key (hash partitioning, no
+    round-robin presort, deterministic row placement); results of every
+    downstream aggregate/window are partitioning-independent."""
+    path = _t(sf_dir, name)
+    df = spark.read.parquet(path)
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        import os as _os
+        if _os.path.isdir(path):
+            total = sum(_os.path.getsize(_os.path.join(r, f))
+                        for r, _, fs in _os.walk(path) for f in fs)
+        else:
+            total = _os.path.getsize(path)
+    except OSError:
+        return df
+    # < ~8 MB/core of input ⇒ the scan cannot feed every core (split
+    # floor is openCostInBytes=4 MB); spread by the primary key
+    if total < cores * 8 * 1024 * 1024 and name in _SPREAD_KEYS:
+        df = df.repartition(cores, F.col(_SPREAD_KEYS[name]))
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: compile the constraint spec once, emit violation rows for
     sf0.001 lineitem plus referential-orphan violations vs orders."""
@@ -173,7 +212,7 @@ def _q_unique_composite_lineitem(spark, sf):
 def _q_exact_dup_documents(spark, sf):
     from sparkschema.operators.dedup import exact_duplicate_groups
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     g = exact_duplicate_groups(d, "text", "doc_id")
     # min_id/max_id are exact window aggregates (NOT derived from the
     # capped ids sample) — safe to oracle at any group size
@@ -185,7 +224,7 @@ def _q_exact_dup_documents(spark, sf):
 def _q_token_stats_documents(spark, sf):
     from sparkschema.operators.text import token_count, whitespace_token_count
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("n_tokens"),
@@ -199,7 +238,7 @@ def _q_repetition_documents(spark, sf):
     recomputes the n-grams with list_transform."""
     from sparkschema.operators.text import ngram_repetition, word_ngrams
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     return d.select(
         "doc_id",
         F.size(word_ngrams(F.col("text"), 3)).cast("long").alias("n_grams"),
@@ -209,7 +248,7 @@ def _q_repetition_documents(spark, sf):
 def _q_lang_counts_documents(spark, sf):
     from sparkschema.operators.text import lang_id
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     return (d.select(lang_id(F.col("text")).alias("lang"))
              .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -217,7 +256,7 @@ def _q_lang_counts_documents(spark, sf):
 def _q_quality_components_documents(spark, sf):
     from sparkschema.operators.text import quality_features
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     f = quality_features(F.col("text"))
     return d.select(
         "doc_id",
@@ -243,7 +282,7 @@ def _q_quality_score_documents(spark, sf):
     is deterministic on both engines; the SQL twin uses the same form."""
     from sparkschema.operators.text import quality_score
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     q6 = quality_score(F.col("text"))
     return d.select(
         "doc_id",
@@ -253,7 +292,7 @@ def _q_quality_score_documents(spark, sf):
 def _q_fingerprint_documents(spark, sf):
     from sparkschema.operators.dedup import normalized_text
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     return d.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("fp_md5"))
 
 
@@ -263,7 +302,7 @@ def _pii_corpus(spark, sf):
     the other kinds are fixed strings gated by doc_id residues, so
     per-doc counts differ across the corpus. The oracle SQL replays the
     SAME derivation with `||` (NULL-propagating, like F.concat)."""
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
 
     def gate(mod, s):
         return F.when(F.col("doc_id") % mod == 0, s).otherwise(F.lit(""))
@@ -290,12 +329,12 @@ def _q_pii_redaction_documents(spark, sf):
 def _q_vocab_topk_documents(spark, sf):
     from sparkschema.operators.text import vocab_topk
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     return vocab_topk(d, "text", "doc_id", k=20)
 
 
 def _q_events_hourly(spark, sf):
-    e = spark.read.parquet(_t(sf, "events"))
+    e = _read(spark, sf, "events")
     return (e.groupBy(F.date_format(F.date_trunc("hour", "ts"),
                                     "yyyy-MM-dd HH:mm:ss").alias("hour"),
                       "event_type")
@@ -367,7 +406,7 @@ def _build_events_json_invalid(spark, sf):
     from sparkschema.compiler.variantcol import (variant_valid,
                                                  variant_valid_many)
 
-    e = spark.read.parquet(_t(sf, "events")) \
+    e = _read(spark, sf, "events") \
         .repartition(max(spark.sparkContext.defaultParallelism, 8),
                      "event_id")
     # multipleOf arms over a derived JSON document that exercises every
@@ -486,7 +525,7 @@ def _build_events_json_invalid(spark, sf):
 def _q_embedding_topk(spark, sf):
     from sparkschema.operators.similarity import cosine_topk_bruteforce
 
-    emb = spark.read.parquet(_t(sf, "embeddings")).withColumn(
+    emb = _read(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
     q = emb.where(F.col("vec_id") < 5)
     top = cosine_topk_bruteforce(q, emb, "vec_id", "embedding",
@@ -498,7 +537,7 @@ def _q_embedding_topk(spark, sf):
 def _q_ngram_jaccard_sample(spark, sf):
     from sparkschema.operators.dedup import ngram_jaccard
 
-    d = spark.read.parquet(_t(sf, "documents")).where(F.col("doc_id") < 12) \
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 12) \
              .select("doc_id", "text")
     a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
@@ -687,7 +726,7 @@ def _q_minhash_pairs_documents(spark, sf):
     tests/test_pipeline_operators.py::test_minhash_numpy_kernel_identical_pairs)."""
     from sparkschema.operators.dedup import minhash_lsh_pairs
 
-    d = spark.read.parquet(_t(sf, "documents")).where(F.col("doc_id") < 60) \
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 60) \
              .select("doc_id", "text")
     planted = d.select((F.col("doc_id") + 100000).alias("doc_id"),
                        F.concat(F.col("text"), F.lit(" tail tail")).alias("text"))
@@ -733,7 +772,7 @@ def _q_near_dup_clusters(spark, sf):
                                              near_dup_components,
                                              normalized_text)
 
-    d = spark.read.parquet(_t(sf, "documents")).where(F.col("doc_id") < 40) \
+    d = _read(spark, sf, "documents").where(F.col("doc_id") < 40) \
              .select("doc_id", "text")
     versions = [
         d.select((F.col("doc_id") + 100000 * v).alias("id"),
@@ -769,7 +808,7 @@ def _q_simhash_documents(spark, sf):
     feature hash function."""
     from sparkschema.operators.dedup import simhash_md5_frame
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     return simhash_md5_frame(d, "text", "doc_id", bits=32, prefix_chars=400) \
         .select(F.col("id").alias("doc_id"),
                 F.col("simhash").cast("long").alias("simhash32"))
@@ -783,7 +822,7 @@ def _q_embedding_near_dup(spark, sf):
     list_cosine_similarity computation."""
     from sparkschema.operators.dedup import _cosine, embedding_near_duplicates
 
-    emb = spark.read.parquet(_t(sf, "embeddings")).where(F.col("vec_id") < 200) \
+    emb = _read(spark, sf, "embeddings").where(F.col("vec_id") < 200) \
         .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     planted = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     corpus = emb.unionByName(planted)
@@ -1209,7 +1248,7 @@ def _q_embedding_drift(spark, sf):
     and the counts."""
     from sparkschema.operators.similarity import embedding_centroid_drift
 
-    emb = spark.read.parquet(_t(sf, "embeddings"))
+    emb = _read(spark, sf, "embeddings")
     a = emb.where(F.col("label") % 2 == 0)
     b = emb.where(F.col("label") % 2 == 1)
     return embedding_centroid_drift(a, b, "embedding").select(
@@ -1229,7 +1268,7 @@ def _q_token_drift_documents(spark, sf):
     from sparkschema.operators.stats import histogram
     from sparkschema.operators.text import token_count
 
-    docs = spark.read.parquet(_t(sf, "documents")) \
+    docs = _read(spark, sf, "documents") \
         .select("doc_id", token_count(F.col("text")).alias("tc"))
     ha = histogram(docs.where(F.col("doc_id") % 2 == 0), "tc", 0, 400, 20)
     hb = histogram(docs.where(F.col("doc_id") % 2 == 1), "tc", 0, 400, 20)
@@ -1249,7 +1288,7 @@ def _q_ann_lsh_embeddings(spark, sf):
     from sparkschema.operators.similarity import (ann_lsh_topk,
                                                   cosine_topk_bruteforce)
 
-    emb = spark.read.parquet(_t(sf, "embeddings")).withColumn(
+    emb = _read(spark, sf, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
     q = emb.where(F.col("vec_id") < 3)
     lsh = ann_lsh_topk(q, emb, "vec_id", "embedding", "vec_id", "embedding",
@@ -1283,7 +1322,7 @@ def _q_sessions_events(spark, sf):
     (timezone-independent for the TIMESTAMP_NTZ source)."""
     from sparkschema.operators.sessions import sessionize
 
-    e = spark.read.parquet(_t(sf, "events"))
+    e = _read(spark, sf, "events")
     s = sessionize(e, "user_id", "ts", "30 minutes")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return s.select(F.col("user_id").cast("long").alias("user_id"),
@@ -1301,7 +1340,7 @@ def _q_asof_events(spark, sf):
     algorithms for the same semantics."""
     from sparkschema.operators.sessions import asof_join
 
-    e = spark.read.parquet(_t(sf, "events"))
+    e = _read(spark, sf, "events")
     clicks = e.where(F.col("event_type") == "click") \
               .select("event_id", "user_id", "ts")
     errors = e.where(F.col("event_type") == "error") \
@@ -1343,7 +1382,7 @@ def _q_url_domains_documents(spark, sf):
     unnest."""
     from sparkschema.operators.text import domain_counts
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     planted = F.concat(
         F.col("text"), F.lit(" see https://site-"),
         (F.col("doc_id") % 7).cast("string"),
@@ -1363,7 +1402,7 @@ def _q_hash_split_documents(spark, sf):
     engines, so the boundary comparisons are exactly reproducible."""
     from sparkschema.operators.sampling import hash_split
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     s = hash_split(d, "doc_id",
                    {"train": 0.8, "val": 0.1, "test": 0.1})
     return (s.groupBy("split", "lang")
@@ -1380,7 +1419,7 @@ def _q_cap_per_source_documents(spark, sf):
     row_number-over-md5-priority selection bit-for-bit."""
     from sparkschema.operators.sampling import cap_per_group
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     kept = cap_per_group(d, "source", "doc_id", 10)
     return (kept.groupBy("source")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_kept"),
@@ -1397,7 +1436,7 @@ def _q_contamination_documents(spark, sf):
     normalization → 8-grams → distinct → join in DuckDB list ops."""
     from sparkschema.operators.text import contamination_flags
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     bench = d.where(F.col("doc_id") < 10)
     out = contamination_flags(d, "text", "doc_id", bench, "text", n=8)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -1412,7 +1451,7 @@ def _q_line_dedup_documents(spark, sf):
     row_number → string_agg reassembly in DuckDB."""
     from sparkschema.operators.dedup import line_dedup
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     out = line_dedup(d, "text", "doc_id")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "n_lines", "n_kept",
@@ -1428,7 +1467,7 @@ def _q_curation_report_documents(spark, sf):
     the already-twinned per-stage fragments."""
     from sparkschema.plans.curation_run import curate_corpus
 
-    d = (spark.read.parquet(_t(sf, "documents"))
+    d = (_read(spark, sf, "documents")
               .select("doc_id", "text", "source"))
     ev = d.where(F.col("doc_id") < 10).select("doc_id", "text")
     res = curate_corpus(
@@ -1449,7 +1488,7 @@ def _q_pack_layout_documents(spark, sf):
     from sparkschema.operators.packing import pack_sequences, pack_stats
     from sparkschema.operators.text import whitespace_token_count
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     toks = d.select(
         "doc_id",
         whitespace_token_count(F.col("text")).cast("bigint")
@@ -1483,7 +1522,7 @@ def _q_weighted_mix_documents(spark, sf):
     threshold comparison bit-for-bit."""
     from sparkschema.operators.sampling import weighted_sample_by_group
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     kept = weighted_sample_by_group(
         d, "doc_id", "source",
         {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default=0.3)
@@ -1506,7 +1545,7 @@ def _q_normalize_documents(spark, sf):
     from sparkschema.operators.normalize import (nfc_normalize_col,
                                                  scrub_control_chars)
 
-    d = spark.read.parquet(_t(sf, "documents"))
+    d = _read(spark, sf, "documents")
     inj = F.element_at(
         F.array(F.lit(""),
                 F.lit(" cafe\u0301"),      # e + COMBINING ACUTE
