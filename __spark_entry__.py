@@ -438,31 +438,51 @@ def _build_events_json_invalid(spark, sf):
     # arms the engine alone (events fuzz find). try_parse_json here is an
     # extra per-row parse of a tiny string, same cost class as the
     # get_json_object call beside it.
-    armed = (k_int & F.col("value").isNotNull() & finite
-             & F.try_parse_json("props").isNotNull())
-    armed2 = armed & F.col("event_type").isNotNull()
+    # armed's strict-parse gate reads the SAME vp parse selected below
+    # (post-barrier column reference) instead of a second
+    # try_parse_json("props") — one JSON parse per row, not two
+    armed_pre = k_int & F.col("value").isNotNull() & finite
     vstr = F.col("value").cast("string")
-    big = (knum * F.lit(_Dec(10 ** 24))).cast("decimal(38,0)").cast("string")
-    big_json = F.concat(
-        F.lit('{"k": '), kstr,
-        F.lit(', "big": '), big,
-        F.lit(', "q": '), vstr, F.lit("}"))
-    # second derived document for the value-reading object keywords /
-    # tuple items / structural const (all VARIANT-native since r3).
+    # kstr (a Jackson mini-parse of props) is referenced 4× across the
+    # two derived documents and knum; bound ONCE through the 1-element-
+    # array HOF lambda (char_shingles CollapseProject pattern) so the
+    # projection parses props for $.k once per row, not five times.
     # event_type is JSON-escaped before embedding — the current fixture
     # enum is plain words, but a quote/backslash would otherwise desync
     # the engine (unparsable doc ⇒ invalid) from the column-level oracle
     et_esc = F.regexp_replace(F.col("event_type"), r'([\\"])', r'\\$1')
-    doc2 = F.concat(
-        F.lit('{"k": '), kstr, F.lit(', "q": '), vstr,
-        F.lit(', "arr": ['), kstr, F.lit(', "'), et_esc,
-        F.lit('", '), vstr, F.lit('], "pair": ['), kstr, F.lit(', "a"]}'))
+    bound = F.struct(kstr.alias("k"), vstr.alias("q"), et_esc.alias("et"))
+
+    def derived_docs(bk: Column) -> Column:
+        big_b = (bk["k"].try_cast("decimal(14,0)") * F.lit(_Dec(10 ** 24))) \
+            .cast("decimal(38,0)").cast("string")
+        big_json = F.concat(
+            F.lit('{"k": '), bk["k"],
+            F.lit(', "big": '), big_b,
+            F.lit(', "q": '), bk["q"], F.lit("}"))
+        # second derived document for the value-reading object keywords /
+        # tuple items / structural const (all VARIANT-native since r3)
+        doc2 = F.concat(
+            F.lit('{"k": '), bk["k"], F.lit(', "q": '), bk["q"],
+            F.lit(', "arr": ['), bk["k"], F.lit(', "'), bk["et"],
+            F.lit('", '), bk["q"], F.lit('], "pair": ['), bk["k"],
+            F.lit(', "a"]}'))
+        return F.struct(F.try_parse_json(big_json).alias("vb"),
+                        F.try_parse_json(doc2).alias("v2"))
+
+    docs2 = F.get(F.transform(F.array(bound), derived_docs), 0)
     base = e.select(
         F.try_parse_json("props").alias("vp"),
-        F.try_parse_json(big_json).alias("vb"),
-        F.try_parse_json(doc2).alias("v2"),
-        armed.alias("armed"), armed2.alias("armed2"),
-    ).repartition(max(spark.sparkContext.defaultParallelism, 8))
+        docs2.alias("__d"),
+        armed_pre.alias("armed_pre"),
+        F.col("event_type").isNotNull().alias("et_nn"),
+    ).repartition(max(spark.sparkContext.defaultParallelism, 8)) \
+     .select(
+        "vp", F.col("__d.vb").alias("vb"), F.col("__d.v2").alias("v2"),
+        (F.col("armed_pre") & F.col("vp").isNotNull()).alias("armed"),
+        (F.col("armed_pre") & F.col("vp").isNotNull() & F.col("et_nn"))
+        .alias("armed2"),
+    )
 
     # NULL source / unparsable text → False (err.parse.json), like
     # variant_valid_column. NOTE: this deliberately keeps the plan
@@ -1265,13 +1285,24 @@ def _q_token_drift_documents(spark, sf):
     the doc_id parity split; the oracle replays the token regex, the
     width_bucket rule, and all three statistics."""
     from sparkschema.operators.drift import drift_statistics_histograms
-    from sparkschema.operators.stats import histogram
     from sparkschema.operators.text import token_count
 
     docs = _read(spark, sf, "documents") \
         .select("doc_id", token_count(F.col("text")).alias("tc"))
-    ha = histogram(docs.where(F.col("doc_id") % 2 == 0), "tc", 0, 400, 20)
-    hb = histogram(docs.where(F.col("doc_id") % 2 == 1), "tc", 0, 400, 20)
+    # BOTH slice histograms from ONE token-count pass: the two
+    # histogram(where(parity)) branches each re-scanned the corpus and
+    # re-ran the token regex (guide §1.2 — don't compute things twice).
+    # Same width_bucket rule and NULL/NaN filter as stats.histogram;
+    # the 2×(buckets+2)-row result materializes behind an eager
+    # localCheckpoint so ha/hb read it instead of re-deriving.
+    c = F.col("tc").cast("double")
+    b = F.width_bucket(c, F.lit(0.0), F.lit(400.0), F.lit(20)).alias("bucket")
+    both = (docs.where(c.isNotNull() & ~F.isnan(c))
+                .groupBy((F.col("doc_id") % 2).alias("__par"), b)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .localCheckpoint(eager=True))
+    ha = both.where(F.col("__par") == 0).select("bucket", "cnt")
+    hb = both.where(F.col("__par") == 1).select("bucket", "cnt")
     return drift_statistics_histograms(ha, hb).select(
         F.round("ks", 6).alias("ks"),
         F.round("chi2", 4).alias("chi2"),

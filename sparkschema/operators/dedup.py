@@ -337,11 +337,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
 
-    est = (pairs
-           .join(sigs.select(F.col("id").alias("id_a"),
-                             F.col("sig").alias("sig_a")), "id_a")
-           .join(sigs.select(F.col("id").alias("id_b"),
-                             F.col("sig").alias("sig_b")), "id_b"))
+    # the estimate joins ship the num_hashes-long signature arrays onto
+    # EVERY candidate pair; when the signature table is small (the sigs
+    # frame is already materialized, so the count is a cheap cached
+    # job), broadcasting it turns both joins map-side and the candidate
+    # pairs never shuffle (guide §3.1). ~400 B/row at 48 hashes ⇒ the
+    # 500k-row gate caps the broadcast at ~200 MB; above it (real
+    # corpora) the shuffled join is the only plan that fits.
+    sig_side_a = sigs.select(F.col("id").alias("id_a"),
+                             F.col("sig").alias("sig_a"))
+    sig_side_b = sigs.select(F.col("id").alias("id_b"),
+                             F.col("sig").alias("sig_b"))
+    if sigs.count() <= 500_000:
+        sig_side_a, sig_side_b = F.broadcast(sig_side_a), F.broadcast(sig_side_b)
+    est = pairs.join(sig_side_a, "id_a").join(sig_side_b, "id_b")
     matches = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     est = (est.withColumn("__est", matches / F.lit(float(num_hashes)))
@@ -357,8 +366,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                    .distinct())
     base = (df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
               .join(cand_ids, "id", "left_semi"))
-    shs = base.select("id", char_shingles(normalized_text(F.col("__t")),
-                                          shingle_k).alias("sh"))
+    # spread before the interpreted shingling: the candidate table
+    # inherits the corpus scan's partitioning, and a small single-file
+    # corpus plans 1-2 scan tasks — the shingle pass then runs on 2 of
+    # 32 cores (measured 7.7 s vs 0.8 s spread, 22 k candidate docs).
+    # Hash-repartition by id: deterministic, and the candidate set is
+    # est-filtered so this exchange is candidates-only, never the corpus.
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                            "id")
+    # persisted: consumed by BOTH verify joins — unpersisted, the
+    # interpreted shingle pass ran twice (once per join branch)
+    shs = scope.persist(
+        base.select("id", char_shingles(normalized_text(F.col("__t")),
+                                        shingle_k).alias("sh")))
     verified = (est
                 .join(shs.select(F.col("id").alias("id_a"),
                                  F.col("sh").alias("sh_a")), "id_a")

@@ -29,7 +29,11 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    return F.size(tokens(col))
+    # regexp_count ≡ size(regexp_extract_all(...)) for non-NULL input
+    # (same non-overlapping leftmost matches) without materializing the
+    # token array; NULL → NULL on both forms under ANSI (Spark 4
+    # default). One regex pass instead of pass + array build.
+    return F.regexp_count(col, F.lit(TOKEN_REGEX))
 
 
 def whitespace_token_count(col: Column) -> Column:
@@ -56,22 +60,38 @@ def lang_id(col: Column) -> Column:
 
     Argmax via struct-max: structs compare lexicographically, so
     max(struct(score, inverted-tiebreak, lang)) picks the winner
-    deterministically."""
-    ws = word_set(col)
-    cands = []
-    for i, (lang, words) in enumerate(sorted(LANG_PROFILES.items())):
-        profile = F.array(*[F.lit(w) for w in words])
-        score = F.size(F.array_intersect(ws, profile))
-        cands.append(F.struct(score.alias("s"), F.lit(-i).alias("tb"),
-                              F.lit(lang).alias("lang")))
-    best = F.greatest(*cands)
+    deterministically.
+
+    The word set and the winning struct are bound ONCE through
+    1-element-array HOF lambdas (the ``char_shingles`` CollapseProject
+    pattern): as a bare tree ``word_set(col)`` inlines into each of the
+    four per-language intersects and the ``greatest`` tree itself
+    inlines into both ``best["s"]`` and ``best["lang"]`` — 8 copies of
+    the normalize+split+distinct pass per row. Values unchanged."""
+    lvl1 = F.struct(word_set(col).alias("ws"))
+
+    def pick(b: Column) -> Column:
+        cands = []
+        for i, (lang, words) in enumerate(sorted(LANG_PROFILES.items())):
+            profile = F.array(*[F.lit(w) for w in words])
+            score = F.size(F.array_intersect(b["ws"], profile))
+            cands.append(F.struct(score.alias("s"), F.lit(-i).alias("tb"),
+                                  F.lit(lang).alias("lang")))
+        lvl2 = F.struct(F.greatest(*cands).alias("best"))
+
+        def out(b2: Column) -> Column:
+            best = b2["best"]
+            return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+        return F.get(F.transform(F.array(lvl2), out), 0)
+
+    inner = F.get(F.transform(F.array(lvl1), pick), 0)
     # NULL text → NULL, not 'und' (NULL-in-NULL-out, same contract as
     # quality_score since r4): 'und' means "text with no language signal",
     # which an absent document is not — and the DuckDB oracle's CASE would
     # otherwise fall through its NULL comparisons to the LAST language
     # (pipeline-fuzz find r5)
-    return F.when(col.isNull(), F.lit(None).cast("string")) \
-            .when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(inner)
 
 
 def quality_features(col: Column) -> dict[str, Column]:
@@ -110,22 +130,83 @@ def quality_score(col: Column) -> Column:
     """[0,1] heuristic quality score: rewards sane length, word shape and
     stopword presence; punishes punctuation/digit/upper excess. A fixed,
     documented formula — downstream filters should threshold it, not
-    reinterpret the components."""
-    f = quality_features(col)
-    length_ok = F.when((f["n_chars"] >= 20) & (f["n_chars"] <= 20000), 1.0) \
-                 .when(f["n_chars"] > 0, 0.5).otherwise(0.0)
-    wordlen_ok = F.when((f["mean_word_len"] >= 2.5) & (f["mean_word_len"] <= 12), 1.0) \
-                  .otherwise(0.3)
-    stop_ok = F.least(f["stopword_hits"].cast("double") / 3.0, F.lit(1.0))
-    penalty = F.least(f["punct_ratio"] * 1.5 + f["digit_ratio"] + f["upper_ratio"],
-                      F.lit(1.0))
-    raw = (0.3 * length_ok + 0.2 * wordlen_ok + 0.3 * stop_ok
-           + 0.2 * (1.0 - penalty))
+    reinterpret the components.
+
+    Same formula as composing :func:`quality_features` directly, but
+    re-expressed over SCALAR regex counts with the shared counts bound
+    ONCE through a 1-element-array HOF lambda (the ``char_shingles``
+    CollapseProject pattern). As a bare tree the ``tokens(col)`` regex
+    pass appears ~10× (every ``n_tokens`` / ``words`` /
+    ``mean_word_len`` reference is an inlined copy, and interpreted HOFs
+    get no codegen CSE), re-tokenizing each document ~10× per row. The
+    scalar identities are exact, not approximations:
+
+    - TOKEN_REGEX tokens = alnum runs ∪ single non-alnum-non-space
+      symbols, so ``n_words = regexp_count(col, '[A-Za-z0-9]+')`` (the
+      filter-matching tokens are precisely the alnum runs) and
+      ``n_tokens = n_words + count(non-alnum, non-\\s chars)``;
+    - ``Σ length(word) = count of alnum chars``, so ``mean_word_len``
+      divides the same two integers the aggregate form did.
+
+    The per-class char counts use ``translate`` (count of chars in class
+    C = length - length(col with C removed)) instead of
+    ``length(regexp_replace(col, '[^C]', ''))`` -- the keep-most-chars
+    regex replace measured 2-3 s alone where translate reads 0.25 s,
+    bit-identical counts. No token ARRAY materializes and no per-token
+    interpreted rlike runs -- quality_score over the 50 k sf1.0 docs:
+    13.6 s bare tree -> ~1 s, identical values (eqNullSafe diff count 0
+    at sf1.0)."""
+    import string as _string
+    _ALNUM = (_string.ascii_uppercase + _string.ascii_lowercase
+              + _string.digits)
+    # \s in the JVM regex dialect is ASCII-only: [ \t\n\x0b\f\r]
+    _WS = " \t\n\x0b\f\r"
+    lvl1 = F.struct(
+        F.length(col).alias("n_chars"),
+        F.regexp_count(col, F.lit(r"[A-Za-z0-9]+")).alias("n_words"),
+        (F.length(col) - F.length(F.translate(col, _ALNUM, "")))
+        .alias("n_alnum"),
+        F.length(F.translate(col, _ALNUM + _WS, "")).alias("n_symbols"),
+        F.size(F.array_intersect(
+            word_set(col),
+            F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])))
+         .alias("stop_hits"),
+        (F.length(col) - F.length(F.translate(col, _string.ascii_uppercase,
+                                              "")))
+        .alias("n_upper"),
+        (F.length(col) - F.length(F.translate(col, _string.digits, "")))
+        .alias("n_digit"),
+    )
+
+    def score(b: Column) -> Column:
+        n_chars = b["n_chars"]
+        n_words = b["n_words"]
+        n_tokens = n_words + b["n_symbols"]
+        mean_word_len = F.when(
+            n_words > 0, b["n_alnum"] / n_words).otherwise(F.lit(0.0))
+        punct_ratio = F.when(n_tokens > 0,
+                             (n_tokens - n_words) / n_tokens
+                             ).otherwise(F.lit(0.0))
+        upper_ratio = F.when(n_chars > 0,
+                             b["n_upper"] / n_chars).otherwise(F.lit(0.0))
+        digit_ratio = F.when(n_chars > 0,
+                             b["n_digit"] / n_chars).otherwise(F.lit(0.0))
+        length_ok = F.when((n_chars >= 20) & (n_chars <= 20000), 1.0) \
+                     .when(n_chars > 0, 0.5).otherwise(0.0)
+        wordlen_ok = F.when((mean_word_len >= 2.5)
+                            & (mean_word_len <= 12), 1.0).otherwise(0.3)
+        stop_ok = F.least(b["stop_hits"].cast("double") / 3.0, F.lit(1.0))
+        penalty = F.least(punct_ratio * 1.5 + digit_ratio + upper_ratio,
+                          F.lit(1.0))
+        raw = (0.3 * length_ok + 0.2 * wordlen_ok + 0.3 * stop_ok
+               + 0.2 * (1.0 - penalty))
+        return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
+
+    out = F.get(F.transform(F.array(lvl1), score), 0)
     # NULL text scores NULL — without the guard, size(NULL)=NULL rode
     # through F.least (which SKIPS nulls) into full stopword credit and
     # a 0.56 "quality" for a nonexistent document (review find r4)
-    return F.when(col.isNull(), F.lit(None).cast("double")).otherwise(
-        F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6))
+    return F.when(col.isNull(), F.lit(None).cast("double")).otherwise(out)
 
 
 def content_fingerprint(col: Column) -> Column:
@@ -156,7 +237,10 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
         k = F.size(ws) - (n - 1)
 
         def gram(i: Column) -> Column:
-            return F.concat_ws(" ", *[F.get(ws, i + j) for j in range(n)])
+            # slice+array_join ≡ concat_ws(" ", get(ws,i), …, get(ws,i+n-1))
+            # (split yields no NULL elements; both skip NULLs anyway) in 2
+            # interpreted expression evals per gram instead of n+1
+            return F.array_join(F.slice(ws, i + 1, n), " ")
 
         return F.when(k <= 0, F.array().cast("array<string>")) \
                 .otherwise(F.transform(F.sequence(F.lit(0), k - 1), gram))
