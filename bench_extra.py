@@ -296,6 +296,74 @@ def dump_plans(names) -> None:
     spark.stop()
 
 
+def make_sfrep(mult: int = 10, base: str = "/root/testdata/sf0.1",
+               dest: str | None = None) -> str:
+    """Materialize a ``mult``x replica of the sf0.1 star schema for
+    profiling at the driver's measurement scale (sf1.0 = 10x sf0.1; the
+    driver-generated sf1.0 dir is not present this round). Keys are
+    offset per copy CONSISTENTLY across fact/dim tables so join fanouts,
+    orphan rates and duplicate-group structure replicate linearly.
+    Document text gets a per-copy per-word suffix (disjoint shingle
+    spaces per copy — near-dup pair counts grow linearly, same
+    construction as bench.ensure_linearity_tables). Embeddings for
+    copy>0 are deterministically rotated so replicas are not exact
+    vector duplicates (which would fake quadratic near-dup growth)."""
+    from pyspark.sql import functions as F
+
+    dest = dest or f"/tmp/sparkschema_bench/sfrep{mult}x"
+    done = os.path.join(dest, "_DONE")
+    if os.path.exists(done):
+        return dest
+    spark = _session()
+    os.makedirs(dest, exist_ok=True)
+    OFF = {"o_orderkey": 100_000_000, "l_orderkey": 100_000_000,
+           "o_custkey": 10_000_000, "c_custkey": 10_000_000,
+           "l_partkey": 10_000_000, "p_partkey": 10_000_000,
+           "l_suppkey": 1_000_000, "s_suppkey": 1_000_000,
+           "doc_id": 10_000_000, "event_id": 100_000_000,
+           "user_id": 10_000_000, "vec_id": 10_000_000}
+    reps = spark.range(mult).select(F.col("id").alias("copy"))
+
+    def replicate(name: str, text_col: str | None = None,
+                  vec_col: str | None = None, parts: int = 32):
+        df = spark.read.parquet(f"{base}/{name}.parquet")
+        out = df.crossJoin(reps)
+        for c in df.columns:
+            if c in OFF:
+                out = out.withColumn(c, F.col(c) + F.col("copy") * OFF[c])
+        if text_col:
+            tag = F.concat(F.lit("#c"), F.col("copy").cast("string"))
+            tagged = F.concat_ws(
+                " ", F.transform(F.split(F.col(text_col), " "),
+                                 lambda w: F.concat(w, tag)))
+            out = out.withColumn(
+                text_col,
+                F.when(F.col(text_col).isNull(), F.col(text_col))
+                 .when(F.col("copy") == 0, F.col(text_col))
+                 .otherwise(tagged))
+        if vec_col:
+            out = out.withColumn(
+                vec_col,
+                F.transform(F.col(vec_col),
+                            lambda x, i: x + (F.col("copy") * (i + 1))
+                            .cast("float") / F.lit(997.0)))
+        (out.drop("copy").repartition(parts)
+            .write.mode("overwrite").parquet(f"{dest}/{name}.parquet"))
+        print(f"  replicated {name} x{mult}", file=sys.stderr)
+
+    for nm in ("nation", "region", "supplier", "customer", "part",
+               "orders"):
+        replicate(nm, parts=8 if nm in ("nation", "region") else 32)
+    replicate("lineitem", parts=64)
+    replicate("documents", text_col="text")
+    replicate("events", parts=32)
+    replicate("embeddings", vec_col="embedding", parts=16)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    spark.stop()
+    return dest
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "queries"
     args = sys.argv[2:]
@@ -309,6 +377,8 @@ def main() -> None:
     elif cmd == "explain":
         dump_plans(args or list(SF_QUERY_NAMES) + ["events_json_invalid"])
         out = {"ok": True}
+    elif cmd == "make_sfrep":
+        out = {"dest": make_sfrep(int(args[0]) if args else 10)}
     else:
         raise SystemExit(f"unknown command {cmd}")
     out["wall_s"] = round(time.time() - t0, 1)
