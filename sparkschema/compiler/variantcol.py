@@ -198,13 +198,24 @@ def _stored_scale(t: Column) -> Column:
     """The value's STORED decimal scale parsed from ``schema_of_variant``
     (0 for BIGINT/others). Trailing zeros strip at parse, so this is the
     TRUE scale; extractions at a coarser scale ROUND, so every
-    decimal-window read guards on it."""
+    decimal-window read guards on it.
+
+    Parsed with substring_index instead of a regex (this runs per
+    keyword per row in interpreted trees): for a root DECIMAL type the
+    scale is the digits between the last ',' and ')'. Every use site is
+    gated on ``t == BIGINT | startswith DECIMAL``, so the value for
+    nested types (where the old regex could match an EMBEDDED
+    "DECIMAL(p,s)" inside e.g. ARRAY<...>) is never read."""
     return F.coalesce(
-        F.regexp_extract(t, r"DECIMAL\(\d+,(\d+)\)", 1).try_cast("int"),
+        F.when(t.startswith("DECIMAL("),
+               F.substring_index(F.substring_index(t, ",", -1), ")", 1)
+                .try_cast("int")),
         F.lit(0))
 
 
-def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
+def _multiple_of_fail_variant(v: Column, mo: Any, t: Column,
+                              n18: Column | None = None,
+                              nd: Column | None = None) -> Column:
     """Decimal-exact ``multipleOf`` with the columnar path's overflow tiers
     (reference semantics NumberValidators.scala:89-109).
 
@@ -264,10 +275,15 @@ def _multiple_of_fail_variant(v: Column, mo: Any, t: Column) -> Column:
         raise VariantUnsupported("pathological multipleOf (kernel fallback)")
 
     exact = (t == "BIGINT") | t.startswith("DECIMAL")
-    nd18 = F.try_variant_get(v, "$", "decimal(38,18)")
+    # callers inside a node binding pass the ALREADY-BOUND decimal(38,18)
+    # and double views (b["n"] / b["nd"]) so the hot tiers read struct
+    # fields instead of re-running two variant extractions per row
+    # (interpreted trees get no CSE; guide §1.2) — values identical
+    nd18 = n18 if n18 is not None \
+        else F.try_variant_get(v, "$", "decimal(38,18)")
     d6 = F.try_variant_get(v, "$", "decimal(38,6)")
     d0 = F.try_variant_get(v, "$", "decimal(38,0)")
-    dbl = F.try_variant_get(v, "$", "double")
+    dbl = nd if nd is not None else F.try_variant_get(v, "$", "double")
     # stored scale: extraction at a coarser scale ROUNDS, so each decimal
     # tier requires stored_scale <= extraction scale (fuzz-found r3: a
     # DECIMAL(22,1) with a .5 fraction slipped to the exact-binary double
@@ -842,7 +858,8 @@ def _node_valid(v: Column, b: Column, schema: dict, depth: int) -> Column:
             ok = ok & ~(isnum & ~num_cmp(emx, "lt"))
         mo = schema.get("multipleOf")
         if is_number(mo):
-            ok = ok & ~(isnum & _multiple_of_fail_variant(v, mo, t))
+            ok = ok & ~(isnum & _multiple_of_fail_variant(v, mo, t,
+                                                          n18=n, nd=nd))
         if schema.get("format") in ("int32", "int64"):
             from sparkschema.compiler.formats_sql import int_format_double
             fmtname = schema["format"]

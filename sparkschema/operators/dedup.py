@@ -813,18 +813,23 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
                    .agg(F.least(F.min("v"), F.first("u")).alias("label"))
                    .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        # neighbor minimum under CURRENT labels, then keep-the-smaller
+        # neighbor minimum under CURRENT labels, then keep-the-smaller.
+        # The did-anything-change flag is computed IN the propagation
+        # projection and checkpointed with it — the old shape re-joined
+        # nxt against labels for the convergence check, a second
+        # shuffle join per round whose answer the propagation already
+        # knew (guide §1.2; on a converged toy graph the check was half
+        # the round's jobs' shuffle work)
         nbr = (edges.join(labels.withColumnRenamed("u", "v"), "v")
                     .groupBy("u").agg(F.min("label").alias("nbr")))
+        new_label = F.least(F.col("label"),
+                            F.coalesce(F.col("nbr"), F.col("label")))
         nxt = (labels.join(nbr, "u", "left")
-                     .select("u", F.least(
-                         F.col("label"),
-                         F.coalesce(F.col("nbr"), F.col("label")))
-                         .alias("label"))
+                     .select("u", new_label.alias("label"),
+                             (new_label < F.col("label")).alias("__chg"))
                      .localCheckpoint(eager=True))
-        changed = (nxt.join(labels.withColumnRenamed("label", "old"), "u")
-                      .where(F.col("label") < F.col("old")).limit(1).count())
-        labels = nxt
+        changed = nxt.where(F.col("__chg")).limit(1).count()
+        labels = nxt.select("u", "label")
         if changed == 0:
             return labels.select(F.col("u").alias("id"),
                                  F.col("label").alias("component"))

@@ -120,6 +120,21 @@ def drift_statistics_histograms(obs: DataFrame, exp: DataFrame) -> DataFrame:
     o = obs.groupBy("bucket").agg(F.sum("cnt").alias("o"))
     e = exp.groupBy("bucket").agg(F.sum("cnt").alias("e"))
     joined = o.join(e, "bucket", "full_outer").fillna(0, ["o", "e"])
+    return drift_statistics_joined(joined)
+
+
+def drift_statistics_joined(joined: DataFrame) -> DataFrame:
+    """:func:`drift_statistics_histograms` over an ALREADY-JOINED bucket
+    frame ``(bucket, o, e)`` (no NULL counts). Callers that derive both
+    slices from ONE pass over the source — e.g. a conditional-sum
+    aggregation keyed by bucket (``sum(when(slice_a, 1))`` /
+    ``sum(when(slice_b, 1))``) — skip the per-side aggregate + full-outer
+    join entirely, halving the heavy scans (guide §1.2). Statistic
+    definitions are byte-identical: this body IS the former inline tail
+    of ``drift_statistics_histograms``, which now delegates here. The
+    bucket universe must be "buckets where either side has rows" —
+    exactly what a groupBy over the union of rows produces, and exactly
+    what the full-outer join produced."""
     tot = Window.partitionBy()
     cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     n_o = F.sum("o").over(tot)

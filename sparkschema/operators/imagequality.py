@@ -33,11 +33,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# ONE control-character class for the whole engine: the caption
+# ONE control-character set for the whole engine: the caption
 # printable-ratio gate must agree character-for-character with the text
 # scrub (and with the DuckDB twin strings) — a second hand-maintained
 # copy here silently desynchronized on the next edit (review find r5).
-from sparkschema.operators.normalize import _CONTROL_CLASS as _CTRL_CLASS
+# _CONTROL_CHARS is the explicit-char twin of _CONTROL_CLASS (defined
+# side by side in normalize.py): translate deletes exactly the class's
+# code points, so the count is bit-identical to the regexp_replace form
+# without the per-row Matcher (guide §1.2 — measured ~20% cheaper over
+# the 20M-caption bench table).
+from sparkschema.operators.normalize import _CONTROL_CHARS as _CTRL_CHARS
 
 
 def caption_printable_ratio(caption: Column) -> Column:
@@ -46,7 +51,7 @@ def caption_printable_ratio(caption: Column) -> Column:
     Empty captions score 1.0 (the length gates own emptiness); NULL
     propagates."""
     n = F.length(caption)
-    ctrl = n - F.length(F.regexp_replace(caption, _CTRL_CLASS, ""))
+    ctrl = n - F.length(F.translate(caption, _CTRL_CHARS, ""))
     return F.when(n == 0, F.lit(1.0)).otherwise(
         1.0 - ctrl.cast("double") / n.cast("double"))
 
@@ -97,9 +102,11 @@ def image_quality_frame(
 
     cap = F.col(caption_col)
     cap_trim = F.trim(cap)
-    # split on runs of whitespace; empty-after-trim yields one empty
-    # token, handled by the char gate which fails first in the AND
-    tok_n = F.size(F.split(cap_trim, "\\s+"))
+    # tokens = whitespace-run count + 1, the exact size of
+    # split(cap_trim, "\s+") for ANY string (split always yields
+    # count+1 fields, including the empty-after-trim single empty
+    # token) — one regex pass, no token array materialized
+    tok_n = F.regexp_count(cap_trim, F.lit("\\s+")) + 1
     caption_ok = F.coalesce(
         (F.length(cap_trim) >= min_caption_chars)
         & (tok_n >= min_caption_tokens)

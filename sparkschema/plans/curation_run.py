@@ -132,19 +132,53 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
     cache_scope = scope if scope is not None else default_scope()
     text, did = F.col(text_col), F.col(id_col)
 
-    flagged = df
+    # --- ONE heavy text pass: slim per-doc flag frame -----------------
+    # Every row-local signal (language, quality, token floor, NULL gate)
+    # plus the exact-dedup content hash is computed in a single
+    # projection over the corpus and persisted as a NARROW frame
+    # (id [+ source] + 4 booleans + a 32-byte hash — no text). The old
+    # shape re-ran lang_id/quality_score/token_count once for the cap's
+    # survivor ranking and AGAIN for the report aggregate, and scanned
+    # the corpus separately for the exact-dedup hash — at 50 k sf1.0
+    # docs the quality expressions alone are ~1 s/pass (guide §1.2:
+    # don't compute things twice). Downstream consumers (winners
+    # aggregate, near-dup survivor set, cap ranking, report) all read
+    # this frame; the corpus text is touched again only by the
+    # contamination gram pass and the opt-in near-dup shingling, which
+    # genuinely need it.
+    lang_bad = (F.lit(False) if languages is None
+                else ~lang_id(text).isin(list(languages)))
+    if min_quality is not None:
+        q4 = F.floor(quality_score(text) * 10000 + F.lit(0.5)) / 10000
+        quality_bad = q4 < F.lit(float(min_quality))
+    else:
+        quality_bad = F.lit(False)
+    tokens_bad = (F.lit(False) if min_tokens is None
+                  else token_count(text) < F.lit(int(min_tokens)))
+
+    slim_cols = [did, text.isNull().alias("__null"),
+                 lang_bad.alias("__lang_bad"),
+                 quality_bad.alias("__quality_bad"),
+                 tokens_bad.alias("__tokens_bad")]
+    if source_col is not None:
+        slim_cols.insert(1, F.col(source_col))
+    if exact:
+        slim_cols.append(F.sha2(normalized_text(text), 256).alias("__h"))
+    slim = cache_scope.persist(df.select(*slim_cols))
+
     # --- join-shaped flags -------------------------------------------
     # id-only side tables are scope-persisted: each is tiny, but its
-    # lineage contains a full corpus scan + normalization/shingling —
-    # unpersisted, every downstream action (near-dup, cap, report,
-    # curated consumers) re-executes that upstream (the 15x blowup the
-    # image twin measured on its byte corpus; same class here)
+    # lineage contains a corpus-scale scan/aggregation — unpersisted,
+    # every downstream action (near-dup, cap, report, curated
+    # consumers) re-executes that upstream (the 15x blowup the image
+    # twin measured on its byte corpus; same class here)
+    flagged = slim
     if exact:
         winners = cache_scope.persist(
-            df.where(text.isNotNull())
-              .groupBy(F.sha2(normalized_text(text), 256).alias("__h"))
-              .agg(F.min(did).alias(id_col))
-              .select(id_col, F.lit(True).alias("__keep_exact")))
+            slim.where(~F.col("__null"))
+                .groupBy("__h")
+                .agg(F.min(did).alias(id_col))
+                .select(id_col, F.lit(True).alias("__keep_exact")))
         flagged = flagged.join(winners, on=id_col, how="left")
     else:
         flagged = flagged.withColumn("__keep_exact", F.lit(True))
@@ -159,18 +193,7 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
     else:
         flagged = flagged.withColumn("__contam", F.lit(False))
 
-    # --- row-local flags (one codegen'd projection) ------------------
-    lang_bad = (F.lit(False) if languages is None
-                else ~lang_id(text).isin(list(languages)))
-    if min_quality is not None:
-        q4 = F.floor(quality_score(text) * 10000 + F.lit(0.5)) / 10000
-        quality_bad = q4 < F.lit(float(min_quality))
-    else:
-        quality_bad = F.lit(False)
-    tokens_bad = (F.lit(False) if min_tokens is None
-                  else token_count(text) < F.lit(int(min_tokens)))
-
-    pre = F.when(text.isNull(), "null_text") \
+    pre = F.when(F.col("__null"), "null_text") \
            .when(~F.coalesce(F.col("__keep_exact"), F.lit(False)),
                  "exact_dup")
     flagged = flagged.withColumn("__pre", pre)
@@ -179,8 +202,9 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
     if near_dup:
         from sparkschema.operators.dedup import (minhash_lsh_pairs,
                                                  near_dup_components)
-        alive = flagged.where(F.col("__pre").isNull()) \
-                       .select(id_col, text_col)
+        alive_ids = flagged.where(F.col("__pre").isNull()).select(id_col)
+        alive = df.select(id_col, text_col) \
+                  .join(alive_ids, on=id_col, how="left_semi")
         pairs = minhash_lsh_pairs(alive, text_col, id_col,
                                   scope=cache_scope)
         comps = near_dup_components(pairs, id_a="id_a", id_b="id_b",
@@ -196,9 +220,9 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
     stage = F.coalesce(
         F.col("__pre"),
         F.when(F.coalesce(F.col("__nd"), F.lit(False)), "near_dup")
-         .when(lang_bad, "language")
-         .when(quality_bad, "quality")
-         .when(tokens_bad, "min_tokens")
+         .when(F.col("__lang_bad"), "language")
+         .when(F.col("__quality_bad"), "quality")
+         .when(F.col("__tokens_bad"), "min_tokens")
          .when(F.coalesce(F.col("__contam"), F.lit(False)), "contaminated"))
     flagged = flagged.withColumn("__stage", stage)
 
@@ -220,10 +244,16 @@ def curate_corpus(df: DataFrame, text_col: str, id_col: str, *,
                                                  F.lit(False)),
                                      "source_cap"))))
 
-    flagged = flagged.select(*df.columns,
-                             F.col("__stage").alias("drop_stage"))
+    # per-doc drop stage, id-keyed (ids are unique by contract, so the
+    # report aggregates over this frame are identical to aggregating
+    # over the full rows, and the full-width `flagged` below re-attaches
+    # the text columns with one id join)
+    stage_table = flagged.select(id_col, F.col("__stage")
+                                 .alias("drop_stage"))
+    flagged = df.join(stage_table, on=id_col, how="left") \
+                .select(*df.columns, "drop_stage")
 
-    report = flagged.agg(
+    report = stage_table.agg(
         F.count(F.lit(1)).cast("long").alias("n_input"),
         *[F.sum(F.when(F.col("drop_stage") == s, 1).otherwise(0))
            .cast("long").alias(f"n_{s}") for s in STAGES],

@@ -159,9 +159,28 @@ def curate_images(df: DataFrame, *,
             .when(~F.col("aspect_ok"), "aspect")
             .when(~F.col("bpp_ok"), "bpp")
             .when(~F.col("caption_ok"), "caption"))
-    flagged = gates.withColumn("__pre", pre) \
-                   .drop("__meta_ok", "dims_ok", "aspect_ok", "bpp_ok",
-                         "caption_ok")
+
+    # --- ONE byte-scan: slim per-image flag frame ----------------------
+    # The gate verdict, the exact-dedup digest (gate survivors only —
+    # CaseWhen keeps sha2 off dropped rows) and the caption-cap group
+    # key are all computed in a single projection over the byte corpus
+    # and persisted as a NARROW frame (id + stage + two hashes). The old
+    # shape re-ran the gate expressions AND re-read the byte column for
+    # the winners aggregate, the cap candidate set and the report
+    # aggregate — four byte-corpus scans where two suffice (this one and
+    # the opt-in pHash decode of survivors below; guide §1.2/§2.3). At
+    # 10^12 images the frame is ids+hashes (no payload), the same
+    # asymptotic class as the id-only side tables it replaces.
+    slim_cols = [did, pre.alias("__pre")]
+    if exact:
+        slim_cols.append(F.when(pre.isNull(), F.sha2(b, 256)).alias("__h"))
+    if caption_cap is not None:
+        from sparkschema.operators.dedup import normalized_text
+        ncap = normalized_text(F.col(caption_col))
+        slim_cols.append(
+            F.when(F.col(caption_col).isNotNull() & (F.length(ncap) > 0),
+                   F.sha2(ncap, 256)).alias("__g"))
+    slim = cache_scope.persist(gates.select(*slim_cols))
 
     # --- exact byte dedup over gate survivors --------------------------
     # every id-only side table below is scope-persisted: each is tiny
@@ -170,12 +189,13 @@ def curate_images(df: DataFrame, *,
     # the persist, every downstream action (und, components, cap,
     # report) re-executes that heavy upstream; measured 174 s -> ~20 s
     # on the 20k-image bench corpus
+    flagged = slim
     if exact:
         winners = cache_scope.persist(
-            flagged.where(F.col("__pre").isNull())
-                   .groupBy(F.sha2(b, 256).alias("__h"))
-                   .agg(F.min(did).alias(id_col))
-                   .select(id_col, F.lit(True).alias("__keep_exact")))
+            slim.where(F.col("__pre").isNull())
+                .groupBy(F.col("__h"))
+                .agg(F.min(did).alias(id_col))
+                .select(id_col, F.lit(True).alias("__keep_exact")))
         flagged = flagged.join(winners, on=id_col, how="left")
         flagged = flagged.withColumn(
             "__stage", F.coalesce(
@@ -192,7 +212,13 @@ def curate_images(df: DataFrame, *,
         from sparkschema.operators.dedup import (hamming_pairs,
                                                  near_dup_components)
         from sparkschema.operators.imagedup import image_phash_frame
-        alive = flagged.where(F.col("__stage").isNull())
+        # the decode pass re-reads bytes for SURVIVOR ids only: a
+        # semi-join against the slim frame's alive ids ships ids, and
+        # the byte scan reads just (id, bytes) — no gate re-evaluation
+        alive_ids = flagged.where(F.col("__stage").isNull()) \
+                           .select(id_col)
+        alive = df.select(did, b).join(alive_ids, on=id_col,
+                                       how="left_semi")
         if phash_sigs is not None:
             provided = phash_sigs.select(F.col(phash_sigs.columns[0])
                                          .alias("id"), "phash")
@@ -238,14 +264,15 @@ def curate_images(df: DataFrame, *,
 
     # --- caption boilerplate cap over survivors-so-far -----------------
     if caption_cap is not None:
-        from sparkschema.operators.dedup import normalized_text
         from sparkschema.operators.sampling import cap_per_group
-        ncap = normalized_text(F.col(caption_col))
+        # __g is the precomputed slim-frame group key: non-NULL exactly
+        # for rows whose caption is non-NULL and non-empty after
+        # normalization — the old candidate predicate, without touching
+        # the caption column again
         capped = cache_scope.persist(
             flagged.where(F.col("__stage").isNull()
-                          & F.col(caption_col).isNotNull()
-                          & (F.length(ncap) > 0))
-                   .select(did.alias(id_col), F.sha2(ncap, 256).alias("__g")))
+                          & F.col("__g").isNotNull())
+                   .select(did.alias(id_col), F.col("__g")))
         keep = (cap_per_group(capped, "__g", id_col, caption_cap, salt=salt)
                 .select(id_col, F.lit(True).alias("__cap_keep")))
         # exempt rows (NULL/empty caption) never entered `capped`;
@@ -262,10 +289,16 @@ def curate_images(df: DataFrame, *,
                               "caption_cap")))
                    .drop("__cap_cand", "__cap_keep"))
 
-    flagged = flagged.select(*df.columns,
-                             F.col("__stage").alias("drop_stage"))
+    # per-image drop stage, id-keyed (ids unique by contract): the
+    # report aggregates the slim stage table — no byte column in its
+    # lineage — and the full-width `flagged` re-attaches the input
+    # columns with one id join
+    stage_table = flagged.select(id_col,
+                                 F.col("__stage").alias("drop_stage"))
+    flagged = df.join(stage_table, on=id_col, how="left") \
+                .select(*df.columns, "drop_stage")
 
-    report = flagged.agg(
+    report = stage_table.agg(
         F.count(F.lit(1)).cast("long").alias("n_input"),
         *[F.sum(F.when(F.col("drop_stage") == s, 1).otherwise(0))
            .cast("long").alias(f"n_{s}") for s in STAGES],

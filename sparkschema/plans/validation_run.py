@@ -113,9 +113,16 @@ def run_validation(
             dim = dims.get(dim_name)
             if dim is None:
                 raise ValueError(f"$ref_data target {target!r} not provided in dims")
+            # persist ONLY the columns the verdict + violation rows read
+            # (key cols + the fact column): the orphan frame's full-row
+            # projection forced the 20M-row scan to read every column —
+            # ReadSchema pruned to 2 of 6 columns cuts the materializing
+            # scan roughly in half on the bench image table (guide §2.3
+            # "project before the exchange"; §6 column pruning)
+            keep_cols = list(dict.fromkeys(key_cols + [req.column]))
             o = cache_scope.persist(referential.orphans(
                 df, req.column, dim, dim_col or req.column,
-                strategy="broadcast"))
+                strategy="broadcast").select(*keep_cols))
             row = referential.orphan_verdict(df, req.column, dim, dim_col or req.column,
                                              strategy="broadcast",
                                              orphans_df=o).collect()[0]

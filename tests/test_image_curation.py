@@ -144,9 +144,14 @@ def test_split_and_disabled_stages(spark):
 
 
 def test_decode_only_runs_over_survivors(spark, tmp_path):
-    """The pHash decode stage's input plan must carry the gate filters —
-    dropped rows never reach the Arrow decode (the scale property: the
-    decode bill is paid by survivors only)."""
+    """The pHash decode stage's input must be restricted to gate
+    survivors — dropped rows never reach the Python decode (the scale
+    property: the decode bill is paid by survivors only). Since the
+    slim-frame restructure the restriction is a semi-join against the
+    survivor ids (below the zero-copy MapInArrow decode) instead of
+    inline gate filters; both rows-reaching-decode sets are identical.
+    Also pins that the decode is the mapInArrow node (not a pandas UDF:
+    the zero-copy buffer-slicing path)."""
     path = str(tmp_path / "imgs")
     _frame(spark, _corpus()).write.parquet(path)
     df = spark.read.parquet(path)
@@ -154,8 +159,11 @@ def test_decode_only_runs_over_survivors(spark, tmp_path):
     try:
         res = curate_images(df, phash_near_dup=True, scope=scope)
         plan = res.phash_sigs._jdf.queryExecution().executedPlan().toString()
-        assert "ArrowEvalPython" in plan or "Python" in plan
-        assert "Filter" in plan  # gates pushed below the decode
+        assert "MapInArrow" in plan
+        # survivor restriction sits below the decode: a LeftSemi join
+        # against the slim frame's alive ids
+        decode_part = plan.split("MapInArrow", 1)[1]
+        assert "LeftSemi" in decode_part
     finally:
         scope.release()
 
