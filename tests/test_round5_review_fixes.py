@@ -231,7 +231,17 @@ def test_pin_meta_steals_stale_heal_lock(tmp_path):
 # --- shared control-character class ---------------------------------------
 
 def test_ctrl_class_single_source_of_truth():
-    from sparkschema.operators.imagequality import _CTRL_CLASS
-    from sparkschema.operators.normalize import _CONTROL_CLASS
+    # r6: the caption gate now uses the translate-chars form (no per-row
+    # Matcher); the invariant is unchanged — ONE definition in
+    # normalize.py, and the char string covers exactly the class's
+    # code points.
+    import re
 
-    assert _CTRL_CLASS is _CONTROL_CLASS
+    from sparkschema.operators.imagequality import _CTRL_CHARS
+    from sparkschema.operators.normalize import (_CONTROL_CHARS,
+                                                 _CONTROL_CLASS)
+
+    assert _CTRL_CHARS is _CONTROL_CHARS
+    rx = re.compile(_CONTROL_CLASS)
+    assert sorted(_CONTROL_CHARS) == sorted(
+        chr(c) for c in range(0x200) if rx.fullmatch(chr(c)))
