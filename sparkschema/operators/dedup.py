@@ -753,9 +753,48 @@ def embedding_near_duplicates(df: DataFrame, vec_col: str, id_col: str,
 # connected components (pair graph -> dedup clusters)
 
 
+#: edge-count gate below which the component resolution runs as a
+#: driver-side union-find over the collected edge list instead of the
+#: iterative join loop. Rationale (guide §1.2 / §3.1 — same principle as
+#: a broadcast join): each propagation round costs 2 driver-scheduled
+#: jobs (an eager localCheckpoint + the convergence probe), ~0.4 s of
+#: fixed scheduling latency in local mode regardless of data size, and a
+#: real near-dup graph needs 3-5 rounds — so a 100-pair graph pays ~2 s
+#: of pure orchestration for microseconds of work. 200k edges collect to
+#: ~a few MB (well under any driver budget); beyond the gate the
+#: no-driver-state loop is the only shape that scales.
+SMALL_GRAPH_EDGES = 200_000
+
+
+def _union_find_components(edges: list) -> dict:
+    """Driver-side union-find; returns {node: min reachable node} —
+    exactly the fixpoint the distributed min-label loop converges to."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller root stays the representative
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in parent}
+
+
 def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
                         id_b: str = "id_b", max_iter: int = 50,
-                        scope=None) -> DataFrame:
+                        scope=None,
+                        small_graph_edges: int | None = None) -> DataFrame:
     """Resolve a near-duplicate PAIR graph into clusters: one
     ``(id, component)`` row per node that appears in ``pairs``, where
     ``component`` is the cluster's canonical representative — the
@@ -797,6 +836,14 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
     Raises ``ValueError`` if ``max_iter`` rounds do not reach the
     fixpoint (only possible on a path graph longer than ``max_iter``) —
     a silently-partial clustering must never masquerade as converged.
+
+    ``small_graph_edges`` (default :data:`SMALL_GRAPH_EDGES`): edge
+    lists at or below this count resolve with a driver-side union-find
+    over the collected (deduplicated, symmetrized) edges instead of the
+    iterative loop — identical output, none of the loop's per-round
+    driver-scheduled jobs (the broadcast-join principle applied to the
+    component graph; see the constant's docstring for the measured
+    rationale). Pass 0 to force the distributed loop.
     """
     from sparkschema.operators.caching import default_scope
 
@@ -807,6 +854,27 @@ def near_dup_components(pairs: DataFrame, id_a: str = "id_a",
                   .where(F.col("u") != F.col("v"))
                   .dropDuplicates(["u", "v"]))
     edges = cache_scope.persist(edges)
+    # size gate (r6): the count doubles as the persist's materialization;
+    # below SMALL_GRAPH_EDGES the component resolution is a driver-side
+    # union-find over the collected edge list — identical output (the
+    # min-label fixpoint IS min-reachable-id, which union-find-by-min
+    # computes directly) for ~15 fewer driver-scheduled jobs; measured
+    # 1.8 s → <0.1 s on the 108-pair bench image graph. Collected volume
+    # is bounded by the gate (≤200k edges ≈ a few MB), the same budget
+    # class as a broadcast join's build side (guide §3.1); corpus-scale
+    # graphs take the no-driver-state loop below unchanged.
+    gate = SMALL_GRAPH_EDGES if small_graph_edges is None \
+        else small_graph_edges
+    if edges.count() <= gate:
+        from pyspark.sql import types as _T
+
+        dt = edges.schema["u"].dataType
+        mapping = _union_find_components(
+            [(r["u"], r["v"]) for r in edges.collect()])
+        schema = _T.StructType([_T.StructField("id", dt),
+                                _T.StructField("component", dt)])
+        return pairs.sparkSession.createDataFrame(
+            sorted(mapping.items()), schema)
     # label(u) starts at min(u, min direct neighbor) — one propagation
     # round folded into initialization
     labels = (edges.groupBy("u")

@@ -236,8 +236,15 @@ def test_components_random_graphs_vs_duckdb(spark):
         m = rng.randint(1, 120)
         edges = [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
         df = spark.createDataFrame(edges, "id_a long, id_b long")
+        # both implementations behind the r6 size gate: the driver-side
+        # union-find (default at this size) and the distributed
+        # min-label loop (forced with gate 0) must match the oracle
         got = {(r.id, r.component)
                for r in near_dup_components(df).collect()}
+        got_loop = {(r.id, r.component)
+                    for r in near_dup_components(
+                        df, small_graph_edges=0).collect()}
+        assert got == got_loop, (trial, sorted(got ^ got_loop)[:6])
 
         vals = ", ".join(f"({a}, {b})" for a, b in edges)
         want = set(con.execute(f"""

@@ -434,12 +434,29 @@ def test_components_multiple_clusters_and_orientation(spark):
 
 
 def test_components_long_path_needs_iterations(spark):
-    # a 12-node path graph exercises true multi-round propagation
+    # a 12-node path graph exercises true multi-round propagation;
+    # small_graph_edges=0 forces the distributed loop (the r6 default
+    # resolves graphs this small with the driver-side union-find)
     edges = [(i, i + 1) for i in range(100, 112)]
-    comps = dedup.near_dup_components(_pairs(spark, edges))
-    rows = comps.collect()
-    assert len(rows) == 13
-    assert {r.component for r in rows} == {100}
+    for gate in (0, None):
+        comps = dedup.near_dup_components(_pairs(spark, edges),
+                                          small_graph_edges=gate)
+        rows = comps.collect()
+        assert len(rows) == 13
+        assert {r.component for r in rows} == {100}
+
+
+def test_components_loop_and_union_find_agree(spark):
+    # the two implementations must produce identical (id, component)
+    # sets on a graph mixing chains, stars and singleton-free islands
+    edges = ([(i, i + 1) for i in range(200, 206)]
+             + [(500, k) for k in (501, 502, 503)]
+             + [(900, 901)])
+    a = sorted(map(tuple, dedup.near_dup_components(
+        _pairs(spark, edges), small_graph_edges=0).collect()))
+    b = sorted(map(tuple, dedup.near_dup_components(
+        _pairs(spark, edges)).collect()))
+    assert a == b
 
 
 def test_components_empty_and_nonconvergence_guard(spark):
@@ -447,7 +464,8 @@ def test_components_empty_and_nonconvergence_guard(spark):
         _pairs(spark, [])).collect() == []
     with pytest.raises(ValueError, match="did not converge"):
         dedup.near_dup_components(
-            _pairs(spark, [(i, i + 1) for i in range(30)]), max_iter=2)
+            _pairs(spark, [(i, i + 1) for i in range(30)]), max_iter=2,
+            small_graph_edges=0)
 
 
 def test_near_dup_dedup_keeps_one_per_cluster(spark):
