@@ -43,6 +43,11 @@ from pyspark.sql import functions as F
 # without the per-row Matcher (guide §1.2 — measured ~20% cheaper over
 # the 20M-caption bench table).
 from sparkschema.operators.normalize import _CONTROL_CHARS as _CTRL_CHARS
+from sparkschema.operators.normalize import _CONTROL_CLASS as _CTRL_CLASS
+
+# Java \s — the exact whitespace set regexp_count('\s+') runs on; used
+# by the token fast path below, which must agree with it char-for-char
+_JAVA_WS_CHARS = " \t\n\x0b\f\r"
 
 
 def caption_printable_ratio(caption: Column) -> Column:
@@ -105,12 +110,39 @@ def image_quality_frame(
     # tokens = whitespace-run count + 1, the exact size of
     # split(cap_trim, "\s+") for ANY string (split always yields
     # count+1 fields, including the empty-after-trim single empty
-    # token) — one regex pass, no token array materialized
-    tok_n = F.regexp_count(cap_trim, F.lit("\\s+")) + 1
+    # token) — one regex pass, no token array materialized. Threshold-
+    # aware fast paths (r6, guide §1.2): ≤1 required tokens is
+    # statically true (any string has ≥1 token); exactly 2 is "contains
+    # any Java-\s char" — a lazy OR of byte searches that exits at the
+    # first space instead of regexp-counting every run (the bench
+    # table's captions hit the first alternative ~always; measured
+    # ~1.1 s → ~0.1 s over 20M captions). k>2 keeps the counting form.
+    # All three forms have identical truth tables (NULL included).
+    if min_caption_tokens <= 1:
+        tok_ok = F.when(cap_trim.isNull(), F.lit(None).cast("boolean")) \
+                  .otherwise(F.lit(True))
+    elif min_caption_tokens == 2:
+        tok_ok = cap_trim.contains(" ")
+        for ch in _JAVA_WS_CHARS[1:]:
+            tok_ok = tok_ok | cap_trim.contains(ch)
+    else:
+        tok_n = F.regexp_count(cap_trim, F.lit("\\s+")) + 1
+        tok_ok = tok_n >= min_caption_tokens
+    # printable-ratio fast path: rows with NO control char have ratio
+    # exactly 1.0, so when the threshold is ≤1.0 a single regex find
+    # (early exit at the first control char) settles them without the
+    # per-codepoint translate count; only dirty rows fall through to
+    # the exact ratio. _CTRL_CLASS is the regex twin of the translate
+    # char set (single source in normalize.py, drift-guarded by test).
+    ratio_cmp = caption_printable_ratio(cap) >= min_printable_ratio
+    if min_printable_ratio <= 1.0:
+        printable_ok = F.when(~cap.rlike(_CTRL_CLASS), F.lit(True)) \
+                        .otherwise(ratio_cmp)
+    else:
+        printable_ok = ratio_cmp
     caption_ok = F.coalesce(
         (F.length(cap_trim) >= min_caption_chars)
-        & (tok_n >= min_caption_tokens)
-        & (caption_printable_ratio(cap) >= min_printable_ratio),
+        & tok_ok & printable_ok,
         F.lit(False))
 
     drop_reason = (

@@ -423,3 +423,44 @@ def test_aspect_assign_is_shuffle_and_python_free(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert rplan.count("Exchange") <= 2  # partial→final (+AQE read)
     assert "Python" not in rplan
+
+
+def test_caption_fastpath_matches_counting_forms(spark):
+    """r6: the token fast path (contains-any-\\s for k=2, static for k<=1)
+    and the printable-ratio fast path (regex find gate before the exact
+    translate count) must keep caption_ok's truth table bit-identical to
+    the plain counting forms, for every threshold shape."""
+    from pyspark.sql import functions as F
+
+    from sparkschema.operators.imagequality import (_CTRL_CHARS,
+                                                    image_quality_frame)
+
+    caps = [None, "", " ", "\t", "ok caption here", "one", "a b",
+            "a\tb", "a\nb", "a\x0bb", "a\fb", "a\rb", "two  spaces",
+            " lead and trail ", "ctrl\x01here and more", "\x7f\x7f\x7f",
+            "mostly clean text\x02", "x" * 50, ("y" * 9 + "\x03") * 5,
+            "café au lait", "가 jamo", "a\x00b c",
+            "nine ch\x04r", "exactly ten chars\x05\x06"]
+    rows = [(i, c, 100, 100) for i, c in enumerate(caps)]
+    df = spark.createDataFrame(rows, "id int, caption string, w int, h int")
+    for k in (0, 1, 2, 3):
+        for ratio in (0.5, 0.9, 1.0):
+            got = {r["id"]: r["caption_ok"] for r in image_quality_frame(
+                df, bytes_col=None, min_caption_tokens=k,
+                min_printable_ratio=ratio).select("id", "caption_ok")
+                .collect()}
+            # reference: the counting forms, composed verbatim
+            cap, cap_trim = F.col("caption"), F.trim(F.col("caption"))
+            tok_n = F.regexp_count(cap_trim, F.lit("\\s+")) + 1
+            n = F.length(cap)
+            ctrl = n - F.length(F.translate(cap, _CTRL_CHARS, ""))
+            pr = F.when(n == 0, F.lit(1.0)).otherwise(
+                1.0 - ctrl.cast("double") / n.cast("double"))
+            ref_ok = F.coalesce(
+                (F.length(cap_trim) >= 8) & (tok_n >= k) & (pr >= ratio),
+                F.lit(False))
+            want = {r["id"]: r["ok"] for r in df.select(
+                "id", ref_ok.alias("ok")).collect()}
+            assert got == want, (k, ratio,
+                                 {i: (got[i], want[i]) for i in got
+                                  if got[i] != want[i]})
