@@ -37,8 +37,13 @@ def token_count(col: Column) -> Column:
 
 
 def whitespace_token_count(col: Column) -> Column:
-    t = F.split(F.trim(col), r"\s+")
-    return F.when(F.trim(col) == "", 0).otherwise(F.size(t))
+    # runs+1 identity (r6): after trim there is no leading/trailing \s,
+    # so split(trimmed, '\s+') yields exactly (whitespace-run count)+1
+    # fields — regexp_count gives the same number in one regex pass with
+    # no token array materialized (same identity the caption token gate
+    # uses; values bit-identical incl. NULL -> NULL and all-ws -> 0)
+    t = F.trim(col)
+    return F.when(t == "", 0).otherwise(F.regexp_count(t, F.lit(r"\s+")) + 1)
 
 
 def word_set(col: Column) -> Column:
