@@ -27,7 +27,11 @@ Known, documented deviations (SURVEY.md §7 watch list):
   (StringValidators.scala:126-132) on every Java-probed case: fold
   non-leading combining marks (Mn/Me/Mc), CRLF is one cluster, ZWJ does
   NOT glue (legacy clusters: emoji families/flags count per codepoint —
-  Java-verified). Residual: decomposed conjoining Hangul jamo. The
+  Java-verified), and decomposed conjoining Hangul jamo runs collapse
+  per the class-monotone rule (jsonvalue.grapheme_length:155-173,
+  live-JVM differential-tested). Residual: only the Unicode-version
+  delta between this Python's tables and the JVM's ICU data, embedded
+  in spec/_unicode_delta.py with a live-JVM drift test. The
   columnar and VARIANT paths use the same fold in SQL
   (compiler.columns.grapheme_length_col).
 - ``pattern`` evaluates with Python ``re`` (unanchored ``search``) after a
