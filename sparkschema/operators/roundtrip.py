@@ -58,17 +58,18 @@ def roundtrip_tables(spark, images_path: str, ref_path: str,
     tests/test_plan_quality.py::test_bucketed_roundtrip_join_has_no_exchange).
     """
     from sparkschema.sources.tables import ensure_bucketed_table
-    # Trust the per-bucket sort order on scan (r6): since Spark 3.0 a
-    # bucketed-sorted scan reports NO output ordering unless this flag
-    # is on, so the join re-SORTED the full byte corpus on both sides
-    # every run (two 2.6 GiB execution-memory sorts — measured as the
-    # round-trip lane's dominant cost and GC-variance source). With the
-    # flag, Spark claims the ordering ONLY when every bucket is a single
-    # file — exactly the layout ensure_bucketed_table now writes
-    # (repartition-by-bucket-key before bucketBy); a legacy multi-file
-    # layout simply keeps its sorts, never wrong results.
-    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
-                   "true")
+    # Measured r6 negative result, recorded so it is not re-tried: with
+    # the one-file-per-bucket layout one can additionally set
+    # ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` to drop
+    # the two per-side Sorts from the join plan entirely — but the
+    # sort-free SMJ then interleaves BOTH sides' vectorized parquet
+    # readers inside each task, keeping two multi-hundred-MB binary
+    # column batches alive simultaneously, and on ~130 KB byte rows the
+    # measured effect is a 5-8x SLOWDOWN in fresh-session/bench context
+    # (13.7 s vs 2.5 s; steady state only converges after 4+ runs). The
+    # per-side Sort acts as a cheap materialization barrier between the
+    # reader and the merge — over the now pre-sorted single-file buckets
+    # it costs almost nothing — so the sorted plan is kept.
     imgs = ensure_bucketed_table(spark, names[0], images_path, buckets=buckets)
     ref = ensure_bucketed_table(spark, names[1], ref_path, buckets=buckets)
     return imgs, ref

@@ -284,11 +284,14 @@ def test_drift_statistics_bucket_windows_only(spark):
     assert "Window" in plan
 
 
-def test_bucketed_roundtrip_join_has_no_sort(spark, tmp_path):
-    """r6: with the one-file-per-bucket layout and the bucketed-scan
-    ordering flag (set by roundtrip_tables), the round-trip SMJ needs
-    neither an Exchange NOR a Sort — the byte corpus streams from the
-    sorted bucket files straight into the merge."""
+def test_bucketed_roundtrip_one_file_per_bucket(spark, tmp_path):
+    """r6: ensure_bucketed_table writes exactly ONE sorted file per
+    bucket (repartition-by-bucket-key before bucketBy), and the
+    round-trip join stays exchange-free. The Sorts deliberately REMAIN
+    in the plan — see the measured negative result documented in
+    roundtrip_tables (trusting scan order interleaves both sides'
+    vectorized readers and is 5-8x slower on huge binary rows); over
+    pre-sorted single-file buckets they are near-free."""
     from sparkschema.operators.roundtrip import (roundtrip_tables,
                                                  roundtrip_verdict)
     from sparkschema.sources.tables import ensure_bucketed_table
@@ -313,4 +316,3 @@ def test_bucketed_roundtrip_join_has_no_sort(spark, tmp_path):
     plan = _plan(roundtrip_verdict(a, b))
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
-    assert "- Sort " not in plan
