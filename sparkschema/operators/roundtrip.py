@@ -58,18 +58,20 @@ def roundtrip_tables(spark, images_path: str, ref_path: str,
     tests/test_plan_quality.py::test_bucketed_roundtrip_join_has_no_exchange).
     """
     from sparkschema.sources.tables import ensure_bucketed_table
-    # Measured r6 negative result, recorded so it is not re-tried: with
-    # the one-file-per-bucket layout one can additionally set
-    # ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` to drop
+    # Measured r6 negative result, recorded so it is not re-tried: a
+    # one-file-per-bucket layout plus
+    # ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` drops
     # the two per-side Sorts from the join plan entirely — but the
     # sort-free SMJ then interleaves BOTH sides' vectorized parquet
     # readers inside each task, keeping two multi-hundred-MB binary
     # column batches alive simultaneously, and on ~130 KB byte rows the
     # measured effect is a 5-8x SLOWDOWN in fresh-session/bench context
-    # (13.7 s vs 2.5 s; steady state only converges after 4+ runs). The
-    # per-side Sort acts as a cheap materialization barrier between the
-    # reader and the merge — over the now pre-sorted single-file buckets
-    # it costs almost nothing — so the sorted plan is kept.
+    # (13.7 s vs 2.5 s; steady state only converges after 4+ runs).
+    # Even without the flag, the single large row group per bucket lets
+    # the reader build those huge batches under the Sorts (4-9 s) —
+    # the many-small-files layout's tiny row groups bound the batch
+    # size naturally, so BOTH that layout and the sorted plan are kept
+    # (see sources/tables.py for the write-site note).
     imgs = ensure_bucketed_table(spark, names[0], images_path, buckets=buckets)
     ref = ensure_bucketed_table(spark, names[1], ref_path, buckets=buckets)
     return imgs, ref

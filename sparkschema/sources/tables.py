@@ -94,19 +94,22 @@ def ensure_bucketed_table(spark: SparkSession, name: str, path: str,
             if source_df is None:
                 raise FileNotFoundError(
                     f"no bucketed files at {path} and no source_df given")
-            # ONE file per bucket (r6): repartition by the bucket key
-            # first — DataFrame hash partitioning and the bucket-id
-            # expression are the same pmod(murmur3(key), n), so each
-            # write task holds exactly one bucket and emits one sorted
-            # file. With multiple files per bucket Spark cannot trust
-            # the per-file sort order, so every bucketed-join reader
-            # re-SORTED the full byte corpus in execution memory (two
-            # 2.6 GiB sorts per round-trip run — the dominant GC-churn
-            # source; plan now shows no Sort below the SortMergeJoin).
-            # The layout stays independent of the writing session's
-            # core count (the r4 review trap) — ``buckets`` is explicit.
-            (source_df.repartition(buckets, key)
-             .write.bucketBy(buckets, key).sortBy(key)
+            # NOTE(r6, measured negative result — do not "fix" this to
+            # one file per bucket): repartitioning by the bucket key
+            # before the write yields exactly one sorted file per bucket
+            # (hash partitioning and the bucket-id expression share
+            # pmod(murmur3(key), n)), which enables dropping the join's
+            # per-side Sorts via the legacy bucketed-scan-ordering flag —
+            # but on ~130 KB binary rows the single large row group per
+            # bucket lets the vectorized reader build multi-hundred-MB
+            # column batches, and BOTH resulting plans (sort-free SMJ
+            # interleaving two such readers per task, and the sorted plan
+            # over the large-batch scan) measured 2-8x SLOWER in bench
+            # context than this many-small-files layout, whose small row
+            # groups naturally bound the columnar batch size. The write
+            # below keeps the incoming partitioning (multiple small
+            # files per bucket) deliberately.
+            (source_df.write.bucketBy(buckets, key).sortBy(key)
              .option("path", path).mode("overwrite")
              .format("parquet").saveAsTable(name))
     return spark.table(name)

@@ -282,37 +282,3 @@ def test_drift_statistics_bucket_windows_only(spark):
     plan = _plan(drift_statistics_histograms(h1, h2))
     assert "Python" not in plan
     assert "Window" in plan
-
-
-def test_bucketed_roundtrip_one_file_per_bucket(spark, tmp_path):
-    """r6: ensure_bucketed_table writes exactly ONE sorted file per
-    bucket (repartition-by-bucket-key before bucketBy), and the
-    round-trip join stays exchange-free. The Sorts deliberately REMAIN
-    in the plan — see the measured negative result documented in
-    roundtrip_tables (trusting scan order interleaves both sides'
-    vectorized readers and is 5-8x slower on huge binary rows); over
-    pre-sorted single-file buckets they are near-free."""
-    from sparkschema.operators.roundtrip import (roundtrip_tables,
-                                                 roundtrip_verdict)
-    from sparkschema.sources.tables import ensure_bucketed_table
-
-    clean = dict(dup_fraction=0.0, orphan_fmt_fraction=0.0,
-                 caption_anomaly_fraction=0.0, corrupt_fraction=0.0,
-                 caption_mismatch_fraction=0.0)
-    src = images_df(spark, 300, with_bytes=True, partitions=2, **clean)
-    ref = images_df(spark, 300, with_bytes=True, variant="ref", partitions=2,
-                    **clean)
-    ensure_bucketed_table(spark, "pq_bkt_ns_a", str(tmp_path / "a"),
-                          source_df=src, buckets=4)
-    ensure_bucketed_table(spark, "pq_bkt_ns_b", str(tmp_path / "b"),
-                          source_df=ref, buckets=4)
-    a, b = roundtrip_tables(spark, str(tmp_path / "a"), str(tmp_path / "b"),
-                            buckets=4, names=("pq_bkt_ns_a", "pq_bkt_ns_b"))
-    import os
-    for p in ("a", "b"):  # one data file per bucket — the layout the
-        files = [f for f in os.listdir(tmp_path / p)  # ordering trust needs
-                 if f.endswith(".parquet")]
-        assert len(files) == 4, files
-    plan = _plan(roundtrip_verdict(a, b))
-    assert "SortMergeJoin" in plan
-    assert "Exchange hashpartitioning" not in plan
